@@ -1,0 +1,25 @@
+"""AMG parameter set (reference's CLI knobs; SURVEY.md §5.6).
+
+Frozen dataclass → hashable → usable as a static argument to ``jax.jit``.
+Defaults are the classical-AMG textbook values the reference's configs imply
+(θ=0.25, ω=2/3 weighted Jacobi, V(1,1), coarse direct solve ≤ 100 rows).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class AMGParams:
+    theta: float = 0.25          # strength-of-connection threshold
+    smoother: str = "jacobi"     # "jacobi" | "chebyshev"
+    omega: float = 2.0 / 3.0     # weighted-Jacobi damping
+    nu_pre: int = 1              # pre-smoothing sweeps
+    nu_post: int = 1             # post-smoothing sweeps
+    cheby_degree: int = 3        # Chebyshev polynomial degree
+    cheby_ratio: float = 30.0    # lower eigenvalue bound = lambda_max / ratio
+    coarse_size: int = 100       # dense direct solve below this many rows
+    max_levels: int = 25
+    max_coarsen_rounds: int = 64  # PMIS round cap (safety)
+    min_coarsen_factor: float = 1.02  # stop if a level shrinks less than this

@@ -1,0 +1,274 @@
+"""Sparse matrix storage formats for the TPU-native AMG framework.
+
+Capability parity target: the reference's CSR/COO storage layer (SURVEY.md §2
+components 1, 4; the reference itself was unreadable — empty mount — so behavior
+is specified by BASELINE.json's north-star, not by file:line citations).
+
+Design (TPU-first, not a translation of C structs):
+
+- ``Csr``    — canonical compressed-sparse-row triplet as JAX arrays. Used for
+  host interop and as the general device format (segment-sum SpMV).
+- ``Ell``    — padded ELLPACK ``(n_rows, K)`` column/value planes. This is the
+  primary *device compute* format: every row op becomes a dense ``(n, K)``
+  vectorized op + one gather, which XLA maps onto the VPU with static shapes.
+  Padding uses ``col=0, val=0`` so gathers stay in-bounds and contribute zero.
+- ``Dia``    — diagonal (banded) storage with *static* offsets. The benchmark
+  operators (5/7/9/27-point stencils, BASELINE.json configs) are pure-banded;
+  DIA SpMV is gather-free (shift + fma) and runs at HBM speed of light on TPU.
+
+All three are registered JAX pytrees so they can flow through ``jit`` /
+``shard_map`` directly; static metadata (shapes, offsets) are pytree aux data.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _static(**kw):
+    return field(metadata=dict(static=True), **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Csr:
+    """CSR sparse matrix as device arrays.
+
+    ``row_ids`` is the per-nnz row index (the "expanded" row pointer). It is
+    redundant with ``row_ptr`` but makes the segment-sum SpMV and COO-style
+    scatters O(1) to express; it is built once on host.
+    """
+
+    row_ptr: jax.Array  # (n_rows+1,) int32
+    col: jax.Array      # (nnz,) int32
+    val: jax.Array      # (nnz,) float
+    row_ids: jax.Array  # (nnz,) int32
+    n_rows: int = _static()
+    n_cols: int = _static()
+
+    @property
+    def nnz(self) -> int:
+        return self.col.shape[0]
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def dtype(self):
+        return self.val.dtype
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Ell:
+    """Padded ELLPACK: row-major (n_rows, K) planes; invalid slots col=0,val=0."""
+
+    col: jax.Array  # (n_rows, K) int32
+    val: jax.Array  # (n_rows, K) float
+    n_cols: int = _static()
+
+    @property
+    def n_rows(self) -> int:
+        return self.col.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.col.shape[1]
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def dtype(self):
+        return self.val.dtype
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Dia:
+    """Banded (diagonal) storage with static offsets.
+
+    ``data[k, i]`` multiplies ``x[i + offsets[k]]``; out-of-range slots are 0.
+    Square matrices only (stencil operators).
+    """
+
+    data: jax.Array                  # (ndiag, n) float
+    offsets: Tuple[int, ...] = _static()
+
+    @property
+    def n_rows(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def n_cols(self) -> int:
+        return self.data.shape[1]
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_rows, self.n_rows)
+
+    @property
+    def dtype(self):
+        return self.data.dtype
+
+
+# ---------------------------------------------------------------------------
+# Host-side constructors / converters (numpy & scipy interop; setup phase only)
+# ---------------------------------------------------------------------------
+
+def csr_from_scipy(a, dtype=jnp.float32) -> Csr:
+    import scipy.sparse as sp
+
+    a = sp.csr_matrix(a)
+    a.sort_indices()
+    n_rows, n_cols = a.shape
+    row_ptr = np.asarray(a.indptr, dtype=np.int32)
+    row_ids = np.repeat(
+        np.arange(n_rows, dtype=np.int32), np.diff(row_ptr).astype(np.int64)
+    )
+    return Csr(
+        row_ptr=jnp.asarray(row_ptr),
+        col=jnp.asarray(a.indices, dtype=jnp.int32),
+        val=jnp.asarray(a.data, dtype=dtype),
+        row_ids=jnp.asarray(row_ids),
+        n_rows=int(n_rows),
+        n_cols=int(n_cols),
+    )
+
+
+def csr_to_scipy(a: Csr):
+    import scipy.sparse as sp
+
+    return sp.csr_matrix(
+        (np.asarray(a.val, dtype=np.float64), np.asarray(a.col), np.asarray(a.row_ptr)),
+        shape=a.shape,
+    )
+
+
+def coo_to_csr(rows, cols, vals, shape, dtype=jnp.float32) -> Csr:
+    """COO assembly (duplicates summed), mirroring the reference's COO→CSR path."""
+    import scipy.sparse as sp
+
+    a = sp.coo_matrix((np.asarray(vals), (np.asarray(rows), np.asarray(cols))), shape=shape)
+    return csr_from_scipy(a.tocsr(), dtype=dtype)
+
+
+def ell_from_scipy(a, width: int | None = None, dtype=jnp.float32) -> Ell:
+    import scipy.sparse as sp
+
+    a = sp.csr_matrix(a)
+    a.sort_indices()
+    n_rows, n_cols = a.shape
+    lengths = np.diff(a.indptr)
+    k = int(lengths.max(initial=0)) if width is None else int(width)
+    if lengths.max(initial=0) > k:
+        raise ValueError(f"row length {lengths.max()} exceeds ELL width {k}")
+    col = np.zeros((n_rows, max(k, 1)), dtype=np.int32)
+    val = np.zeros((n_rows, max(k, 1)), dtype=np.float64)
+    # Vectorized fill: position of each nnz within its row.
+    pos = np.arange(a.nnz, dtype=np.int64) - np.repeat(a.indptr[:-1].astype(np.int64), lengths)
+    rows = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
+    col[rows, pos] = a.indices
+    val[rows, pos] = a.data
+    return Ell(col=jnp.asarray(col), val=jnp.asarray(val, dtype=dtype), n_cols=int(n_cols))
+
+
+def ell_to_scipy(a: Ell):
+    import scipy.sparse as sp
+
+    col = np.asarray(a.col)
+    val = np.asarray(a.val, dtype=np.float64)
+    n, k = col.shape
+    rows = np.repeat(np.arange(n), k)
+    m = sp.coo_matrix((val.ravel(), (rows, col.ravel())), shape=a.shape)
+    m.sum_duplicates()
+    m = m.tocsr()
+    m.eliminate_zeros()
+    return m
+
+
+def csr_to_ell(a: Csr, width: int | None = None) -> Ell:
+    return ell_from_scipy(csr_to_scipy(a), width=width, dtype=a.dtype)
+
+
+def dia_from_offsets(offsets, data, dtype=jnp.float32) -> Dia:
+    data = jnp.asarray(data, dtype=dtype)
+    return Dia(data=data, offsets=tuple(int(o) for o in offsets))
+
+
+def dia_to_scipy(a: Dia):
+    import scipy.sparse as sp
+
+    n = a.n_rows
+    rows_l, cols_l, vals_l = [], [], []
+    data = np.asarray(a.data, dtype=np.float64)
+    for k, off in enumerate(a.offsets):
+        i0, i1 = max(0, -off), min(n, n - off)
+        idx = np.arange(i0, i1)
+        rows_l.append(idx)
+        cols_l.append(idx + off)
+        vals_l.append(data[k, i0:i1])
+    m = sp.coo_matrix(
+        (np.concatenate(vals_l), (np.concatenate(rows_l), np.concatenate(cols_l))),
+        shape=(n, n),
+    ).tocsr()
+    m.eliminate_zeros()
+    return m
+
+
+def dia_from_scipy(a, dtype=jnp.float32) -> Dia:
+    """Convert a banded scipy matrix to DIA. Raises if too many diagonals."""
+    import scipy.sparse as sp
+
+    d = sp.dia_matrix(a)
+    n = d.shape[0]
+    if d.shape[0] != d.shape[1]:
+        raise ValueError("Dia requires a square matrix")
+    offsets = [int(o) for o in d.offsets]
+    # scipy dia data[k, j] is the value at column j on diagonal k, i.e. it
+    # multiplies x[j] for row j - off. Our convention: data[k, i] multiplies
+    # x[i + off] for row i → data_ours[k, i] = data_scipy[k, i + off].
+    out = np.zeros((len(offsets), n), dtype=np.float64)
+    for k, off in enumerate(offsets):
+        i0, i1 = max(0, -off), min(n, n - off)
+        out[k, i0:i1] = d.data[k, i0 + off : i1 + off]
+    return Dia(data=jnp.asarray(out, dtype=dtype), offsets=tuple(offsets))
+
+
+def dia_to_ell(a: Dia) -> Ell:
+    return ell_from_scipy(dia_to_scipy(a), dtype=a.dtype)
+
+
+def dia_to_csr(a: Dia) -> Csr:
+    return csr_from_scipy(dia_to_scipy(a), dtype=a.dtype)
+
+
+def transpose_ell(a: Ell, width: int | None = None) -> Ell:
+    """A^T as ELL (host, setup phase): used to build R = P^T (SURVEY.md §2 #4)."""
+    return ell_from_scipy(ell_to_scipy(a).T.tocsr(), width=width, dtype=a.dtype)
+
+
+def diagonal(a) -> jax.Array:
+    """Extract the main diagonal of any format (device op for Ell/Dia)."""
+    if isinstance(a, Dia):
+        if 0 in a.offsets:
+            return a.data[a.offsets.index(0)]
+        return jnp.zeros((a.n_rows,), a.dtype)
+    if isinstance(a, Ell):
+        n = a.n_rows
+        rows = jnp.arange(n, dtype=a.col.dtype)[:, None]
+        return jnp.sum(jnp.where(a.col == rows, a.val, 0), axis=1)
+    if isinstance(a, Csr):
+        hit = a.col == a.row_ids
+        return jax.ops.segment_sum(
+            jnp.where(hit, a.val, 0), a.row_ids, num_segments=a.n_rows
+        )
+    raise TypeError(type(a))
