@@ -1,0 +1,110 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Headline metric (BASELINE.md): SpMV throughput in Gnnz/s on the 3D 7-point
+Poisson 256^3 operator on one chip. ``vs_baseline`` is measured against the
+≥70%-of-speed-of-light gate (~50 Gnnz/s on TPU v5e, BASELINE.md table).
+
+Extra phase metrics (AMG setup seconds, PCG iterations, RAP throughput) are
+written to ``bench_details.json`` and stderr so the headline stays one line.
+
+Env knobs: BENCH_N (default 256), BENCH_SOLVE_N (default 128),
+BENCH_SKIP_SOLVE=1 to run only the SpMV headline.
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    t_start = time.time()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.ops.spmv import spmv
+    from omp_amg_tpu.utils.timers import timeit, timeit_chained
+
+    dev = jax.devices()[0]
+    log(f"backend: {dev.platform} ({dev})")
+
+    n = int(os.environ.get("BENCH_N", "256"))
+    details = {"backend": str(dev), "n": n}
+
+    # ---- headline: SpMV Gnnz/s on 7pt n^3 ----
+    t0 = time.time()
+    a = amg.poisson3d_7pt(n)
+    b = amg.default_rhs(a, "random", seed=0)
+    details["gen_s"] = time.time() - t0
+    nnz = sum(a.n_rows - abs(o) for o in a.offsets)
+    f = jax.jit(spmv)
+    # chained timing: output feeds the next input, so a remote/async executor
+    # cannot acknowledge work early and deflate the measurement
+    sec = timeit_chained(f, a, b, warmup=3, iters=20)
+    gnnz = nnz / sec / 1e9
+    details["spmv_seconds"] = sec
+    details["spmv_gnnz_per_s"] = gnnz
+    log(f"SpMV 7pt {n}^3: {sec*1e3:.3f} ms, {gnnz:.1f} Gnnz/s (nnz={nnz:.3e})")
+
+    # correctness spot check on a sampled slice (full host SpMV at 256^3 is slow)
+    y = np.asarray(f(a, b))
+    a_sp_small = amg.dia_to_scipy(amg.poisson3d_7pt(min(n, 64)))
+    bs = np.asarray(amg.default_rhs(amg.poisson3d_7pt(min(n, 64)), "random", 0))
+    ys = np.asarray(f(amg.poisson3d_7pt(min(n, 64)), jnp.asarray(bs)))
+    err = np.abs(ys - a_sp_small @ bs).max()
+    details["spmv_check_err"] = float(err)
+    assert err < 1e-3, f"SpMV mismatch {err}"
+
+    # ---- secondary: AMG setup + PCG solve on a solver-scale problem ----
+    if os.environ.get("BENCH_SKIP_SOLVE") != "1":
+        from omp_amg_tpu.amg.hierarchy import amg_setup, hierarchy_stats
+        from omp_amg_tpu.solvers.cg import amg_pcg
+
+        ns = int(os.environ.get("BENCH_SOLVE_N", "128"))
+        a2 = amg.poisson3d_7pt(ns)
+        b2 = amg.default_rhs(a2, "random", seed=0)
+        t0 = time.time()
+        hier, host_ops = amg_setup(a2, keep_host=True)
+        details["setup_s"] = time.time() - t0
+        details["hierarchy"] = hierarchy_stats(hier, host_ops)
+        t0 = time.time()
+        res = amg_pcg(a2, b2, hier, tol=1e-6, maxiter=200)
+        jax.block_until_ready(res.x)
+        details["solve_first_s"] = time.time() - t0  # includes compile
+        t0 = time.time()
+        res = amg_pcg(a2, b2, hier, tol=1e-6, maxiter=200)
+        jax.block_until_ready(res.x)
+        details["solve_s"] = time.time() - t0
+        details["pcg_iters"] = int(res.iters)
+        details["rel_residual"] = float(res.rel_residual)
+        log(f"AMG 7pt {ns}^3: setup {details['setup_s']:.1f}s, "
+            f"solve {details['solve_s']:.2f}s, iters {int(res.iters)}")
+
+    details["total_s"] = time.time() - t_start
+    with open("bench_details.json", "w") as fh:
+        json.dump(details, fh, indent=2)
+
+    baseline = 50.0  # Gnnz/s — the 70%-of-SoL gate from BASELINE.md
+    print(json.dumps({
+        "metric": f"spmv_7pt_{n}^3_gnnz_per_s",
+        "value": round(gnnz, 2),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(gnnz / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

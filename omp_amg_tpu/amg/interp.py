@@ -34,21 +34,29 @@ def direct_interpolation(a: Ell, mask: jax.Array, state: jax.Array,
     is_c = state == CPOINT
 
     diag = jnp.sum(jnp.where(is_diag, a.val, 0), axis=1)
-    # all off-diagonal couplings (excluding structural padding val==0 is fine:
-    # zero contributes zero to the sums anyway)
+    # signed-sum (hypre-style) direct interpolation: negative and positive
+    # couplings are scaled independently; positive couplings with no strong-C
+    # counterpart are lumped into the diagonal. (Padding val==0 contributes 0.)
     offdiag = ~is_diag
-    sum_all = jnp.sum(jnp.where(offdiag, a.val, 0), axis=1)
+    neg = offdiag & (a.val < 0)
+    pos = offdiag & (a.val > 0)
+    sum_neg = jnp.sum(jnp.where(neg, a.val, 0), axis=1)
+    sum_pos = jnp.sum(jnp.where(pos, a.val, 0), axis=1)
 
     strong_c = mask & is_c[a.col]
-    sum_c = jnp.sum(jnp.where(strong_c, a.val, 0), axis=1)
+    sum_c_neg = jnp.sum(jnp.where(strong_c & neg, a.val, 0), axis=1)
+    sum_c_pos = jnp.sum(jnp.where(strong_c & pos, a.val, 0), axis=1)
 
-    # alpha = sum_all / sum_c; F-rows with no strong C slot get a zero row
-    # (PMIS post-pass promotes strongly-connected stranded points to C, so
-    # only genuinely weakly-coupled rows land here — their error is handled
-    # by smoothing).
-    safe_sum_c = jnp.where(sum_c != 0, sum_c, 1.0)
-    alpha = jnp.where(sum_c != 0, sum_all / safe_sum_c, 0.0)
-    w = -(alpha / diag)[:, None] * a.val  # (n, K)
+    # F-rows with no strong C slot get a zero row (PMIS post-pass promotes
+    # strongly-connected stranded points to C, so only genuinely
+    # weakly-coupled rows land here — their error is handled by smoothing).
+    alpha = jnp.where(sum_c_neg != 0,
+                      sum_neg / jnp.where(sum_c_neg != 0, sum_c_neg, 1.0), 0.0)
+    beta = jnp.where(sum_c_pos != 0,
+                     sum_pos / jnp.where(sum_c_pos != 0, sum_c_pos, 1.0), 0.0)
+    dtil = diag + jnp.where(sum_c_pos == 0, sum_pos, 0.0)
+    scale = jnp.where(a.val < 0, alpha[:, None], beta[:, None])
+    w = -(1.0 / dtil)[:, None] * scale * a.val  # (n, K)
 
     f_val = jnp.where(strong_c, w, 0.0)
     f_col = jnp.where(strong_c, cmap[a.col], 0)

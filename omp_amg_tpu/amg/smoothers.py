@@ -1,0 +1,62 @@
+"""Smoothers: weighted Jacobi and Chebyshev (SURVEY.md §2 #11–12, §3.6–3.7).
+
+Matrix-free formulations fused by XLA: each sweep is one SpMV plus
+elementwise ops (the BASELINE north-star's "matrix-free collectives" path —
+under ``shard_map`` the same code runs sharded with halo exchanges inside
+``spmv``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.spmv import spmv
+from .pmis import hash01
+
+
+def jacobi(a, dinv, x, b, omega: float, sweeps: int):
+    for _ in range(sweeps):
+        x = x + omega * dinv * (b - spmv(a, x))
+    return x
+
+
+def chebyshev(a, dinv, x, b, lmax, degree: int, ratio: float):
+    """Chebyshev polynomial smoother on D⁻¹A over [1.1·lmax/ratio, 1.1·lmax].
+
+    Classical three-term Chebyshev semi-iteration (Saad alg. 12.1 with
+    hypre-style spectral bounds, SURVEY.md §3.7). ``degree`` = number of
+    SpMV applications. A fixed polynomial in D⁻¹A, hence symmetric as a
+    preconditioner component — preserves the SPD contract of §3.9.
+    """
+    upper = 1.1 * lmax
+    lower = upper / ratio
+    theta = (upper + lower) / 2.0
+    delta = (upper - lower) / 2.0
+    sigma = theta / delta
+    rho = 1.0 / sigma
+
+    r = dinv * (b - spmv(a, x))
+    d = r / theta
+    x = x + d
+    for _ in range(degree - 1):
+        r = r - dinv * spmv(a, d)
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+        rho = rho_new
+        x = x + d
+    return x
+
+
+def estimate_lmax(a, dinv, iters: int = 20):
+    """Largest eigenvalue of D⁻¹A by power iteration (deterministic seed)."""
+    n = a.shape[0]
+    v = hash01(jnp.arange(n, dtype=jnp.int32)).astype(a.dtype) - 0.5
+
+    def body(_, v):
+        w = dinv * spmv(a, v)
+        return w / jnp.linalg.norm(w)
+
+    v = jax.lax.fori_loop(0, iters, body, v / jnp.linalg.norm(v))
+    w = dinv * spmv(a, v)
+    return jnp.vdot(v, w) / jnp.vdot(v, v)

@@ -1,0 +1,61 @@
+"""V-cycle multigrid solve (SURVEY.md §2 #13–14, §3.8, §4.4).
+
+The hierarchy has static structure, so the recursion is Python-unrolled
+inside one ``jit``: ~4 SpMVs + smoother SpMVs per level, a dense triangular
+solve at the bottom. Zero initial guess + symmetric smoothing keep the cycle
+a fixed SPD linear operator — the PCG preconditioner contract (§3.9).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.spmv import spmv
+from .hierarchy import Hierarchy, Level
+from .params import AMGParams
+from .smoothers import chebyshev, jacobi
+
+
+def _smooth(level: Level, params: AMGParams, x, b, sweeps: int):
+    if sweeps == 0:
+        return x
+    if params.smoother == "jacobi":
+        return jacobi(level.a, level.dinv, x, b, params.omega, sweeps)
+    if params.smoother == "chebyshev":
+        for _ in range(sweeps):
+            x = chebyshev(level.a, level.dinv, x, b, level.lmax,
+                          params.cheby_degree, params.cheby_ratio)
+        return x
+    raise ValueError(f"unknown smoother {params.smoother!r}")
+
+
+def coarse_solve(hier: Hierarchy, b):
+    """Dense Cholesky solve at the coarsest level (factored at setup)."""
+    chol = hier.coarse_chol
+    y = jax.scipy.linalg.solve_triangular(chol, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
+
+
+def vcycle(hier: Hierarchy, b):
+    """One V(ν₁,ν₂) cycle applied to b with zero initial guess → M⁻¹ b."""
+    params = hier.params
+    levels = hier.levels
+
+    def descend(l, bl):
+        if l == len(levels):
+            return coarse_solve(hier, bl)
+        lv = levels[l]
+        x = _smooth(lv, params, jnp.zeros_like(bl), bl, params.nu_pre)
+        r = bl - spmv(lv.a, x)
+        xc = descend(l + 1, spmv(lv.r, r))
+        x = x + spmv(lv.p, xc)
+        return _smooth(lv, params, x, bl, params.nu_post)
+
+    return descend(0, b)
+
+
+def vcycle_apply(hier: Hierarchy, x, b):
+    """x ← x + M⁻¹(b − A x): V-cycle as an iteration (standalone AMG solve)."""
+    r = b - spmv(hier.levels[0].a, x) if hier.levels else b
+    return x + vcycle(hier, r)

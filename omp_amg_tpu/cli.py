@@ -1,0 +1,156 @@
+"""Command-line driver (reference's main(), SURVEY.md §2 #18, §4.1).
+
+Mirrors the reference CLI's experiment axes: problem, size, θ, smoother,
+sweeps, tolerance, level caps — and reports phase timings, iteration counts,
+residuals, and nnz/s in both human-readable and JSON form.
+
+Example:
+    python -m omp_amg_tpu.cli --problem 3d7pt --n 64 --tol 1e-8 --json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="omp_amg_tpu",
+                                description="TPU-native AMG solver")
+    p.add_argument("--problem", default="3d7pt",
+                   choices=["2d5pt", "3d7pt", "3d27pt", "aniso9pt"],
+                   help="test problem (BASELINE.json configs)")
+    p.add_argument("--n", type=int, default=64, help="grid points per side")
+    p.add_argument("--eps", type=float, default=1e-3,
+                   help="anisotropy strength (aniso9pt)")
+    p.add_argument("--matrix", default=None,
+                   help="MatrixMarket file instead of a generated problem")
+    p.add_argument("--theta", type=float, default=0.25)
+    p.add_argument("--smoother", default="jacobi",
+                   choices=["jacobi", "chebyshev"])
+    p.add_argument("--omega", type=float, default=2.0 / 3.0)
+    p.add_argument("--nu", type=int, default=1, help="pre/post sweeps")
+    p.add_argument("--cheby-degree", type=int, default=3)
+    p.add_argument("--coarse-size", type=int, default=100)
+    p.add_argument("--max-levels", type=int, default=25)
+    p.add_argument("--tol", type=float, default=1e-8)
+    p.add_argument("--maxiter", type=int, default=500)
+    p.add_argument("--rhs", default="random", choices=["random", "ones"])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--no-ir", action="store_true",
+                   help="single-precision PCG only (skip f64 refinement)")
+    p.add_argument("--save-hierarchy", default=None)
+    p.add_argument("--load-hierarchy", default=None)
+    p.add_argument("--json", action="store_true", help="print JSON summary")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from . import problems
+    from .amg.hierarchy import amg_setup, hierarchy_stats
+    from .amg.params import AMGParams
+    from .ops.spmv import spmv
+    from .problems.poisson import PROBLEMS, default_rhs
+    from .sparse.formats import dia_to_scipy
+    from .solvers.cg import amg_pcg
+    from .solvers.ir import solve_ir
+    from .utils.timers import PhaseTimers, gnnz_per_s, timeit
+
+    timers = PhaseTimers()
+    with timers.phase("build"):
+        if args.matrix:
+            from .utils.io import read_matrix_market
+            a_dev, a_sp = read_matrix_market(args.matrix)
+        else:
+            gen = PROBLEMS[args.problem]
+            kw = {"eps": args.eps} if args.problem == "aniso9pt" else {}
+            a_dev = gen(args.n, **kw)
+            a_sp = dia_to_scipy(a_dev)
+        b = (default_rhs(a_dev, args.rhs, args.seed)
+             if not args.matrix else jnp.asarray(
+                 np.random.default_rng(args.seed).standard_normal(a_sp.shape[0]),
+                 jnp.float32))
+
+    params = AMGParams(theta=args.theta, smoother=args.smoother,
+                       omega=args.omega, nu_pre=args.nu, nu_post=args.nu,
+                       cheby_degree=args.cheby_degree,
+                       coarse_size=args.coarse_size,
+                       max_levels=args.max_levels)
+
+    host_ops = None
+    if args.load_hierarchy:
+        from .utils.io import load_hierarchy
+        with timers.phase("setup"):
+            hier = load_hierarchy(args.load_hierarchy)
+    else:
+        with timers.phase("setup"):
+            hier, host_ops = amg_setup(a_dev, params, keep_host=True)
+    if args.save_hierarchy:
+        from .utils.io import save_hierarchy
+        save_hierarchy(args.save_hierarchy, hier)
+
+    stats = hierarchy_stats(hier, host_ops)
+
+    with timers.phase("solve"):
+        if args.no_ir:
+            res = amg_pcg(a_dev, b, hier, tol=args.tol, maxiter=args.maxiter)
+            import jax
+            jax.block_until_ready(res.x)
+            iters = int(res.iters)
+            rel = float(res.rel_residual)
+            b64 = np.asarray(b, np.float64)
+            true_rel = float(
+                np.linalg.norm(b64 - a_sp @ np.asarray(res.x, np.float64))
+                / np.linalg.norm(b64))
+        else:
+            res = solve_ir(a_sp, np.asarray(b, np.float64), a_dev, hier,
+                           tol=args.tol, maxiter=args.maxiter)
+            iters = sum(res.inner_iters)
+            rel = res.rel_residual
+            true_rel = res.rel_residual
+
+    # SpMV throughput on the fine operator
+    nnz = int(a_sp.nnz)
+    import jax
+    spmv_j = jax.jit(spmv)
+    t_spmv = timeit(spmv_j, a_dev, b, warmup=2, iters=10)
+    spmv_gnnz = gnnz_per_s(nnz, t_spmv)
+
+    summary = {
+        "problem": args.problem if not args.matrix else args.matrix,
+        "n_rows": int(a_sp.shape[0]),
+        "nnz": nnz,
+        "levels": stats["levels"],
+        "sizes": stats["sizes"],
+        "operator_complexity": stats.get("operator_complexity"),
+        "theta": args.theta,
+        "smoother": args.smoother,
+        "tol": args.tol,
+        "iters": iters,
+        "rel_residual": rel,
+        "true_rel_residual": true_rel,
+        "timers_s": timers.report(),
+        "spmv_seconds": t_spmv,
+        "spmv_gnnz_per_s": spmv_gnnz,
+        "backend": jax.devices()[0].platform,
+    }
+    if args.json:
+        print(json.dumps(summary))
+    else:
+        for k, v in summary.items():
+            print(f"{k:>22}: {v}")
+    # success: converged in f64 truth, or (single-precision mode) the
+    # recursive residual met the tolerance
+    ok = true_rel <= args.tol * 10 or (args.no_ir and rel <= args.tol)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

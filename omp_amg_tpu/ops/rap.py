@@ -1,0 +1,117 @@
+"""Galerkin triple product A_c = Pᵀ A P (SURVEY.md §2 #9, §3.4).
+
+Two-phase design per the BASELINE north-star ("two-phase symbolic+numeric
+SpGEMM"): the *symbolic* structure is computed once per level during the
+amortized host setup; the *numeric* phase is expressible on device as one
+flat gather-multiply-segment-sum over a precomputed index plan
+(``build_rap_plan`` / ``rap_numeric``), which is how the RAP nnz/s benchmark
+metric is measured on TPU.
+
+``galerkin_product`` is the setup-path entry: scipy's C SpGEMM in f64
+(exact, amortized). The device plan is validated against it in tests.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def galerkin_product(a_sp, p_sp):
+    """A_c = Pᵀ A P on host (f64, setup phase)."""
+    import scipy.sparse as sp
+
+    ac = (p_sp.T @ sp.csr_matrix(a_sp, dtype=np.float64) @ p_sp).tocsr()
+    ac.sum_duplicates()
+    ac.eliminate_zeros()
+    ac.sort_indices()
+    return ac
+
+
+def _static(**kw):
+    return field(metadata=dict(static=True), **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class RapPlan:
+    """Flat index plan: A_c.val[out] = Σ P.val[pi] · A.val[ai] · P.val[pj].
+
+    One entry per (k,m,I,J) product term with k,m over A's nnz and I∈P-row k,
+    J∈P-row m. Built once on host; the numeric phase is a pure device
+    gather-multiply-segment-sum (deterministic, static shapes).
+    """
+
+    pi: jax.Array   # (n_terms,) int32 → index into P.val flat nnz
+    ai: jax.Array   # (n_terms,) int32 → index into A.val flat nnz
+    pj: jax.Array   # (n_terms,) int32 → index into P.val flat nnz
+    out: jax.Array  # (n_terms,) int32 → index into A_c.val flat nnz
+    nnz_out: int = _static()
+
+
+def build_rap_plan(a_sp, p_sp) -> RapPlan:
+    """Symbolic phase on host: enumerate all product terms and their target.
+
+    Term count = Σ_{(k,m)∈A} |P_k| · |P_m| — bounded by nnz(A)·K_P² (small
+    K_P for direct interpolation). Memory-heavy for huge fine levels; the
+    benchmark uses it per-level where it fits (SURVEY.md §7 notes chunking
+    as the scale-out path).
+    """
+    import scipy.sparse as sp
+
+    a = sp.csr_matrix(a_sp)
+    a.sort_indices()
+    p = sp.csr_matrix(p_sp)
+    p.sort_indices()
+    ac = galerkin_product(a, p)
+
+    # flat nnz ids
+    p_indptr = p.indptr.astype(np.int64)
+    p_len = np.diff(p_indptr)
+
+    # expand A entries (k, m, a_idx)
+    k_of_a = np.repeat(np.arange(a.shape[0], dtype=np.int64), np.diff(a.indptr))
+    m_of_a = a.indices.astype(np.int64)
+    a_idx = np.arange(a.nnz, dtype=np.int64)
+
+    # For each A entry: cross P-row(k) × P-row(m)
+    lk, lm = p_len[k_of_a], p_len[m_of_a]
+    terms_per = lk * lm
+    n_terms = int(terms_per.sum())
+    base = np.concatenate([[0], np.cumsum(terms_per)[:-1]])
+
+    t = np.arange(n_terms, dtype=np.int64)
+    owner = np.searchsorted(np.cumsum(terms_per), t, side="right")
+    local = t - base[owner]
+    li = local // lm[owner]   # position within P-row k
+    lj = local % lm[owner]    # position within P-row m
+    pi = p_indptr[k_of_a[owner]] + li
+    pj = p_indptr[m_of_a[owner]] + lj
+    ai = a_idx[owner]
+
+    # target: (I, J) = (p.indices[pi], p.indices[pj]) → flat index into ac.
+    # ac is canonical CSR, so (row, col) composite keys are globally sorted.
+    I = p.indices[pi].astype(np.int64)
+    J = p.indices[pj].astype(np.int64)
+    ncols = ac.shape[1]
+    i_of_ac = np.repeat(np.arange(ac.shape[0], dtype=np.int64), np.diff(ac.indptr))
+    ac_keys = i_of_ac * ncols + ac.indices.astype(np.int64)
+    out = np.searchsorted(ac_keys, I * ncols + J)
+
+    return RapPlan(
+        pi=jnp.asarray(pi, jnp.int32),
+        ai=jnp.asarray(ai, jnp.int32),
+        pj=jnp.asarray(pj, jnp.int32),
+        out=jnp.asarray(out, jnp.int32),
+        nnz_out=int(ac.nnz),
+    )
+
+
+@jax.jit
+def rap_numeric(plan: RapPlan, a_val: jax.Array, p_val: jax.Array) -> jax.Array:
+    """Device numeric phase: one fused gather-multiply-segment-sum."""
+    terms = p_val[plan.pi] * a_val[plan.ai] * p_val[plan.pj]
+    return jax.ops.segment_sum(terms, plan.out, num_segments=plan.nnz_out)

@@ -1,0 +1,274 @@
+"""Distributed (row-sharded) operators and solver — SURVEY.md §2 #21–22, §5.8.
+
+The reference's only parallelism was OpenMP threads over CSR rows. The
+TPU-native equivalent is SPMD row-block sharding of every hierarchy level
+over a 1D device mesh, with three operator modes (decided per level at
+partition time, host-side):
+
+- ``halo``: banded operator; each shard's column window is covered by its own
+  block plus ≤ one strip from each neighbor, exchanged with ``ppermute``
+  (nearest-neighbor ICI traffic). ELL columns are pre-localized to the
+  window, so the device step is exchange → gather → rowsum.
+- ``gather``: general fallback — ``all_gather`` the input vector.
+- ``replicated``: coarse levels too small to shard (agglomeration,
+  SURVEY.md §2 note): all shards hold the full operator and compute
+  identically; the shard→replicated transition restricts via a local
+  Pᵀ-scatter followed by one ``psum``.
+
+Global dots/norms are ``psum`` reductions — the only global sync points in
+PCG (SURVEY.md §4.3). Everything runs inside one jitted ``shard_map``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+
+
+def _static(**kw):
+    return field(metadata=dict(static=True), **kw)
+
+
+AXIS = "rows"
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DistOp:
+    """One row-sharded ELL operator (global arrays; leading axis sharded)."""
+
+    col: jax.Array   # (ndev*m_out, K) int32 — window-local ("halo") or global cols
+    val: jax.Array   # (ndev*m_out, K)
+    mode: str = _static()        # "halo" | "gather" | "replicated"
+    halo: int = _static()        # strip width (halo mode)
+    m_in: int = _static()        # input rows per shard (padded)
+    n_in: int = _static()        # global (padded) input length
+    n_in_real: int = _static()   # unpadded input length (for gather/replicated cols)
+
+
+def halo_exchange(x_local: jax.Array, h: int) -> jax.Array:
+    """Return [left strip | x_local | right strip] via nearest-neighbor ppermute."""
+    if h == 0:
+        return x_local
+    d = lax.axis_size(AXIS)
+    if d == 1:
+        z = jnp.zeros((h,), x_local.dtype)
+        return jnp.concatenate([z, x_local, z])
+    fwd = [(i, (i + 1) % d) for i in range(d)]
+    bwd = [(i, (i - 1) % d) for i in range(d)]
+    left = lax.ppermute(x_local[-h:], AXIS, fwd)    # from left neighbor
+    right = lax.ppermute(x_local[:h], AXIS, bwd)    # from right neighbor
+    return jnp.concatenate([left, x_local, right])
+
+
+def dist_spmv(op: DistOp, x_local: jax.Array) -> jax.Array:
+    """y_local = (A @ x)_local — called inside shard_map."""
+    if op.mode == "halo":
+        xw = halo_exchange(x_local, op.halo)
+    elif op.mode == "gather":
+        xg = lax.all_gather(x_local, AXIS, tiled=True)
+        xw = xg[: op.n_in_real]
+    elif op.mode == "replicated":
+        xw = x_local  # caller passes the full (replicated) vector
+    else:
+        raise ValueError(op.mode)
+    return jnp.sum(op.val * jnp.take(xw, op.col, axis=0), axis=1)
+
+
+def restrict_to_replicated(p_op: DistOp, r_local: jax.Array, nc: int) -> jax.Array:
+    """r_c = Pᵀ r at a shard→replicated transition.
+
+    ``p_op`` is P sharded by *fine* rows with GLOBAL coarse column indices
+    (mode "gather" is reused as the storage convention). Local scatter-add
+    then one psum; result replicated on all shards.
+    """
+    contrib = p_op.val * r_local[:, None]
+    partial_rc = jnp.zeros((nc,), r_local.dtype).at[p_op.col].add(contrib)
+    return lax.psum(partial_rc, AXIS)
+
+
+def prolong_from_replicated(p_op: DistOp, xc_full: jax.Array) -> jax.Array:
+    """x_f_local += P xc at a transition: plain local ELL·(replicated vector)."""
+    return jnp.sum(p_op.val * jnp.take(xc_full, p_op.col, axis=0), axis=1)
+
+
+def pdot(a: jax.Array, b: jax.Array) -> jax.Array:
+    return lax.psum(jnp.vdot(a, b), AXIS)
+
+
+def pnorm(a: jax.Array) -> jax.Array:
+    return jnp.sqrt(pdot(a, a))
+
+
+# ---------------------------------------------------------------------------
+# Distributed hierarchy
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DistLevel:
+    a: DistOp
+    dinv: jax.Array            # sharded (or replicated full) inverse diagonal
+    p: DistOp                  # prolongation from level l+1
+    r: Optional[DistOp]        # restriction (None at a replication transition)
+    lmax: jax.Array
+    sharded: bool = _static()          # this level's vectors are sharded
+    next_sharded: bool = _static()     # level l+1's vectors are sharded
+    n_next: int = _static()            # (padded or full) next-level length
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class DistHierarchy:
+    levels: Tuple[DistLevel, ...]
+    coarse_chol: jax.Array     # replicated
+    params: object = _static()
+
+
+def _op_spec(op: DistOp, sharded_rows: bool):
+    s = P(AXIS) if sharded_rows else P(None)
+    return DistOp(col=s, val=s, mode=op.mode, halo=op.halo, m_in=op.m_in,
+                  n_in=op.n_in, n_in_real=op.n_in_real)
+
+
+def dist_specs(dh: DistHierarchy) -> DistHierarchy:
+    """Parallel pytree of PartitionSpecs matching ``dh``'s array leaves."""
+    levels = []
+    for lv in dh.levels:
+        vec = P(AXIS) if lv.sharded else P(None)
+        levels.append(DistLevel(
+            a=_op_spec(lv.a, lv.sharded),
+            dinv=vec,
+            p=_op_spec(lv.p, lv.sharded),
+            r=None if lv.r is None else _op_spec(lv.r, lv.next_sharded),
+            lmax=P(),
+            sharded=lv.sharded,
+            next_sharded=lv.next_sharded,
+            n_next=lv.n_next,
+        ))
+    return DistHierarchy(levels=tuple(levels), coarse_chol=P(None, None),
+                         params=dh.params)
+
+
+# ---------------------------------------------------------------------------
+# Solver components (run inside shard_map; vectors are local blocks for
+# sharded levels and full vectors for replicated levels)
+# ---------------------------------------------------------------------------
+
+def _smooth(lv: DistLevel, params, x, b, sweeps: int):
+    if params.smoother == "jacobi":
+        for _ in range(sweeps):
+            x = x + params.omega * lv.dinv * (b - dist_spmv(lv.a, x))
+        return x
+    # Chebyshev (same recurrence as the single-device smoother)
+    upper = 1.1 * lv.lmax
+    lower = upper / params.cheby_ratio
+    theta = (upper + lower) / 2.0
+    delta = (upper - lower) / 2.0
+    sigma = theta / delta
+    for _ in range(sweeps):
+        rho = 1.0 / sigma
+        r = lv.dinv * (b - dist_spmv(lv.a, x))
+        d = r / theta
+        x = x + d
+        for _ in range(params.cheby_degree - 1):
+            r = r - lv.dinv * dist_spmv(lv.a, d)
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            d = (rho_new * rho) * d + (2.0 * rho_new / delta) * r
+            rho = rho_new
+            x = x + d
+    return x
+
+
+def dist_vcycle(dh: DistHierarchy, b_local: jax.Array) -> jax.Array:
+    params = dh.params
+    levels = dh.levels
+
+    def descend(l, bl):
+        if l == len(levels):
+            y = jax.scipy.linalg.solve_triangular(dh.coarse_chol, bl, lower=True)
+            return jax.scipy.linalg.solve_triangular(dh.coarse_chol.T, y,
+                                                     lower=False)
+        lv = levels[l]
+        x = _smooth(lv, params, jnp.zeros_like(bl), bl, params.nu_pre)
+        r = bl - dist_spmv(lv.a, x)
+        if lv.r is not None:
+            bc = dist_spmv(lv.r, r)
+        else:  # transition to replicated coarse level
+            bc = restrict_to_replicated(lv.p, r, lv.n_next)
+        xc = descend(l + 1, bc)
+        if lv.r is not None:
+            x = x + dist_spmv(lv.p, xc)
+        else:
+            x = x + prolong_from_replicated(lv.p, xc)
+        return _smooth(lv, params, x, bl, params.nu_post)
+
+    return descend(0, b_local)
+
+
+def _dist_pcg_local(dh: DistHierarchy, b, tol: float, maxiter: int):
+    a = dh.levels[0].a
+    x = jnp.zeros_like(b)
+    r = b
+    bnorm = pnorm(b)
+    bnorm = jnp.where(bnorm == 0, 1.0, bnorm)
+    z = dist_vcycle(dh, r)
+    p = z
+    rz = pdot(r, z)
+
+    def cond(st):
+        k, x, r, z, p, rz = st
+        return (pnorm(r) > tol * bnorm) & (k < maxiter)
+
+    def body(st):
+        k, x, r, z, p, rz = st
+        q = dist_spmv(a, p)
+        alpha = rz / pdot(p, q)
+        x = x + alpha * p
+        r = r - alpha * q
+        z = dist_vcycle(dh, r)
+        rz_new = pdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (k + 1, x, r, z, p, rz_new)
+
+    k, x, r, z, p, rz = lax.while_loop(cond, body,
+                                       (jnp.int32(0), x, r, z, p, rz))
+    return x, k, pnorm(r) / bnorm
+
+
+def make_dist_solver(mesh, dh: DistHierarchy, tol: float = 1e-6,
+                     maxiter: int = 200):
+    """Build the jitted sharded AMG-PCG: (dh, b_padded) → (x, iters, rel)."""
+    specs = dist_specs(dh)
+
+    @jax.jit
+    def solve(dh, b):
+        fn = jax.shard_map(
+            partial(_dist_pcg_local, tol=tol, maxiter=maxiter),
+            mesh=mesh,
+            in_specs=(specs, P(AXIS)),
+            out_specs=(P(AXIS), P(), P()),
+        )
+        return fn(dh, b)
+
+    return solve
+
+
+def make_dist_vcycle(mesh, dh: DistHierarchy):
+    """Jitted sharded single V-cycle apply: (dh, b_padded) → z_padded."""
+    specs = dist_specs(dh)
+
+    @jax.jit
+    def apply(dh, b):
+        return jax.shard_map(dist_vcycle, mesh=mesh,
+                             in_specs=(specs, P(AXIS)),
+                             out_specs=P(AXIS))(dh, b)
+
+    return apply

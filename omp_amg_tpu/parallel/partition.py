@@ -1,0 +1,169 @@
+"""Host-side hierarchy partitioner (SURVEY.md §2 #22, §5.8).
+
+Turns a (globally built) :class:`~omp_amg_tpu.amg.hierarchy.Hierarchy` into a
+row-block-sharded :class:`~omp_amg_tpu.parallel.dist.DistHierarchy` for a 1D
+device mesh:
+
+- every level's rows are split into ``ndev`` contiguous blocks (padded);
+- per operator, the minimal halo width H is computed from the actual column
+  windows (stencil hierarchies are banded, so H ≪ m); ELL columns are
+  re-localized to the shard's window;
+- levels whose per-device block would fall below ``agg_rows_per_dev`` are
+  *agglomerated*: replicated on every shard (the standard coarse-level
+  strategy; the shard→replicated transition uses a Pᵀ-scatter + psum).
+
+The partitioner is deterministic and purely structural: the sharded solve
+produces the same iterates as the single-device solve up to float reduction
+order (tests assert allclose + identical iteration counts).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import replace
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..amg.hierarchy import Hierarchy
+from ..sparse.formats import Dia, Ell, dia_to_ell
+from .dist import AXIS, DistHierarchy, DistLevel, DistOp, dist_specs
+
+
+def _ell_np(op) -> tuple[np.ndarray, np.ndarray, int]:
+    ell = dia_to_ell(op) if isinstance(op, Dia) else op
+    return np.asarray(ell.col), np.asarray(ell.val), ell.n_cols
+
+
+def _pad_rows(arr: np.ndarray, n_to: int, fill=0):
+    if arr.shape[0] == n_to:
+        return arr
+    pad = np.full((n_to - arr.shape[0],) + arr.shape[1:], fill, arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def _make_dist_op(col, val, *, ndev, out_sharded, in_sharded, m_in,
+                  n_in_real, transition=False) -> DistOp:
+    """Build a DistOp from global ELL planes (host numpy)."""
+    n_out, k = col.shape
+    if not out_sharded:
+        return DistOp(col=jnp.asarray(col), val=jnp.asarray(val),
+                      mode="replicated", halo=0, m_in=int(n_in_real),
+                      n_in=int(n_in_real), n_in_real=int(n_in_real))
+
+    m_out = math.ceil(n_out / ndev)
+    colp = _pad_rows(col, ndev * m_out)
+    valp = _pad_rows(val, ndev * m_out)
+
+    if transition or not in_sharded:
+        # rows sharded, input replicated: keep global columns
+        return DistOp(col=jnp.asarray(colp), val=jnp.asarray(valp),
+                      mode="replicated", halo=0, m_in=int(n_in_real),
+                      n_in=int(n_in_real), n_in_real=int(n_in_real))
+
+    # both sharded: compute halo width from actual column windows
+    valid = valp != 0
+    shard_of_row = np.repeat(np.arange(ndev), m_out)
+    in_start = shard_of_row * m_in
+    rel = colp - in_start[:, None]          # col offset relative to input block
+    rel_valid = np.where(valid, rel, 0)
+    h_left = max(0, int(-(rel_valid.min(initial=0))))
+    h_right = max(0, int(rel_valid.max(initial=0)) - (m_in - 1))
+    h = max(h_left, h_right)
+
+    if h > m_in:
+        # halo wider than a block — nearest-neighbor exchange insufficient
+        return DistOp(col=jnp.asarray(colp), val=jnp.asarray(valp),
+                      mode="gather", halo=0, m_in=int(m_in),
+                      n_in=int(ndev * m_in), n_in_real=int(n_in_real))
+
+    local = np.where(valid, rel + h, h).astype(np.int32)
+    return DistOp(col=jnp.asarray(local), val=jnp.asarray(valp),
+                  mode="halo", halo=int(h), m_in=int(m_in),
+                  n_in=int(ndev * m_in), n_in_real=int(n_in_real))
+
+
+def partition_hierarchy(hier: Hierarchy, ndev: int,
+                        agg_rows_per_dev: int = 2048) -> DistHierarchy:
+    nlev = len(hier.levels)
+    sizes = [lv.a.shape[0] for lv in hier.levels] + [hier.coarse_a.shape[0]]
+
+    # vector level l is sharded iff its block is big enough; monotone: once a
+    # level replicates, all coarser levels replicate. The coarsest (dense
+    # solve) level is always replicated.
+    sharded = []
+    prev = True
+    for l, n in enumerate(sizes):
+        s = prev and (l < nlev) and (math.ceil(n / ndev) >= agg_rows_per_dev) \
+            and ndev > 1
+        sharded.append(s)
+        prev = s
+    # degenerate single-device mesh: keep level 0 sharded so the code path
+    # still exercises shard_map semantics
+    if ndev == 1:
+        sharded = [l < nlev for l in range(nlev + 1)]
+        sharded[0] = True
+
+    m = [math.ceil(n / ndev) if s else n for n, s in zip(sizes, sharded)]
+
+    levels = []
+    for l, lv in enumerate(hier.levels):
+        n_l, n_c = sizes[l], sizes[l + 1]
+        a_col, a_val, _ = _ell_np(lv.a)
+        p_col, p_val, _ = _ell_np(lv.p)
+        r_col, r_val, _ = _ell_np(lv.r)
+
+        a_op = _make_dist_op(a_col, a_val, ndev=ndev, out_sharded=sharded[l],
+                             in_sharded=sharded[l], m_in=m[l], n_in_real=n_l)
+        transition = sharded[l] and not sharded[l + 1]
+        p_op = _make_dist_op(p_col, p_val, ndev=ndev, out_sharded=sharded[l],
+                             in_sharded=sharded[l + 1], m_in=m[l + 1],
+                             n_in_real=n_c, transition=transition)
+        r_op = None
+        if not transition:
+            r_op = _make_dist_op(r_col, r_val, ndev=ndev,
+                                 out_sharded=sharded[l + 1],
+                                 in_sharded=sharded[l], m_in=m[l],
+                                 n_in_real=n_l)
+
+        dinv = np.asarray(lv.dinv)
+        if sharded[l]:
+            dinv = _pad_rows(dinv, ndev * m[l], fill=1.0)
+        levels.append(DistLevel(
+            a=a_op, dinv=jnp.asarray(dinv), p=p_op, r=r_op, lmax=lv.lmax,
+            sharded=bool(sharded[l]), next_sharded=bool(sharded[l + 1]),
+            n_next=int(ndev * m[l + 1] if sharded[l + 1] else n_c),
+        ))
+
+    return DistHierarchy(levels=tuple(levels), coarse_chol=hier.coarse_chol,
+                         params=hier.params)
+
+
+def place_hierarchy(dh: DistHierarchy, mesh) -> DistHierarchy:
+    """Device-put every array with its NamedSharding (leading-axis blocks)."""
+    specs = dist_specs(dh)
+
+    def put(x, spec):
+        if x is None or not hasattr(x, "shape"):
+            return x
+        if isinstance(spec, P):
+            return jax.device_put(x, NamedSharding(mesh, spec))
+        return x
+
+    return jax.tree_util.tree_map(
+        put, dh, specs,
+        is_leaf=lambda x: x is None or isinstance(x, (jax.Array, P)),
+    )
+
+
+def pad_vector(x, dh: DistHierarchy, ndev: int):
+    n0 = dh.levels[0].a.col.shape[0]
+    x = np.asarray(x)
+    return jnp.asarray(_pad_rows(x, n0))
+
+
+def unpad_vector(x, n_real: int):
+    return x[:n_real]

@@ -1,0 +1,58 @@
+"""Mixed-precision iterative refinement around the f32 device solver.
+
+TPU-native answer to the reference's f64 CPU arithmetic (SURVEY.md §7
+"SPD preconditioner discipline" + BASELINE 1e-8 target): the hot AMG-PCG
+loop runs entirely in f32 on device; an outer defect-correction loop
+computes true residuals in f64 (host, one SpMV per restart — amortized) and
+re-solves on the *scaled* defect, so each restart multiplies the true
+residual by ~max(inner_tol, f32 floor) until the f64 target is met.
+Standard HPC practice (f32 inner / f64 outer IR), and the per-restart
+scaling keeps the f32 dynamic range centered.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..amg.hierarchy import Hierarchy
+from .cg import amg_pcg
+
+
+class IRResult(NamedTuple):
+    x: np.ndarray            # f64 solution
+    outer_iters: int
+    inner_iters: list        # PCG iterations per restart
+    rel_residual: float      # true f64 ‖b−Ax‖/‖b‖
+
+
+def solve_ir(a_host, b, a_dev, hier: Hierarchy, tol: float = 1e-8,
+             inner_tol: float = 1e-6, maxiter: int = 200,
+             max_outer: int = 8) -> IRResult:
+    """Solve to f64 tolerance ``tol`` using the f32 device AMG-PCG.
+
+    ``a_host``: scipy CSR in f64 (true-residual operator);
+    ``a_dev``: device operator (Dia/Ell) matching ``hier``'s fine level.
+    """
+    b = np.asarray(b, dtype=np.float64)
+    bnorm = np.linalg.norm(b)
+    if bnorm == 0:
+        return IRResult(np.zeros_like(b), 0, [], 0.0)
+    x = np.zeros_like(b)
+    inner_iters = []
+    rel = 1.0
+    for outer in range(max_outer):
+        r = b - a_host @ x
+        rel = float(np.linalg.norm(r) / bnorm)
+        if rel <= tol:
+            return IRResult(x, outer, inner_iters, rel)
+        scale = np.linalg.norm(r)
+        res = amg_pcg(a_dev, jnp.asarray(r / scale, dtype=jnp.float32),
+                      hier, tol=inner_tol, maxiter=maxiter)
+        inner_iters.append(int(res.iters))
+        x = x + scale * np.asarray(res.x, dtype=np.float64)
+    r = b - a_host @ x
+    rel = float(np.linalg.norm(r) / bnorm)
+    return IRResult(x, max_outer, inner_iters, rel)

@@ -164,7 +164,8 @@ def coo_to_csr(rows, cols, vals, shape, dtype=jnp.float32) -> Csr:
 def ell_from_scipy(a, width: int | None = None, dtype=jnp.float32) -> Ell:
     import scipy.sparse as sp
 
-    a = sp.csr_matrix(a)
+    a = sp.csr_matrix(a).copy()
+    a.eliminate_zeros()  # ELL uses val==0 as the padding sentinel
     a.sort_indices()
     n_rows, n_cols = a.shape
     lengths = np.diff(a.indptr)

@@ -1,0 +1,96 @@
+"""Matrix I/O and hierarchy checkpointing (SURVEY.md §2 #17, §5.4).
+
+- MatrixMarket read via scipy (the reference shipped NIST mmio.c).
+- Hierarchy save/load as a single ``.npz`` so expensive setups can be reused
+  across benchmark runs/processes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..amg.hierarchy import Hierarchy, Level
+from ..amg.params import AMGParams
+from ..sparse.formats import Dia, Ell
+
+
+def read_matrix_market(path, dtype=jnp.float32):
+    """Read a MatrixMarket file → general Ell operator (+ host CSR)."""
+    import scipy.io
+    import scipy.sparse as sp
+
+    from ..sparse.formats import ell_from_scipy
+
+    a = sp.csr_matrix(scipy.io.mmread(path))
+    return ell_from_scipy(a, dtype=dtype), a
+
+
+def _pack_op(prefix: str, op, out: dict, meta: dict):
+    if isinstance(op, Dia):
+        meta[prefix + ":kind"] = "dia"
+        meta[prefix + ":offsets"] = list(op.offsets)
+        out[prefix + ":data"] = np.asarray(op.data)
+    elif isinstance(op, Ell):
+        meta[prefix + ":kind"] = "ell"
+        meta[prefix + ":n_cols"] = op.n_cols
+        out[prefix + ":col"] = np.asarray(op.col)
+        out[prefix + ":val"] = np.asarray(op.val)
+    else:
+        raise TypeError(type(op))
+
+
+def _unpack_op(prefix: str, data: dict, meta: dict):
+    if meta[prefix + ":kind"] == "dia":
+        return Dia(data=jnp.asarray(data[prefix + ":data"]),
+                   offsets=tuple(meta[prefix + ":offsets"]))
+    return Ell(col=jnp.asarray(data[prefix + ":col"]),
+               val=jnp.asarray(data[prefix + ":val"]),
+               n_cols=int(meta[prefix + ":n_cols"]))
+
+
+def save_hierarchy(path: str, hier: Hierarchy) -> None:
+    import dataclasses
+    import json
+
+    arrays: dict = {}
+    meta: dict = {
+        "n_levels": len(hier.levels),
+        "params": dataclasses.asdict(hier.params),
+    }
+    for i, lv in enumerate(hier.levels):
+        _pack_op(f"l{i}:a", lv.a, arrays, meta)
+        _pack_op(f"l{i}:p", lv.p, arrays, meta)
+        _pack_op(f"l{i}:r", lv.r, arrays, meta)
+        arrays[f"l{i}:dinv"] = np.asarray(lv.dinv)
+        arrays[f"l{i}:lmax"] = np.asarray(lv.lmax)
+    arrays["coarse_chol"] = np.asarray(hier.coarse_chol)
+    arrays["coarse_a"] = np.asarray(hier.coarse_a)
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    np.savez_compressed(path, **arrays)
+
+
+def load_hierarchy(path: str) -> Hierarchy:
+    import json
+
+    with np.load(path) as z:
+        data = {k: z[k] for k in z.files}
+    meta = json.loads(bytes(data.pop("__meta__")).decode())
+    levels = []
+    for i in range(meta["n_levels"]):
+        levels.append(Level(
+            a=_unpack_op(f"l{i}:a", data, meta),
+            dinv=jnp.asarray(data[f"l{i}:dinv"]),
+            p=_unpack_op(f"l{i}:p", data, meta),
+            r=_unpack_op(f"l{i}:r", data, meta),
+            lmax=jnp.asarray(data[f"l{i}:lmax"]),
+        ))
+    return Hierarchy(
+        levels=tuple(levels),
+        coarse_chol=jnp.asarray(data["coarse_chol"]),
+        coarse_a=jnp.asarray(data["coarse_a"]),
+        params=AMGParams(**meta["params"]),
+    )

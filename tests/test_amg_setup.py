@@ -1,0 +1,132 @@
+"""AMG setup pipeline vs the plain-numpy reference implementation."""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax.numpy as jnp
+
+import omp_amg_tpu as amg
+from omp_amg_tpu.amg.interp import direct_interpolation
+from omp_amg_tpu.amg.pmis import CPOINT, FPOINT, coarse_map, hash01, pmis
+from omp_amg_tpu.amg.strength import strength_mask
+from omp_amg_tpu.ops.rap import build_rap_plan, galerkin_product, rap_numeric
+
+import reference_amg as ref
+
+
+def mask_to_pairs(a_ell, mask):
+    col = np.asarray(a_ell.col)
+    m = np.asarray(mask)
+    rows = np.arange(col.shape[0])[:, None] * np.ones_like(col)
+    return set(zip(rows[m].tolist(), col[m].tolist()))
+
+
+OPERATORS = {
+    "5pt": lambda: amg.dia_to_scipy(amg.poisson2d_5pt(10)),
+    "7pt": lambda: amg.dia_to_scipy(amg.poisson3d_7pt(5)),
+    "27pt": lambda: amg.dia_to_scipy(amg.poisson3d_27pt(4)),
+    "aniso": lambda: amg.dia_to_scipy(amg.aniso2d_9pt(12, eps=1e-3)),
+}
+
+
+def test_hash01_matches_reference():
+    idx = jnp.arange(1000, dtype=jnp.int32)
+    np.testing.assert_array_equal(np.asarray(hash01(idx)), ref.hash01_np(np.arange(1000)))
+
+
+@pytest.mark.parametrize("name", list(OPERATORS))
+@pytest.mark.parametrize("theta", [0.25, 0.5])
+def test_strength_matches_reference(name, theta):
+    a_sp = OPERATORS[name]()
+    a_ell = amg.ell_from_scipy(a_sp)
+    mask = strength_mask(a_ell, theta)
+    s_ref = ref.strength_graph(a_sp, theta)
+    assert mask_to_pairs(a_ell, mask) == set(zip(*s_ref.nonzero()))
+
+
+def test_aniso_strength_drops_cross_stream():
+    """eps=1e-3 9-point FEM: strong couplings only toward the y-neighbor rows.
+
+    The pure-x couplings are positive (weak) and must be dropped; the corner
+    couplings sit at ratio (1+eps)/(2(2-eps)) ≈ 0.2504, marginally ≥ θ=0.25,
+    so the strong graph is the y-direction band {±nx-1, ±nx, ±nx+1}. At
+    θ=0.3 the graph must collapse to exactly ±nx (pure semicoarsening).
+    """
+    nx = 12
+    a_sp = amg.dia_to_scipy(amg.aniso2d_9pt(nx, eps=1e-3))
+    s = ref.strength_graph(a_sp, 0.25)
+    for i, j in zip(*s.nonzero()):
+        assert abs(j - i) in (nx - 1, nx, nx + 1), f"x-direction strong coupling {i}->{j}"
+    a_ell = amg.ell_from_scipy(a_sp)
+    mask = strength_mask(a_ell, 0.25)
+    assert mask_to_pairs(a_ell, mask) == set(zip(*s.nonzero()))
+
+    s2 = ref.strength_graph(a_sp, 0.3)
+    for i, j in zip(*s2.nonzero()):
+        assert abs(j - i) == nx, f"non-semicoarsening strong coupling {i}->{j}"
+    mask2 = strength_mask(a_ell, 0.3)
+    assert mask_to_pairs(a_ell, mask2) == set(zip(*s2.nonzero()))
+
+
+@pytest.mark.parametrize("name", list(OPERATORS))
+def test_pmis_matches_reference(name):
+    a_sp = OPERATORS[name]()
+    a_ell = amg.ell_from_scipy(a_sp)
+    mask = strength_mask(a_ell, 0.25)
+    state_dev = np.asarray(pmis(a_ell, mask))
+    s_ref = ref.strength_graph(a_sp, 0.25)
+    state_ref = ref.pmis(s_ref)
+    np.testing.assert_array_equal(state_dev, state_ref)
+    # valid CF split: every node decided; C-points exist
+    assert set(np.unique(state_dev)) <= {CPOINT, FPOINT}
+    assert (state_dev == CPOINT).any()
+
+
+@pytest.mark.parametrize("name", list(OPERATORS))
+def test_interpolation_matches_reference(name):
+    a_sp = OPERATORS[name]()
+    a_ell = amg.ell_from_scipy(a_sp)
+    mask = strength_mask(a_ell, 0.25)
+    state = pmis(a_ell, mask)
+    cmap, nc = coarse_map(state)
+    p = direct_interpolation(a_ell, mask, state, cmap, nc)
+    p_dev = amg.ell_to_scipy(p)
+
+    s_ref = ref.strength_graph(a_sp, 0.25)
+    p_ref = ref.direct_interpolation(a_sp, s_ref, np.asarray(state))
+    assert p_dev.shape == p_ref.shape
+    assert (p_dev != 0).nnz == (p_ref != 0).nnz
+    assert abs(p_dev - p_ref).max() < 1e-6
+    # rows of P for C-points are unit vectors
+    state_np = np.asarray(state)
+    rowsum = np.asarray(p_dev[state_np == CPOINT].sum(axis=1)).ravel()
+    np.testing.assert_allclose(rowsum, 1.0)
+
+
+@pytest.mark.parametrize("name", ["5pt", "aniso"])
+def test_rap_plan_matches_scipy(name):
+    a_sp = OPERATORS[name]()
+    a_ell = amg.ell_from_scipy(a_sp)
+    mask = strength_mask(a_ell, 0.25)
+    state = pmis(a_ell, mask)
+    cmap, nc = coarse_map(state)
+    p = direct_interpolation(a_ell, mask, state, cmap, nc)
+    p_sp = amg.ell_to_scipy(p)
+
+    ac_ref = galerkin_product(a_sp, p_sp)
+    plan = build_rap_plan(a_sp, p_sp)
+    a_csr = amg.csr_from_scipy(a_sp)
+    p_csr = amg.csr_from_scipy(p_sp)
+    vals = rap_numeric(plan, a_csr.val, p_csr.val)
+    np.testing.assert_allclose(np.asarray(vals), ac_ref.data, rtol=1e-5, atol=1e-6)
+
+
+def test_pmis_all_isolated_nodes_become_C():
+    """Diagonal matrix: no strong connections → every node is a (vacuous) C."""
+    a_sp = sp.diags(np.ones(10)).tocsr()
+    a_ell = amg.ell_from_scipy(a_sp)
+    mask = strength_mask(a_ell, 0.25)
+    assert not np.asarray(mask).any()
+    state = np.asarray(pmis(a_ell, mask))
+    np.testing.assert_array_equal(state, CPOINT)

@@ -1,0 +1,177 @@
+"""End-to-end AMG solve tests: the BASELINE.json configs at CPU-test scale."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import omp_amg_tpu as amg
+from omp_amg_tpu.amg.hierarchy import amg_setup, hierarchy_stats
+from omp_amg_tpu.amg.params import AMGParams
+from omp_amg_tpu.amg.vcycle import vcycle
+from omp_amg_tpu.solvers.cg import amg_pcg, cg
+from omp_amg_tpu.solvers.ir import solve_ir
+
+import reference_amg as ref
+
+
+def solve_count(a_dia, tol=1e-6, params=AMGParams(), maxiter=100):
+    b = amg.default_rhs(a_dia, "random", seed=0)
+    hier = amg_setup(a_dia, params)
+    res = amg_pcg(a_dia, b, hier, tol=tol, maxiter=maxiter)
+    # verify against host ground truth, not just the recursion residual
+    a_sp = amg.dia_to_scipy(a_dia)
+    true_rel = np.linalg.norm(
+        np.asarray(b, np.float64) - a_sp @ np.asarray(res.x, np.float64)
+    ) / np.linalg.norm(np.asarray(b, np.float64))
+    return int(res.iters), float(res.rel_residual), true_rel, hier
+
+
+def test_config1_2d_5pt():
+    iters, rel, true_rel, hier = solve_count(amg.poisson2d_5pt(64))
+    assert rel <= 1e-6
+    assert true_rel <= 5e-6
+    assert iters <= 20, f"AMG-PCG took {iters} iters on 5pt 64^2"
+
+
+def test_config1_grid_scaling():
+    """Iteration counts must grow only mildly with grid size.
+
+    PMIS + *direct* interpolation is known to lose strict grid-independence
+    (the De Sterck/Yang PMIS papers pair it with extended interpolation to
+    recover it — see PAPERS.md); the bound here tracks the current pairing
+    and tightens when extended+i interpolation lands.
+    """
+    i1, *_ = solve_count(amg.poisson2d_5pt(32))
+    i2, *_ = solve_count(amg.poisson2d_5pt(64))
+    i3, *_ = solve_count(amg.poisson2d_5pt(96))
+    assert i1 <= i2 + 1 and i2 <= i3 + 1, (i1, i2, i3)
+    assert i3 - i1 <= 8, f"iterations grew too fast with grid: {i1}, {i2}, {i3}"
+
+
+def test_config2_3d_7pt():
+    iters, rel, true_rel, hier = solve_count(amg.poisson3d_7pt(16))
+    assert rel <= 1e-6 and true_rel <= 5e-6
+    assert iters <= 20, f"AMG-PCG took {iters} iters on 7pt 16^3"
+
+
+def test_config3_aniso_theta_sweep():
+    """Strength-threshold stress (BASELINE config 3).
+
+    The FEM 9-point corner couplings sit at ratio ≈0.2504: θ=0.25 includes
+    them (coarsening degrades — still converges), θ≥0.3 drops them and the
+    hierarchy semicoarsens along the strong direction with fast convergence.
+    True-residual floors are looser here (O(1/h) operator entries in f32);
+    solve_ir covers the 1e-8 truth.
+    """
+    a = amg.aniso2d_9pt(48, eps=1e-3)
+    iters = {}
+    for theta in (0.25, 0.3, 0.5):
+        it, rel, true_rel, _ = solve_count(a, params=AMGParams(theta=theta),
+                                           maxiter=200)
+        assert rel <= 1e-6 and true_rel <= 1e-4
+        iters[theta] = it
+    assert iters[0.3] <= 30 and iters[0.5] <= 30, iters
+    assert iters[0.25] <= 150, iters
+    assert iters[0.3] < iters[0.25], iters
+
+
+def test_config3_aniso_ir_1e8():
+    a_dia = amg.aniso2d_9pt(48, eps=1e-3)
+    a_sp = amg.dia_to_scipy(a_dia)
+    b = np.random.default_rng(0).standard_normal(a_sp.shape[0])
+    hier = amg_setup(a_dia)
+    res = solve_ir(a_sp, b, a_dia, hier, tol=1e-8)
+    assert res.rel_residual <= 1e-8, res
+
+
+def test_config4_27pt_chebyshev():
+    params = AMGParams(smoother="chebyshev", cheby_degree=3)
+    iters, rel, true_rel, _ = solve_count(amg.poisson3d_27pt(12), params=params)
+    assert rel <= 1e-6 and true_rel <= 5e-6
+    assert iters <= 20, f"AMG-PCG took {iters} iters on 27pt 12^3 (chebyshev)"
+
+
+def test_amg_beats_plain_cg():
+    a = amg.poisson2d_5pt(48)
+    b = amg.default_rhs(a, "random", seed=0)
+    hier = amg_setup(a)
+    res_amg = amg_pcg(a, b, hier, tol=1e-6, maxiter=400)
+    res_cg = cg(a, b, tol=1e-6, maxiter=400)
+    assert int(res_amg.iters) * 4 < int(res_cg.iters)
+
+
+def test_preconditioner_is_spd_symmetric():
+    """<u, M v> == <M u, v> for the V-cycle operator (SURVEY.md §3.9)."""
+    a = amg.poisson2d_5pt(24)
+    hier = amg_setup(a)
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.standard_normal(a.n_rows), jnp.float32)
+    v = jnp.asarray(rng.standard_normal(a.n_rows), jnp.float32)
+    f = jax.jit(vcycle)
+    mu, mv = f(hier, u), f(hier, v)
+    lhs = float(jnp.vdot(u, mv))
+    rhs = float(jnp.vdot(mu, v))
+    assert abs(lhs - rhs) <= 1e-4 * max(abs(lhs), abs(rhs))
+    # positive definite on these vectors
+    assert float(jnp.vdot(u, mu)) > 0 and float(jnp.vdot(v, mv)) > 0
+
+
+def test_vcycle_matches_numpy_reference():
+    a_dia = amg.poisson2d_5pt(12)
+    a_sp = amg.dia_to_scipy(a_dia)
+    params = AMGParams(coarse_size=20)
+    hier, host_ops = amg_setup(a_dia, params, keep_host=True)
+
+    levels_ref, a_coarse_ref = ref.amg_hierarchy(a_sp, coarse_size=20)
+    # same hierarchy structure (determinism of the whole setup chain)
+    assert len(levels_ref) == len(hier.levels)
+    for (a_r, p_r), lv, op in zip(levels_ref, hier.levels, host_ops):
+        # identical sparsity structure; values to f32 accumulation tolerance
+        # (device chain computes P in f32, reference chain in f64)
+        assert (op != 0).nnz == (a_r != 0).nnz
+        scale = abs(a_r).max()
+        assert abs(op - a_r).max() < 1e-4 * scale
+        p_dev = amg.ell_to_scipy(lv.p)
+        assert p_dev.shape == p_r.shape
+        assert abs(p_dev - p_r).max() < 1e-4
+
+    b = np.random.default_rng(0).standard_normal(a_sp.shape[0])
+    z_ref = ref.vcycle(levels_ref, a_coarse_ref, b)
+    z_dev = np.asarray(vcycle(hier, jnp.asarray(b, jnp.float32)))
+    err = np.linalg.norm(z_dev - z_ref) / np.linalg.norm(z_ref)
+    assert err < 1e-4, f"V-cycle deviates from reference: {err}"
+
+
+def test_pcg_iteration_parity_with_reference():
+    a_dia = amg.poisson2d_5pt(24)
+    a_sp = amg.dia_to_scipy(a_dia)
+    hier = amg_setup(a_dia)
+    b = np.random.default_rng(0).standard_normal(a_sp.shape[0])
+
+    levels_ref, a_coarse_ref = ref.amg_hierarchy(a_sp, coarse_size=100)
+    _, it_ref = ref.pcg(a_sp, b, lambda r: ref.vcycle(levels_ref, a_coarse_ref, r),
+                        tol=1e-6)
+    res = amg_pcg(a_dia, jnp.asarray(b, jnp.float32), hier, tol=1e-6)
+    assert abs(int(res.iters) - it_ref) <= 2, (int(res.iters), it_ref)
+
+
+def test_ir_reaches_1e8_in_f64():
+    a_dia = amg.poisson2d_5pt(48)
+    a_sp = amg.dia_to_scipy(a_dia)
+    b = np.random.default_rng(0).standard_normal(a_sp.shape[0])
+    hier = amg_setup(a_dia)
+    res = solve_ir(a_sp, b, a_dia, hier, tol=1e-8)
+    assert res.rel_residual <= 1e-8, res
+    assert res.outer_iters <= 4
+
+
+def test_hierarchy_stats():
+    a = amg.poisson2d_5pt(32)
+    hier, host_ops = amg_setup(a, keep_host=True)
+    st = hierarchy_stats(hier, host_ops)
+    assert st["sizes"][0] == 32 * 32
+    assert st["operator_complexity"] < 3.0
+    assert st["grid_complexity"] < 2.5
+    assert all(a > b for a, b in zip(st["sizes"], st["sizes"][1:]))
