@@ -36,7 +36,7 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import omp_amg_tpu as amg
     from omp_amg_tpu.ops.spmv import spmv
-    from omp_amg_tpu.utils.timers import timeit, timeit_chained
+    from omp_amg_tpu.utils.timers import timeit, timeit_fused
 
     dev = jax.devices()[0]
     log(f"backend: {dev.platform} ({dev})")
@@ -51,9 +51,11 @@ def main():
     details["gen_s"] = time.time() - t0
     nnz = sum(a.n_rows - abs(o) for o in a.offsets)
     f = jax.jit(spmv)
-    # chained timing: output feeds the next input, so a remote/async executor
-    # cannot acknowledge work early and deflate the measurement
-    sec = timeit_chained(f, a, b, warmup=3, iters=20)
+    # fused-loop timing: the iteration loop runs INSIDE one jit dispatch and
+    # feeds y back through the data dependence — the only methodology that
+    # survives the axon relay's early dispatch acks and ~1.6 ms per-dispatch
+    # overhead (see utils/timers.py).
+    sec = timeit_fused(spmv, a, b, iters=50)
     gnnz = nnz / sec / 1e9
     details["spmv_seconds"] = sec
     details["spmv_gnnz_per_s"] = gnnz
@@ -77,21 +79,30 @@ def main():
         a2 = amg.poisson3d_7pt(ns)
         b2 = amg.default_rhs(a2, "random", seed=0)
         t0 = time.time()
-        hier, host_ops = amg_setup(a2, keep_host=True)
+        hier, host_ops = amg_setup(a2, keep_host=True, grid=(ns, ns, ns))
         details["setup_s"] = time.time() - t0
         details["hierarchy"] = hierarchy_stats(hier, host_ops)
+
+        def _solve():
+            r = amg_pcg(a2, b2, hier, tol=1e-6, maxiter=200)
+            float(jnp.sum(r.x[:1]))  # true completion barrier (axon relay)
+            return r
+
         t0 = time.time()
-        res = amg_pcg(a2, b2, hier, tol=1e-6, maxiter=200)
-        jax.block_until_ready(res.x)
+        res = _solve()
         details["solve_first_s"] = time.time() - t0  # includes compile
         t0 = time.time()
-        res = amg_pcg(a2, b2, hier, tol=1e-6, maxiter=200)
-        jax.block_until_ready(res.x)
+        res = _solve()
         details["solve_s"] = time.time() - t0
         details["pcg_iters"] = int(res.iters)
         details["rel_residual"] = float(res.rel_residual)
-        log(f"AMG 7pt {ns}^3: setup {details['setup_s']:.1f}s, "
-            f"solve {details['solve_s']:.2f}s, iters {int(res.iters)}")
+
+        from omp_amg_tpu.amg.vcycle import vcycle
+        vsec = timeit(jax.jit(vcycle), hier, b2, warmup=2, iters=10)
+        details["vcycle_s"] = vsec
+        log(f"AMG 7pt {ns}^3 (structured): setup {details['setup_s']:.1f}s, "
+            f"solve {details['solve_s']:.2f}s, iters {int(res.iters)}, "
+            f"vcycle {vsec*1e3:.2f} ms")
 
     details["total_s"] = time.time() - t_start
     with open("bench_details.json", "w") as fh:

@@ -74,8 +74,35 @@ def _to_scipy(a):
     raise TypeError(type(a))
 
 
-def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False):
+def _estimate_lmax_host(a_sp, dinv: np.ndarray, iters: int = 20) -> float:
+    """Power iteration on D⁻¹A with the same deterministic seed as the
+    device version (smoothers.estimate_lmax)."""
+    from .host_setup import hash01_np
+
+    n = a_sp.shape[0]
+    v = hash01_np(np.arange(n)).astype(np.float64) - 0.5
+    v /= np.linalg.norm(v)
+    for _ in range(iters):
+        w = dinv * (a_sp @ v)
+        v = w / np.linalg.norm(w)
+    w = dinv * (a_sp @ v)
+    return float(v @ w / (v @ v))
+
+
+def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
+              flavor: str = "host", grid=None):
     """Build the AMG hierarchy for operator ``a`` (Dia, Ell, or scipy CSR).
+
+    ``flavor`` selects the setup-kernel implementation (equivalent results):
+    "host" = vectorized numpy (no XLA compiles in the setup loop — fast and
+    the default), "device" = jitted jnp kernels (accelerator-resident path).
+
+    ``grid`` (tuple of extents, C order) enables the *structured* coarsening
+    mode for tensor-grid stencil operators: strength-driven semicoarsening
+    with grid transfers and DIA operators at every level (see
+    :mod:`omp_amg_tpu.amg.structured`) — the TPU fast path. Selection
+    follows ``params.coarsening`` ("auto" = structured iff ``grid`` given
+    and the operator is banded).
 
     Returns ``Hierarchy`` (and with ``keep_host=True`` also the per-level
     host scipy operators, used by tests and the mixed-precision outer loop).
@@ -83,6 +110,8 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False):
     import scipy.sparse as sp
 
     from ..ops.rap import galerkin_product
+    from ..sparse.formats import ell_planes_from_scipy, ell_planes_to_scipy
+    from . import host_setup as hs
 
     if isinstance(a, (Dia, Ell)):
         a_dev: object = a
@@ -91,7 +120,97 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False):
         a_sp = sp.csr_matrix(a)
         a_dev = ell_from_scipy(a_sp)
 
-    dtype = jnp.float32 if not isinstance(a_dev, (Dia, Ell)) else a_dev.dtype
+    dtype = a_dev.dtype
+
+    structured = (
+        params.coarsening == "structured"
+        or (params.coarsening == "auto" and grid is not None
+            and isinstance(a_dev, Dia))
+    )
+    if structured:
+        if grid is None or int(np.prod(grid)) != a_sp.shape[0]:
+            raise ValueError("structured coarsening requires a matching grid")
+        return _amg_setup_structured(a_dev, a_sp, tuple(int(g) for g in grid),
+                                     params, keep_host, dtype)
+
+    levels = []
+    host_ops = [a_sp]
+    cur_planes = None  # (col, val) reused between host-flavor iterations
+    while (
+        a_sp.shape[0] > params.coarse_size
+        and len(levels) < params.max_levels - 1
+    ):
+        n = a_sp.shape[0]
+        if flavor == "device":
+            a_ell = _to_ell(a_dev)
+            mask = strength_mask(a_ell, params.theta)
+            state = pmis(a_ell, mask, max_rounds=params.max_coarsen_rounds)
+            cmap, nc = coarse_map(state)
+            if nc == 0 or n / max(nc, 1) < params.min_coarsen_factor:
+                break
+            p = direct_interpolation(a_ell, mask, state, cmap, nc)
+            p_sp = ell_to_scipy(p)
+        else:
+            if cur_planes is None:
+                cur_planes = ell_planes_from_scipy(a_sp, dtype=np.float32)[:2]
+            col, val = cur_planes
+            mask = hs.strength_mask_np(col, val, params.theta)
+            state = hs.pmis_np(col, mask, max_rounds=params.max_coarsen_rounds)
+            is_c = (state == hs.CPOINT)
+            cmap = np.cumsum(is_c.astype(np.int64)) - 1
+            nc = int(is_c.sum())
+            if nc == 0 or n / max(nc, 1) < params.min_coarsen_factor:
+                break
+            p_col, p_val = hs.direct_interpolation_np(col, val, mask, state,
+                                                      cmap, nc)
+            p_sp = ell_planes_to_scipy(p_col, p_val, nc)
+            p = Ell(col=jnp.asarray(p_col), val=jnp.asarray(p_val, dtype=dtype),
+                    n_cols=nc)
+        ac_sp = galerkin_product(host_ops[-1], p_sp)
+        r = ell_from_scipy(p_sp.T.tocsr(), dtype=dtype)
+        if flavor == "device":
+            dinv = 1.0 / diagonal(a_dev)
+            lmax = estimate_lmax(a_dev, dinv)
+            dinv = dinv.astype(dtype)
+            lmax = lmax.astype(dtype)
+        else:
+            dinv_np = 1.0 / a_sp.diagonal()
+            lmax = jnp.asarray(_estimate_lmax_host(a_sp, dinv_np), dtype=dtype)
+            dinv = jnp.asarray(dinv_np, dtype=dtype)
+        levels.append(Level(a=a_dev, dinv=dinv, p=p, r=r, lmax=lmax))
+        a_sp = ac_sp
+        if flavor == "device":
+            a_dev = ell_from_scipy(ac_sp, dtype=dtype)
+        else:
+            nc_col, nc_val, nc_ncols = ell_planes_from_scipy(
+                ac_sp, dtype=np.float32)
+            cur_planes = (nc_col, nc_val)
+            a_dev = Ell(col=jnp.asarray(nc_col),
+                        val=jnp.asarray(nc_val, dtype=dtype),
+                        n_cols=nc_ncols)
+        host_ops.append(a_sp)
+
+    dense = np.asarray(a_sp.toarray(), dtype=np.float64)
+    chol = np.linalg.cholesky(dense)
+    hier = Hierarchy(
+        levels=tuple(levels),
+        coarse_chol=jnp.asarray(chol, dtype=dtype),
+        coarse_a=jnp.asarray(dense, dtype=dtype),
+        params=params,
+    )
+    if keep_host:
+        return hier, host_ops
+    return hier
+
+
+def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
+                          keep_host: bool, dtype):
+    """Structured-mode setup: semicoarsen strong axes, grid transfers, RAP."""
+    from ..ops.rap import galerkin_product
+    from ..sparse.formats import dia_from_scipy
+    from .structured import (
+        GridProlong, GridRestrict, prolong_to_scipy, strong_axes,
+    )
 
     levels = []
     host_ops = [a_sp]
@@ -99,23 +218,29 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False):
         a_sp.shape[0] > params.coarse_size
         and len(levels) < params.max_levels - 1
     ):
-        a_ell = _to_ell(a_dev)
-        mask = strength_mask(a_ell, params.theta)
-        state = pmis(a_ell, mask, max_rounds=params.max_coarsen_rounds)
-        cmap, nc = coarse_map(state)
-        n = a_ell.n_rows
-        if nc == 0 or n / max(nc, 1) < params.min_coarsen_factor:
-            break  # coarsening stalled; stop and direct-solve this level
-        p = direct_interpolation(a_ell, mask, state, cmap, nc)
-        p_sp = ell_to_scipy(p)
-        ac_sp = galerkin_product(host_ops[-1], p_sp)
-        r = transpose_ell(p)
-        dinv = 1.0 / diagonal(a_dev)
-        lmax = estimate_lmax(a_dev, dinv)
-        levels.append(Level(a=a_dev, dinv=dinv.astype(dtype), p=p, r=r,
-                            lmax=lmax.astype(dtype)))
+        axes = strong_axes(a_dev, dims, params.theta)
+        if not any(axes):
+            break
+        coarse_dims = tuple((d + 1) // 2 if c else d
+                            for d, c in zip(dims, axes))
+        p = GridProlong(fine_shape=dims, coarse_shape=coarse_dims,
+                        coarsened=axes)
+        r = GridRestrict(fine_shape=dims, coarse_shape=coarse_dims,
+                         coarsened=axes)
+        p_sp = prolong_to_scipy(p)
+        ac_sp = galerkin_product(a_sp, p_sp)
+
+        dinv = jnp.asarray(1.0 / a_sp.diagonal(), dtype=dtype)
+        lmax = jnp.asarray(_estimate_lmax_host(a_sp, 1.0 / a_sp.diagonal()),
+                           dtype=dtype)
+        levels.append(Level(a=a_dev, dinv=dinv, p=p, r=r, lmax=lmax))
+
         a_sp = ac_sp
-        a_dev = ell_from_scipy(ac_sp, dtype=dtype)
+        a_next = dia_from_scipy(ac_sp, dtype=dtype)
+        if len(a_next.offsets) > params.max_structured_diags:
+            a_next = ell_from_scipy(ac_sp, dtype=dtype)  # safety net
+        a_dev = a_next
+        dims = coarse_dims
         host_ops.append(a_sp)
 
     dense = np.asarray(a_sp.toarray(), dtype=np.float64)

@@ -14,12 +14,16 @@ from dataclasses import dataclass
 class AMGParams:
     theta: float = 0.25          # strength-of-connection threshold
     smoother: str = "jacobi"     # "jacobi" | "chebyshev"
-    omega: float = 2.0 / 3.0     # weighted-Jacobi damping
+    omega: float | None = None   # weighted-Jacobi damping; None = per-level
+                                 # auto 4/(3·1.1·λmax) (≈2/3 for Poisson,
+                                 # correct for operators with λmax(D⁻¹A)>2)
     nu_pre: int = 1              # pre-smoothing sweeps
     nu_post: int = 1             # post-smoothing sweeps
     cheby_degree: int = 3        # Chebyshev polynomial degree
     cheby_ratio: float = 30.0    # lower eigenvalue bound = lambda_max / ratio
+    coarsening: str = "auto"     # "pmis" | "structured" | "auto"
     coarse_size: int = 100       # dense direct solve below this many rows
     max_levels: int = 25
+    max_structured_diags: int = 192  # bail structured→ELL above this band count
     max_coarsen_rounds: int = 64  # PMIS round cap (safety)
     min_coarsen_factor: float = 1.02  # stop if a level shrinks less than this

@@ -1,0 +1,176 @@
+"""Structured (tensor-grid) coarsening mode — the TPU fast path.
+
+For stencil operators on regular grids (all BASELINE.json configs), the
+hierarchy can stay *banded at every level*: strength-driven semicoarsening
+(coarsen by 2 in every strong axis, PFMG/SMG-style) with tensor-product
+linear interpolation and exact Galerkin RAP keeps each coarse operator a
+bounded stencil on a regular sub-grid. Consequences on TPU:
+
+- every level's operator is DIA → the Pallas banded SpMV kernel applies at
+  every level (no gathers anywhere in the V-cycle; XLA gather runs at
+  ~0.1 Gelem/s on TPU — measured, see ops/pallas_spmv.py);
+- prolongation/restriction are constant-weight separable grid ops
+  (interleave / average along axes) → pure reshape/slice/add, also
+  gather-free.
+
+Axis selection is *algebraic*: an axis is coarsened iff its axis-aligned
+coupling passes the classical strength test (θ) against the row's strongest
+coupling — e.g. the ε=1e-3 anisotropic config semicoarsens in y only until
+the Galerkin operators become isotropic enough to coarsen x too.
+
+This mirrors hypre's PFMG/SMG family as the structured companion to the
+general PMIS path (SURVEY.md §2 keeps both; the algebraic path handles
+arbitrary sparsity).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _static(**kw):
+    return field(metadata=dict(static=True), **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class GridProlong:
+    """Tensor-product linear interpolation (coarse → fine); constant weights."""
+    fine_shape: Tuple[int, ...] = _static()
+    coarse_shape: Tuple[int, ...] = _static()
+    coarsened: Tuple[bool, ...] = _static()
+
+    @property
+    def shape(self):
+        return (int(np.prod(self.fine_shape)), int(np.prod(self.coarse_shape)))
+
+    @property
+    def n_cols(self):
+        return self.shape[1]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class GridRestrict:
+    """Transpose of GridProlong (fine → coarse)."""
+    fine_shape: Tuple[int, ...] = _static()
+    coarse_shape: Tuple[int, ...] = _static()
+    coarsened: Tuple[bool, ...] = _static()
+
+    @property
+    def shape(self):
+        return (int(np.prod(self.coarse_shape)), int(np.prod(self.fine_shape)))
+
+    @property
+    def n_cols(self):
+        return self.shape[1]
+
+
+def _prolong_axis(x: jax.Array, axis: int, n_f: int) -> jax.Array:
+    """Linear interpolation along one axis: (..., nc, ...) → (..., n_f, ...).
+
+    even i → x_c[i/2]; odd i → (x_c[(i-1)/2] + x_c[(i+1)/2]) / 2 (Dirichlet:
+    a missing right neighbor contributes 0).
+    """
+    nc = x.shape[axis]
+    xm = jnp.moveaxis(x, axis, -1)
+    left = xm
+    right = jnp.concatenate(
+        [xm[..., 1:], jnp.zeros_like(xm[..., :1])], axis=-1)
+    odd = 0.5 * (left + right)                      # value at fine index 2j+1
+    inter = jnp.stack([xm, odd], axis=-1).reshape(*xm.shape[:-1], 2 * nc)
+    out = inter[..., :n_f]
+    return jnp.moveaxis(out, -1, axis)
+
+
+def _restrict_axis(x: jax.Array, axis: int, nc: int) -> jax.Array:
+    """Transpose of ``_prolong_axis``: y_c[j] = x[2j] + (x[2j-1]+x[2j+1])/2."""
+    n_f = x.shape[axis]
+    xm = jnp.moveaxis(x, axis, -1)
+    pad = jnp.zeros_like(xm[..., :1])
+    xp = jnp.concatenate([pad, xm, pad, pad], axis=-1)  # 1 left, 2 right pad
+    # fine index i lives at xp index i+1
+    ext = 2 * nc
+    even = xp[..., 1 : 1 + ext : 2][..., :nc]           # x[2j]
+    lft = xp[..., 0 : ext : 2][..., :nc]                # x[2j-1]
+    rgt = xp[..., 2 : 2 + ext : 2][..., :nc]            # x[2j+1]
+    out = even + 0.5 * (lft + rgt)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def apply_prolong(p: GridProlong, xc: jax.Array) -> jax.Array:
+    x = xc.reshape(p.coarse_shape)
+    for ax, c in enumerate(p.coarsened):
+        if c:
+            x = _prolong_axis(x, ax, p.fine_shape[ax])
+    return x.reshape(-1)
+
+
+def apply_restrict(r: GridRestrict, xf: jax.Array) -> jax.Array:
+    x = xf.reshape(r.fine_shape)
+    for ax, c in enumerate(r.coarsened):
+        if c:
+            x = _restrict_axis(x, ax, r.coarse_shape[ax])
+    return x.reshape(-1)
+
+
+# ---------------------------------------------------------------------------
+# Host-side setup helpers
+# ---------------------------------------------------------------------------
+
+def prolong_to_scipy(p: GridProlong):
+    """Materialize P as scipy CSR (setup-time Galerkin product + tests)."""
+    import scipy.sparse as sp
+
+    mats = []
+    for ax, c in enumerate(p.coarsened):
+        n_f, nc = p.fine_shape[ax], p.coarse_shape[ax]
+        if not c:
+            mats.append(sp.identity(n_f, format="csr"))
+            continue
+        rows, cols, vals = [], [], []
+        for i in range(n_f):
+            if i % 2 == 0:
+                rows.append(i); cols.append(i // 2); vals.append(1.0)
+            else:
+                rows.append(i); cols.append((i - 1) // 2); vals.append(0.5)
+                if (i + 1) // 2 < nc:
+                    rows.append(i); cols.append((i + 1) // 2); vals.append(0.5)
+        mats.append(sp.csr_matrix((vals, (rows, cols)), shape=(n_f, nc)))
+    out = mats[0]
+    for m in mats[1:]:
+        out = sp.kron(out, m, format="csr")
+    return out
+
+
+def strong_axes(a_sp, dims: Tuple[int, ...], theta: float) -> Tuple[bool, ...]:
+    """Axis a is strong iff its unit-offset coupling passes the classical
+    strength test at a typical interior row (median over rows)."""
+    strides = [1] * len(dims)
+    for k in range(len(dims) - 2, -1, -1):
+        strides[k] = strides[k + 1] * dims[k + 1]
+    from ..sparse.formats import Dia, dia_from_scipy
+
+    d = a_sp if isinstance(a_sp, Dia) else dia_from_scipy(a_sp)
+    data = np.asarray(d.data)
+    offsets = list(d.offsets)
+    n = data.shape[1]
+    interior = np.abs(data).min(axis=0) > 0  # rows where every tap is active
+    if not interior.any():
+        interior = np.ones(n, bool)
+    med = {off: float(np.median(data[k][interior]))
+           for k, off in enumerate(offsets)}
+    s = {off: max(-v, 0.0) for off, v in med.items() if off != 0}
+    smax = max(s.values(), default=0.0)
+    if smax <= 0:
+        return tuple(False for _ in dims)
+    out = []
+    for ax, st in enumerate(strides):
+        cand = [s.get(st, 0.0), s.get(-st, 0.0)]
+        out.append(max(cand) >= theta * smax and dims[ax] > 2)
+    return tuple(out)

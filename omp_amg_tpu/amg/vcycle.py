@@ -21,7 +21,9 @@ def _smooth(level: Level, params: AMGParams, x, b, sweeps: int):
     if sweeps == 0:
         return x
     if params.smoother == "jacobi":
-        return jacobi(level.a, level.dinv, x, b, params.omega, sweeps)
+        omega = (params.omega if params.omega is not None
+                 else 4.0 / (3.0 * 1.1 * level.lmax))
+        return jacobi(level.a, level.dinv, x, b, omega, sweeps)
     if params.smoother == "chebyshev":
         for _ in range(sweeps):
             x = chebyshev(level.a, level.dinv, x, b, level.lmax,

@@ -29,9 +29,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--matrix", default=None,
                    help="MatrixMarket file instead of a generated problem")
     p.add_argument("--theta", type=float, default=0.25)
+    p.add_argument("--coarsening", default="auto",
+                   choices=["auto", "pmis", "structured"],
+                   help="auto = structured (all-banded, TPU fast path) for "
+                        "generated grid problems, PMIS for general matrices")
     p.add_argument("--smoother", default="jacobi",
                    choices=["jacobi", "chebyshev"])
-    p.add_argument("--omega", type=float, default=2.0 / 3.0)
+    p.add_argument("--omega", type=float, default=None,
+                   help="Jacobi damping; default: per-level 4/(3*1.1*lmax)")
     p.add_argument("--nu", type=int, default=1, help="pre/post sweeps")
     p.add_argument("--cheby-degree", type=int, default=3)
     p.add_argument("--coarse-size", type=int, default=100)
@@ -65,6 +70,7 @@ def main(argv=None) -> int:
 
     timers = PhaseTimers()
     with timers.phase("build"):
+        grid = None
         if args.matrix:
             from .utils.io import read_matrix_market
             a_dev, a_sp = read_matrix_market(args.matrix)
@@ -73,6 +79,8 @@ def main(argv=None) -> int:
             kw = {"eps": args.eps} if args.problem == "aniso9pt" else {}
             a_dev = gen(args.n, **kw)
             a_sp = dia_to_scipy(a_dev)
+            ndim = 3 if args.problem.startswith("3d") else 2
+            grid = (args.n,) * ndim
         b = (default_rhs(a_dev, args.rhs, args.seed)
              if not args.matrix else jnp.asarray(
                  np.random.default_rng(args.seed).standard_normal(a_sp.shape[0]),
@@ -81,6 +89,7 @@ def main(argv=None) -> int:
     params = AMGParams(theta=args.theta, smoother=args.smoother,
                        omega=args.omega, nu_pre=args.nu, nu_post=args.nu,
                        cheby_degree=args.cheby_degree,
+                       coarsening=args.coarsening,
                        coarse_size=args.coarse_size,
                        max_levels=args.max_levels)
 
@@ -91,7 +100,8 @@ def main(argv=None) -> int:
             hier = load_hierarchy(args.load_hierarchy)
     else:
         with timers.phase("setup"):
-            hier, host_ops = amg_setup(a_dev, params, keep_host=True)
+            hier, host_ops = amg_setup(a_dev, params, keep_host=True,
+                                       grid=grid)
     if args.save_hierarchy:
         from .utils.io import save_hierarchy
         save_hierarchy(args.save_hierarchy, hier)
@@ -131,6 +141,7 @@ def main(argv=None) -> int:
         "sizes": stats["sizes"],
         "operator_complexity": stats.get("operator_complexity"),
         "theta": args.theta,
+        "coarsening": args.coarsening,
         "smoother": args.smoother,
         "tol": args.tol,
         "iters": iters,

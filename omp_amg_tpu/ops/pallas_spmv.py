@@ -1,0 +1,175 @@
+"""Pallas TPU kernel for banded (DIA) SpMV — the framework's hot kernel.
+
+Replaces the reference's OpenMP CSR row loop (SURVEY.md §4.5) on banded
+operators. Design (per /opt/skills/guides/pallas_guide.md):
+
+- vectors are viewed as (n/128, 128) sublane×lane tiles; the kernel processes
+  row-blocks of ``bm`` sublanes per grid step;
+- each diagonal offset ``d`` splits as ``d = q*128 + r`` (q sublane shift,
+  r lane shift, both static). The kernel forms every shifted view with two
+  static lane-slices of adjacent sublane rows — no gather, no dynamic
+  addressing, pure VPU fma;
+- the q's are grouped into *clusters* (e.g. the z−1 / center / z+1 plane
+  groups of a 7-point stencil). Each cluster gets its own overlapping
+  ``pl.Element`` x window of ``bm + spread`` sublanes, so x traffic is
+  ~(#clusters)× the vector size instead of (bandwidth/bm)×;
+- x is NOT copied/padded on the host (that cost ~20% of SoL): windows that
+  would overhang the high end use Mosaic element-window padding; Mosaic has
+  no *low* padding yet, so the first ``k0`` row-blocks (whose windows would
+  start negative) are computed by a cheap XLA head path and concatenated —
+  the concat fuses into the output materialization.
+
+Requires n % 128 == 0 — falls back to XLA otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..sparse.formats import Dia
+
+LANES = 128
+
+
+def _cluster_qs(offsets, gap=16):
+    """Group sublane shifts q=d//128 into contiguous clusters (static)."""
+    qs = sorted({d // LANES for d in offsets})
+    clusters = [[qs[0]]]
+    for q in qs[1:]:
+        if q - clusters[-1][-1] <= gap:
+            clusters[-1].append(q)
+        else:
+            clusters.append([q])
+    return [(c[0], c[-1]) for c in clusters]  # (q_min, q_max) per cluster
+
+
+def _dia_kernel(*refs, offsets, bm, clusters, cluster_of):
+    # refs: [x_win_0, ..., x_win_{C-1}, data, out]
+    nwin = len(clusters)
+    data_ref = refs[nwin]
+    o_ref = refs[nwin + 1]
+    acc = jnp.zeros((bm, LANES), jnp.float32)
+    for k, d in enumerate(offsets):
+        q, r = divmod(d, LANES)
+        c = cluster_of[k]
+        x_ref = refs[c]
+        lo, _hi, delta = clusters[c]
+        base = (q - lo) + delta  # row offset within this cluster's window
+        a = x_ref[base : base + bm, :]
+        if r == 0:
+            shifted = a
+        else:
+            b = x_ref[base + 1 : base + 1 + bm, :]
+            shifted = jnp.concatenate([a[:, r:], b[:, :r]], axis=1)
+        acc = acc + data_ref[k] * shifted
+    o_ref[:, :] = acc
+
+
+@functools.lru_cache(maxsize=64)
+def _make_call(m, offsets, bm, dtype_name, interpret=False):
+    dtype = jnp.dtype(dtype_name)
+    assert bm % 8 == 0, "bm must be a sublane multiple"
+    raw = _cluster_qs(offsets)
+    cluster_of = tuple(
+        next(i for i, (lo, hi) in enumerate(raw) if lo <= d // LANES <= hi)
+        for d in offsets
+    )
+    # Mosaic requires 8-aligned window starts: align each cluster's start
+    # down and compensate with an in-window delta.
+    clusters, win_rows, starts = [], [], []
+    for lo, hi in raw:
+        aligned = (lo // 8) * 8
+        delta = lo - aligned
+        rows = bm + (hi - lo) + 1 + delta
+        rows += (-rows) % 8
+        clusters.append((lo, hi, delta))
+        win_rows.append(rows)
+        starts.append(aligned)
+    # Edge blocks whose windows would overhang the array are computed by the
+    # XLA edge path instead: Mosaic has no low element-window padding, and
+    # high-padding contents are unspecified (0·NaN would poison masked slots).
+    st_min = min(starts)
+    k0 = max(0, -(st_min // bm)) if st_min < 0 else 0
+    over = max(st + rows - bm for st, rows in zip(starts, win_rows))
+    k1 = max(0, -(-over // bm))
+    nblocks = m // bm - k0 - k1
+    if nblocks <= 0:
+        return None, None, None, None
+    ndiag = len(offsets)
+
+    kernel = functools.partial(_dia_kernel, offsets=tuple(offsets), bm=bm,
+                               clusters=tuple(clusters),
+                               cluster_of=cluster_of)
+    x_specs = [
+        pl.BlockSpec((pl.Element(rows), pl.Element(LANES)),
+                     (lambda i, st=st: (pl.multiple_of((i + k0) * bm + st, 8),
+                                        0)),
+                     memory_space=pltpu.VMEM)
+        for st, rows in zip(starts, win_rows)
+    ]
+    call = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=x_specs + [
+            pl.BlockSpec((ndiag, bm, LANES), lambda i: (0, i + k0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nblocks * bm, LANES), dtype),
+        interpret=interpret,
+    )
+    return call, len(clusters), k0, k1
+
+
+def _edge_spmv(a: Dia, x: jax.Array, r0: int, nrows: int) -> jax.Array:
+    """XLA path for rows [r0, r0+nrows) — edge blocks only (tiny pads)."""
+    n = a.n_rows
+    offs = a.offsets
+    lo = max(0, -min(offs))
+    hi = max(0, max(offs))
+    lo_clip = max(0, r0 - lo)
+    hi_clip = min(n, r0 + nrows + hi)
+    xw = jnp.pad(x[lo_clip:hi_clip],
+                 (lo_clip - (r0 - lo), (r0 + nrows + hi) - hi_clip))
+    y = jnp.zeros((nrows,), x.dtype)
+    for k, off in enumerate(offs):
+        y = y + a.data[k, r0 : r0 + nrows] * jax.lax.dynamic_slice(
+            xw, (off + lo,), (nrows,))
+    return y
+
+
+def spmv_dia_pallas(a: Dia, x: jax.Array, bm: int = 256,
+                    interpret: bool = False) -> jax.Array:
+    """y = A @ x via the Pallas banded kernel."""
+    n = a.n_rows
+    while bm > 8 and n % (LANES * bm) != 0:
+        bm //= 2  # shrink the row block until it tiles the operator
+    if n % (LANES * bm) != 0 or not a.offsets:
+        from .spmv import spmv_dia
+
+        return spmv_dia(a, x)
+
+    m = n // LANES
+    call, ncl, k0, k1 = _make_call(m, tuple(a.offsets), bm,
+                                   jnp.dtype(x.dtype).name, interpret)
+    if call is None:  # operator band wider than the whole grid
+        from .spmv import spmv_dia
+
+        return spmv_dia(a, x)
+    x2 = x.reshape(m, LANES)
+    data3 = a.data.reshape(len(a.offsets), m, LANES)
+    y_main = call(*([x2] * ncl), data3).reshape(-1)
+    parts = []
+    if k0:
+        parts.append(_edge_spmv(a, x, 0, k0 * bm * LANES))
+    parts.append(y_main)
+    if k1:
+        tail_rows = k1 * bm * LANES
+        parts.append(_edge_spmv(a, x, n - tail_rows, tail_rows))
+    return jnp.concatenate(parts) if len(parts) > 1 else y_main

@@ -49,7 +49,19 @@ def spmv_dia(a: Dia, x: jax.Array) -> jax.Array:
 
 def spmv(a, x: jax.Array) -> jax.Array:
     """y = A @ x for any supported format (dispatch is static under jit)."""
+    from ..amg.structured import (
+        GridProlong, GridRestrict, apply_prolong, apply_restrict,
+    )
+
+    if isinstance(a, GridProlong):
+        return apply_prolong(a, x)
+    if isinstance(a, GridRestrict):
+        return apply_restrict(a, x)
     if isinstance(a, Dia):
+        if jax.default_backend() == "tpu":
+            from .pallas_spmv import spmv_dia_pallas
+
+            return spmv_dia_pallas(a, x)
         return spmv_dia(a, x)
     if isinstance(a, Ell):
         return spmv_ell(a, x)

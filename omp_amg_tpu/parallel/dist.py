@@ -163,8 +163,10 @@ def dist_specs(dh: DistHierarchy) -> DistHierarchy:
 
 def _smooth(lv: DistLevel, params, x, b, sweeps: int):
     if params.smoother == "jacobi":
+        omega = (params.omega if params.omega is not None
+                 else 4.0 / (3.0 * 1.1 * lv.lmax))
         for _ in range(sweeps):
-            x = x + params.omega * lv.dinv * (b - dist_spmv(lv.a, x))
+            x = x + omega * lv.dinv * (b - dist_spmv(lv.a, x))
         return x
     # Chebyshev (same recurrence as the single-device smoother)
     upper = 1.1 * lv.lmax

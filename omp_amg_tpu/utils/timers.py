@@ -11,6 +11,7 @@ import time
 from contextlib import contextmanager
 
 import jax
+import jax.numpy as jnp
 
 
 class PhaseTimers:
@@ -29,33 +30,64 @@ class PhaseTimers:
         return dict(self.seconds)
 
 
-def timeit(fn, *args, warmup: int = 2, iters: int = 10) -> float:
-    """Steady-state mean seconds per call (post-warmup).
+def _sync(out) -> None:
+    """Force TRUE completion of ``out``.
 
-    Blocks on every call: remote-executor backends (axon relay) can
-    acknowledge enqueued work early, so chaining unblocked dispatches
-    under-measures badly.
+    ``jax.block_until_ready`` is NOT sufficient under remote-executor
+    backends (the axon relay acknowledges work before it finishes — observed
+    impossible >1 TB/s "measurements"). Pulling a dependent scalar to host is
+    the only reliable barrier, so timing helpers sync by transferring a tiny
+    reduction of the last output.
     """
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(jnp.sum(jnp.ravel(leaf)[:1]))
+
+
+def timeit(fn, *args, warmup: int = 2, iters: int = 20) -> float:
+    """Steady-state mean seconds per call: ``iters`` enqueued back-to-back,
+    one host-transfer sync at the end (amortizes the relay round-trip)."""
+    out = None
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        out = fn(*args)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(iters):
-        jax.block_until_ready(fn(*args))
+        out = fn(*args)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
-def timeit_chained(fn, a, x, warmup: int = 2, iters: int = 10) -> float:
-    """Like timeit for y=f(A,x) ops, feeding the output back as input so the
-    device must serialize the chain (robust even if intermediate dispatches
-    aren't individually blocked)."""
+def timeit_fused(fn, a, x, iters: int = 50, reps: int = 3) -> float:
+    """Seconds per op for y=f(A,x), with the iteration loop INSIDE one jit
+    dispatch (lax.fori_loop feeding y back). The axon relay adds ~1.6 ms of
+    fixed overhead per dispatch, so only single-dispatch loops measure
+    sub-millisecond kernels faithfully; the loop also serializes iterations
+    through the data dependence."""
+    import jax.lax as lax
+
+    @jax.jit
+    def run(a, x):
+        return lax.fori_loop(0, iters, lambda i, y: fn(a, y), x)
+
+    _sync(run(a, x))  # compile + warm
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        _sync(run(a, x))
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def timeit_chained(fn, a, x, warmup: int = 2, iters: int = 20) -> float:
+    """timeit for y=f(A,x): output feeds the next input (serialized chain)."""
     y = x
     for _ in range(warmup):
         y = fn(a, y)
-    jax.block_until_ready(y)
+    _sync(y)
     t0 = time.perf_counter()
     for _ in range(iters):
         y = fn(a, y)
-    jax.block_until_ready(y)
+    _sync(y)
     return (time.perf_counter() - t0) / iters
 
 

@@ -121,7 +121,7 @@ def test_preconditioner_is_spd_symmetric():
 def test_vcycle_matches_numpy_reference():
     a_dia = amg.poisson2d_5pt(12)
     a_sp = amg.dia_to_scipy(a_dia)
-    params = AMGParams(coarse_size=20)
+    params = AMGParams(coarse_size=20, omega=2.0 / 3.0)  # pin: numpy ref uses fixed 2/3
     hier, host_ops = amg_setup(a_dia, params, keep_host=True)
 
     levels_ref, a_coarse_ref = ref.amg_hierarchy(a_sp, coarse_size=20)
@@ -147,7 +147,7 @@ def test_vcycle_matches_numpy_reference():
 def test_pcg_iteration_parity_with_reference():
     a_dia = amg.poisson2d_5pt(24)
     a_sp = amg.dia_to_scipy(a_dia)
-    hier = amg_setup(a_dia)
+    hier = amg_setup(a_dia, AMGParams(omega=2.0 / 3.0))  # pin: ref uses 2/3
     b = np.random.default_rng(0).standard_normal(a_sp.shape[0])
 
     levels_ref, a_coarse_ref = ref.amg_hierarchy(a_sp, coarse_size=100)

@@ -1,0 +1,95 @@
+"""Structured (tensor-grid semicoarsening) mode tests."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+import omp_amg_tpu as amg
+from omp_amg_tpu.amg.hierarchy import amg_setup, hierarchy_stats
+from omp_amg_tpu.amg.params import AMGParams
+from omp_amg_tpu.amg.structured import (
+    GridProlong, GridRestrict, apply_prolong, apply_restrict,
+    prolong_to_scipy, strong_axes,
+)
+from omp_amg_tpu.amg.vcycle import vcycle
+from omp_amg_tpu.sparse.formats import Dia
+from omp_amg_tpu.solvers.cg import amg_pcg
+
+
+@pytest.mark.parametrize("dims,coarsened", [
+    ((8,), (True,)),
+    ((9, 7), (True, True)),
+    ((6, 10), (False, True)),
+    ((5, 6, 7), (True, False, True)),
+])
+def test_grid_transfers_match_matrix(dims, coarsened):
+    coarse = tuple((d + 1) // 2 if c else d for d, c in zip(dims, coarsened))
+    p = GridProlong(fine_shape=dims, coarse_shape=coarse, coarsened=coarsened)
+    r = GridRestrict(fine_shape=dims, coarse_shape=coarse, coarsened=coarsened)
+    p_sp = prolong_to_scipy(p)
+    rng = np.random.default_rng(0)
+    xc = rng.standard_normal(int(np.prod(coarse)))
+    xf = rng.standard_normal(int(np.prod(dims)))
+    np.testing.assert_allclose(
+        np.asarray(apply_prolong(p, jnp.asarray(xc, jnp.float32))),
+        p_sp @ xc, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(apply_restrict(r, jnp.asarray(xf, jnp.float32))),
+        p_sp.T @ xf, rtol=1e-6, atol=1e-5)
+
+
+def test_strong_axes_detection():
+    a = amg.aniso2d_9pt(16, eps=1e-3)
+    assert strong_axes(a, (16, 16), 0.25) == (True, False)  # y only
+    a2 = amg.poisson3d_7pt(8)
+    assert strong_axes(a2, (8, 8, 8), 0.25) == (True, True, True)
+
+
+@pytest.mark.parametrize("gen,dims,bound", [
+    (lambda: amg.poisson2d_5pt(64), (64, 64), 12),
+    (lambda: amg.poisson3d_7pt(16), (16, 16, 16), 12),
+    (lambda: amg.poisson3d_27pt(12), (12, 12, 12), 12),
+    (lambda: amg.aniso2d_9pt(48, eps=1e-3), (48, 48), 16),
+])
+def test_structured_solve_configs(gen, dims, bound):
+    a = gen()
+    b = amg.default_rhs(a, "random", seed=0)
+    hier = amg_setup(a, grid=dims)
+    # every level operator is banded (Dia) — the TPU no-gather invariant
+    for lv in hier.levels:
+        assert isinstance(lv.a, Dia)
+        assert isinstance(lv.p, GridProlong)
+    res = amg_pcg(a, b, hier, tol=1e-6, maxiter=100)
+    assert float(res.rel_residual) <= 1e-6
+    assert int(res.iters) <= bound, f"structured solve took {int(res.iters)}"
+    # ground truth
+    a_sp = amg.dia_to_scipy(a)
+    true_rel = np.linalg.norm(
+        np.asarray(b, np.float64) - a_sp @ np.asarray(res.x, np.float64)
+    ) / np.linalg.norm(np.asarray(b, np.float64))
+    assert true_rel <= 1e-4
+
+
+def test_structured_grid_independence():
+    iters = []
+    for n in (16, 32, 48):
+        a = amg.poisson2d_5pt(n)
+        b = amg.default_rhs(a, "random", seed=0)
+        hier = amg_setup(a, grid=(n, n))
+        res = amg_pcg(a, b, hier, tol=1e-6, maxiter=100)
+        iters.append(int(res.iters))
+    assert max(iters) - min(iters) <= 2, iters
+
+
+def test_structured_vs_pmis_both_available():
+    a = amg.poisson2d_5pt(32)
+    h_pmis = amg_setup(a, AMGParams(coarsening="pmis"), grid=(32, 32))
+    h_struct = amg_setup(a, AMGParams(coarsening="structured"), grid=(32, 32))
+    assert not isinstance(h_pmis.levels[0].p, GridProlong)
+    assert isinstance(h_struct.levels[0].p, GridProlong)
+    b = amg.default_rhs(a, "random", seed=0)
+    for h in (h_pmis, h_struct):
+        res = amg_pcg(a, b, h, tol=1e-6, maxiter=100)
+        assert float(res.rel_residual) <= 1e-6
