@@ -34,6 +34,18 @@ from .dist import AXIS, DistHierarchy, DistLevel, DistOp, dist_specs
 
 
 def _ell_np(op) -> tuple[np.ndarray, np.ndarray, int]:
+    from ..amg.structured import GridProlong, GridRestrict, prolong_to_scipy
+    from ..sparse.formats import ell_planes_from_scipy
+
+    if isinstance(op, (GridProlong, GridRestrict)):
+        # materialize constant-weight grid transfers for the sharded path
+        p_sp = prolong_to_scipy(op if isinstance(op, GridProlong)
+                                else GridProlong(fine_shape=op.fine_shape,
+                                                 coarse_shape=op.coarse_shape,
+                                                 coarsened=op.coarsened))
+        m = p_sp if isinstance(op, GridProlong) else p_sp.T.tocsr()
+        col, val, n_cols = ell_planes_from_scipy(m)
+        return col, val, n_cols
     ell = dia_to_ell(op) if isinstance(op, Dia) else op
     return np.asarray(ell.col), np.asarray(ell.val), ell.n_cols
 

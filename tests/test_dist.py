@@ -112,3 +112,24 @@ def test_graft_entry_dryrun():
     jax.block_until_ready(out)
     assert out.shape == args[1].shape
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_dist_structured_hierarchy(ndev):
+    """Sharded solve over a structured (grid-transfer) hierarchy."""
+    a = amg.poisson3d_7pt(16)
+    a_sp = amg.dia_to_scipy(a)
+    hier = amg_setup(a, grid=(16, 16, 16))
+    mesh = make_mesh(ndev)
+    dh = place_hierarchy(partition_hierarchy(hier, ndev, agg_rows_per_dev=64),
+                         mesh)
+    b = amg.default_rhs(a, "random", seed=0)
+    res = amg_pcg(a, b, hier, tol=1e-6, maxiter=100)
+    solve = make_dist_solver(mesh, dh, tol=1e-6, maxiter=100)
+    x, iters, rel = solve(dh, pad_vector(b, dh, ndev))
+    assert int(iters) == int(res.iters), (int(iters), int(res.iters))
+    x = unpad_vector(x, a.n_rows)
+    true_rel = np.linalg.norm(
+        np.asarray(b, np.float64) - a_sp @ np.asarray(x, np.float64)
+    ) / np.linalg.norm(np.asarray(b, np.float64))
+    assert true_rel <= 5e-5
