@@ -1,0 +1,224 @@
+"""Galerkin RAP for structured hierarchies via lattice-comb probing.
+
+Computes A_c = R A P exactly without any sparse matrix product: with linear
+tensor-product transfers and an operator of per-axis stencil radius ≤ 1, the
+coarse operator also has radius ≤ 1 per axis, so probing with the 3^d
+period-3 lattice combs
+
+    v_t[c] = 1  iff  c_ax ≡ t_ax (mod 3) ∀ax
+
+separates every coarse row's couplings: the response w_t = R(A(P v_t))
+satisfies w_t[i] = A_c[i, i+δ] for the unique δ ∈ {-1,0,1}^d with
+(i+δ) ≡ t (mod 3) — including exact zeros for taps that cross the boundary.
+
+Array-module-generic (``xp`` = numpy for the host setup path, jax.numpy for
+a device-resident setup): everything is reshape/slice/add — no gathers, no
+sparse products, and the output is directly in DIA layout. Replaces the
+scipy CSR SpGEMM (the dominant structured-setup cost) and is the basis for
+the on-device RAP ("two-phase symbolic+numeric SpGEMM" slot of SURVEY.md §2
+#9 — here the symbolic phase is closed-form).
+
+Safety: ``comb_rap`` validates its radius assumption with a random probe
+(‖A_c x − R A P x‖); callers fall back to the scipy product on mismatch.
+"""
+
+from __future__ import annotations
+
+from itertools import product as iproduct
+from typing import Sequence, Tuple
+
+import numpy as np
+
+
+def dia_apply(offsets: Sequence[int], data, x, xp=np):
+    """y = A x for DIA planes (data[k, i] multiplies x[i+off])."""
+    n = x.shape[0]
+    y = xp.zeros_like(x)
+    for k, off in enumerate(offsets):
+        i0, i1 = max(0, -off), min(n, n - off)
+        if i1 <= i0:
+            continue
+        y = _add_range(y, i0, i1, data[k, i0:i1] * x[i0 + off : i1 + off], xp)
+    return y
+
+
+def _add_range(y, i0, i1, val, xp):
+    if xp is np:
+        y[i0:i1] += val
+        return y
+    return y.at[i0:i1].add(val)
+
+
+def _prolong_axis(x, axis: int, n_f: int, xp=np):
+    nc = x.shape[axis]
+    xm = xp.moveaxis(x, axis, -1)
+    right = xp.concatenate([xm[..., 1:], xp.zeros_like(xm[..., :1])], axis=-1)
+    odd = 0.5 * (xm + right)
+    inter = xp.stack([xm, odd], axis=-1).reshape(*xm.shape[:-1], 2 * nc)
+    return xp.moveaxis(inter[..., :n_f], -1, axis)
+
+
+def _restrict_axis(x, axis: int, nc: int, xp=np):
+    xm = xp.moveaxis(x, axis, -1)
+    pad = xp.zeros_like(xm[..., :1])
+    xxp = xp.concatenate([pad, xm, pad, pad], axis=-1)
+    ext = 2 * nc
+    even = xxp[..., 1 : 1 + ext : 2][..., :nc]
+    lft = xxp[..., 0:ext:2][..., :nc]
+    rgt = xxp[..., 2 : 2 + ext : 2][..., :nc]
+    return xp.moveaxis(even + 0.5 * (lft + rgt), -1, axis)
+
+
+def prolong(xc, fine_shape, coarse_shape, coarsened, xp=np):
+    x = xc.reshape(coarse_shape)
+    for ax, c in enumerate(coarsened):
+        if c:
+            x = _prolong_axis(x, ax, fine_shape[ax], xp)
+    return x.reshape(-1)
+
+
+def restrict(xf, fine_shape, coarse_shape, coarsened, xp=np):
+    x = xf.reshape(fine_shape)
+    for ax, c in enumerate(coarsened):
+        if c:
+            x = _restrict_axis(x, ax, coarse_shape[ax], xp)
+    return x.reshape(-1)
+
+
+def comb_rap(offsets: Sequence[int], data, dims: Sequence[int],
+             coarse_dims: Sequence[int], coarsened: Sequence[bool],
+             xp=np, validate: bool = True):
+    """(offsets_c, data_c) of A_c = R A P in DIA layout. f64 recommended."""
+    d = len(dims)
+    nc = int(np.prod(coarse_dims))
+    strides_c = [1] * d
+    for k in range(d - 2, -1, -1):
+        strides_c[k] = strides_c[k + 1] * coarse_dims[k + 1]
+
+    coords = np.indices(coarse_dims)  # (d, *coarse_dims) host-only ints
+    mod3 = coords % 3
+
+    def chain(v):
+        return restrict(
+            dia_apply(offsets, data, prolong(v, dims, coarse_dims, coarsened, xp), xp),
+            dims, coarse_dims, coarsened, xp)
+
+    # 3^d comb responses
+    w = {}
+    dtype = data.dtype
+    for t in iproduct(range(3), repeat=d):
+        mask = np.ones(coarse_dims, bool)
+        for ax in range(d):
+            mask &= mod3[ax] == t[ax]
+        v = xp.asarray(mask.ravel().astype(dtype))
+        w[t] = chain(v)
+
+    # assemble each coarse diagonal from the responses
+    wstack = xp.stack([w[t] for t in iproduct(range(3), repeat=d)])
+    taps = [delta for delta in iproduct((-1, 0, 1), repeat=d)]
+    offsets_c, rows = [], []
+    for delta in taps:
+        if any(abs(dl) >= cd for dl, cd in zip(delta, coarse_dims)):
+            continue
+        off = sum(dl * st for dl, st in zip(delta, strides_c))
+        # t index of column i+delta, per coarse row i
+        sel = np.zeros(coarse_dims, dtype=np.int64)
+        for ax in range(d):
+            sel = sel * 3 + (mod3[ax] + delta[ax]) % 3
+        sel = sel.ravel()
+        if xp is np:
+            row = wstack[sel, np.arange(nc)]
+        else:
+            # gather-free select for device execution
+            import jax.numpy as jnp
+            row = jnp.zeros((nc,), dtype)
+            for ti, t in enumerate(iproduct(range(3), repeat=d)):
+                row = row + w[t] * xp.asarray(sel == ti, dtype)
+        offsets_c.append(off)
+        rows.append(row)
+
+    order = np.argsort(offsets_c)
+    offsets_c = [offsets_c[i] for i in order]
+    data_c = xp.stack([rows[i] for i in order])
+
+    if validate:
+        rng = np.random.default_rng(0)
+        x = xp.asarray(rng.standard_normal(nc).astype(np.asarray(data).dtype
+                                                      if xp is np else dtype))
+        y1 = dia_apply(offsets_c, data_c, x, xp)
+        y2 = chain(x)
+        err = float(np.max(np.abs(np.asarray(y1 - y2))))
+        scale = float(np.max(np.abs(np.asarray(y2)))) + 1e-30
+        tol = 1e-8 if np.asarray(data_c).dtype == np.float64 else 2e-4
+        if err > tol * scale:
+            raise ValueError(f"comb_rap radius assumption violated: {err}")
+    if xp is np:
+        # drop all-zero diagonals (host path; device wrapper filters after)
+        keep = [k for k in range(len(offsets_c))
+                if float(np.max(np.abs(np.asarray(data_c[k])))) > 0.0]
+        offsets_c = [offsets_c[k] for k in keep]
+        data_c = xp.stack([data_c[k] for k in keep]) if keep else data_c[:0]
+    return offsets_c, data_c
+
+
+def comb_rap_device(offsets, data_f32, dims, coarse_dims, coarsened):
+    """Device-resident comb RAP: one jitted graph per shape set.
+
+    Runs the 3^d probe chains + assembly entirely on the accelerator
+    (gather-free, Pallas-backed DIA applies), then drops zero diagonals and
+    validates the radius contract host-side from one small transfer.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    fn = _device_comb_fn(tuple(offsets), tuple(dims), tuple(coarse_dims),
+                         tuple(bool(c) for c in coarsened))
+    offs_c, data_c = fn(data_f32)
+    # host-side zero filtering + validation probe
+    maxes = np.asarray(jnp.max(jnp.abs(data_c), axis=1))
+    keep = [k for k in range(len(offs_c)) if maxes[k] > 0]
+    offs_c = [offs_c[k] for k in keep]
+    data_c = data_c[np.asarray(keep, np.int64)] if keep else data_c[:0]
+
+    rng = np.random.default_rng(0)
+    nc = int(np.prod(coarse_dims))
+    x = jnp.asarray(rng.standard_normal(nc), data_f32.dtype)
+    y1 = dia_apply(offs_c, data_c, x, jnp)
+    y2 = restrict(dia_apply(offsets, data_f32,
+                            prolong(x, dims, coarse_dims, coarsened, jnp),
+                            jnp), dims, coarse_dims, coarsened, jnp)
+    err = float(jnp.max(jnp.abs(y1 - y2)))
+    scale = float(jnp.max(jnp.abs(y2))) + 1e-30
+    if err > 2e-4 * scale:
+        raise ValueError(f"comb_rap_device radius assumption violated: {err}")
+    return offs_c, data_c
+
+
+def coarse_offsets(coarse_dims):
+    """Static tap offsets of the comb-assembled coarse operator (sorted)."""
+    d = len(coarse_dims)
+    strides = [1] * d
+    for k in range(d - 2, -1, -1):
+        strides[k] = strides[k + 1] * coarse_dims[k + 1]
+    offs = []
+    for delta in iproduct((-1, 0, 1), repeat=d):
+        if any(abs(dl) >= cd for dl, cd in zip(delta, coarse_dims)):
+            continue
+        offs.append(sum(dl * st for dl, st in zip(delta, strides)))
+    return sorted(offs)
+
+
+@__import__("functools").lru_cache(maxsize=64)
+def _device_comb_fn(offsets, dims, coarse_dims, coarsened):
+    import jax
+    import jax.numpy as jnp
+
+    offs_c = coarse_offsets(coarse_dims)
+
+    def f(data):
+        _, data_c = comb_rap(offsets, data, dims, coarse_dims, coarsened,
+                             xp=jnp, validate=False)
+        return data_c
+
+    jitted = jax.jit(f)
+    return lambda data: (list(offs_c), jitted(data))

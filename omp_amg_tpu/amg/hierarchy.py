@@ -115,7 +115,7 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
 
     if isinstance(a, (Dia, Ell)):
         a_dev: object = a
-        a_sp = _to_scipy(a)
+        a_sp = None  # built lazily (dia_to_scipy on huge grids is costly)
     else:
         a_sp = sp.csr_matrix(a)
         a_dev = ell_from_scipy(a_sp)
@@ -128,10 +128,14 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             and isinstance(a_dev, Dia))
     )
     if structured:
-        if grid is None or int(np.prod(grid)) != a_sp.shape[0]:
+        if grid is None or int(np.prod(grid)) != a_dev.shape[0]:
             raise ValueError("structured coarsening requires a matching grid")
+        if keep_host and a_sp is None:
+            a_sp = _to_scipy(a_dev)
         return _amg_setup_structured(a_dev, a_sp, tuple(int(g) for g in grid),
                                      params, keep_host, dtype)
+    if a_sp is None:
+        a_sp = _to_scipy(a_dev)
 
     levels = []
     host_ops = [a_sp]
@@ -203,22 +207,46 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
     return hier
 
 
+def _estimate_lmax_apply(apply_fn, dinv: np.ndarray, n: int,
+                         iters: int = 20) -> float:
+    from .host_setup import hash01_np
+
+    v = hash01_np(np.arange(n)).astype(np.float64) - 0.5
+    v /= np.linalg.norm(v)
+    for _ in range(iters):
+        w = dinv * apply_fn(v)
+        v = w / np.linalg.norm(w)
+    w = dinv * apply_fn(v)
+    return float(v @ w / (v @ v))
+
+
 def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
                           keep_host: bool, dtype):
-    """Structured-mode setup: semicoarsen strong axes, grid transfers, RAP."""
-    from ..ops.rap import galerkin_product
-    from ..sparse.formats import dia_from_scipy
-    from .structured import (
-        GridProlong, GridRestrict, prolong_to_scipy, strong_axes,
-    )
+    """Structured-mode setup: semicoarsen strong axes, grid transfers, RAP.
+
+    The Galerkin product uses lattice-comb probing (:mod:`comb_rap`) on f64
+    numpy DIA planes — no sparse matrix products anywhere in the loop; the
+    scipy SpGEMM remains only as the fallback when the probe detects an
+    operator outside the radius-1 contract.
+    """
+    from ..sparse.formats import Dia, dia_from_scipy, dia_to_scipy
+    from . import comb_rap as cr
+    from .structured import GridProlong, GridRestrict, strong_axes
+
+    # f64 host planes of the current level
+    if isinstance(a_dev, Dia):
+        offsets = list(a_dev.offsets)
+        data = np.asarray(a_dev.data, dtype=np.float64)
+    else:
+        d0 = dia_from_scipy(a_sp, dtype=jnp.float64)
+        offsets, data = list(d0.offsets), np.asarray(d0.data, np.float64)
 
     levels = []
-    host_ops = [a_sp]
-    while (
-        a_sp.shape[0] > params.coarse_size
-        and len(levels) < params.max_levels - 1
-    ):
-        axes = strong_axes(a_dev, dims, params.theta)
+    host_ops = [a_sp] if keep_host else None
+    n = int(np.prod(dims))
+    while n > params.coarse_size and len(levels) < params.max_levels - 1:
+        axes = strong_axes(Dia(data=jnp.asarray(data), offsets=tuple(offsets)),
+                           dims, params.theta)
         if not any(axes):
             break
         coarse_dims = tuple((d + 1) // 2 if c else d
@@ -227,23 +255,53 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
                         coarsened=axes)
         r = GridRestrict(fine_shape=dims, coarse_shape=coarse_dims,
                          coarsened=axes)
-        p_sp = prolong_to_scipy(p)
-        ac_sp = galerkin_product(a_sp, p_sp)
+        try:
+            import os
 
-        dinv = jnp.asarray(1.0 / a_sp.diagonal(), dtype=dtype)
-        lmax = jnp.asarray(_estimate_lmax_host(a_sp, 1.0 / a_sp.diagonal()),
-                           dtype=dtype)
-        levels.append(Level(a=a_dev, dinv=dinv, p=p, r=r, lmax=lmax))
+            if (os.environ.get("OMP_AMG_DEVICE_RAP") == "1"
+                    and jax.default_backend() == "tpu" and n >= (1 << 20)):
+                # accelerator-resident RAP (one jitted comb graph per level)
+                offs_c, data_dev = cr.comb_rap_device(
+                    offsets, jnp.asarray(data, jnp.float32), dims,
+                    coarse_dims, axes)
+                data_c = np.asarray(data_dev, np.float64)
+            else:
+                offs_c, data_c = cr.comb_rap(offsets, data, dims, coarse_dims,
+                                             axes, xp=np)
+        except ValueError:
+            # operator outside the radius-1 contract → exact sparse product
+            from ..ops.rap import galerkin_product
+            from .structured import prolong_to_scipy
 
-        a_sp = ac_sp
-        a_next = dia_from_scipy(ac_sp, dtype=dtype)
-        if len(a_next.offsets) > params.max_structured_diags:
-            a_next = ell_from_scipy(ac_sp, dtype=dtype)  # safety net
-        a_dev = a_next
-        dims = coarse_dims
-        host_ops.append(a_sp)
+            cur_sp = dia_to_scipy(Dia(data=jnp.asarray(data),
+                                      offsets=tuple(offsets)))
+            ac_sp = galerkin_product(cur_sp, prolong_to_scipy(p))
+            dnext = dia_from_scipy(ac_sp, dtype=jnp.float64)
+            offs_c = list(dnext.offsets)
+            data_c = np.asarray(dnext.data, np.float64)
 
-    dense = np.asarray(a_sp.toarray(), dtype=np.float64)
+        diag = data[offsets.index(0)]
+        dinv_np = 1.0 / diag
+        lmax = _estimate_lmax_apply(
+            lambda v: cr.dia_apply(offsets, data, v, np), dinv_np, n)
+        a_lvl = Dia(data=jnp.asarray(data, dtype=dtype),
+                    offsets=tuple(offsets))
+        levels.append(Level(a=a_lvl, dinv=jnp.asarray(dinv_np, dtype=dtype),
+                            p=p, r=r,
+                            lmax=jnp.asarray(lmax, dtype=dtype)))
+        offsets, data, dims = offs_c, np.asarray(data_c), coarse_dims
+        n = int(np.prod(dims))
+        if keep_host:
+            host_ops.append(dia_to_scipy(Dia(data=jnp.asarray(data),
+                                             offsets=tuple(offsets))))
+
+    # densify the coarsest level directly from its diagonals
+    dense = np.zeros((n, n), dtype=np.float64)
+    for k, off in enumerate(offsets):
+        i0, i1 = max(0, -off), min(n, n - off)
+        if i1 > i0:
+            idx = np.arange(i0, i1)
+            dense[idx, idx + off] = data[k, i0:i1]
     chol = np.linalg.cholesky(dense)
     hier = Hierarchy(
         levels=tuple(levels),

@@ -93,3 +93,34 @@ def test_structured_vs_pmis_both_available():
     for h in (h_pmis, h_struct):
         res = amg_pcg(a, b, h, tol=1e-6, maxiter=100)
         assert float(res.rel_residual) <= 1e-6
+
+
+@pytest.mark.parametrize("gen,dims", [
+    (lambda: amg.poisson2d_5pt(12), (12, 12)),
+    (lambda: amg.poisson3d_7pt(6), (6, 6, 6)),
+    (lambda: amg.aniso2d_9pt(10, eps=1e-3), (10, 10)),
+    (lambda: amg.poisson3d_27pt(5), (5, 5, 5)),
+])
+def test_comb_rap_matches_scipy_galerkin(gen, dims):
+    """Lattice-comb RAP == exact scipy sparse triple product."""
+    from omp_amg_tpu.amg import comb_rap as cr
+    from omp_amg_tpu.ops.rap import galerkin_product
+    from omp_amg_tpu.sparse.formats import Dia, dia_to_scipy
+
+    a = gen()
+    axes = strong_axes(a, dims, 0.25)
+    if not any(axes):
+        axes = tuple(True for _ in dims)
+    coarse = tuple((d + 1) // 2 if c else d for d, c in zip(dims, axes))
+    offs, data = list(a.offsets), np.asarray(a.data, np.float64)
+    offs_c, data_c = cr.comb_rap(offs, data, dims, coarse, axes, xp=np)
+
+    p = GridProlong(fine_shape=dims, coarse_shape=coarse, coarsened=axes)
+    ac_ref = galerkin_product(amg.dia_to_scipy(a), prolong_to_scipy(p))
+    nc = ac_ref.shape[0]
+    dense = np.zeros((nc, nc))
+    for k, off in enumerate(offs_c):
+        i0, i1 = max(0, -off), min(nc, nc - off)
+        idx = np.arange(i0, i1)
+        dense[idx, idx + off] = data_c[k, i0:i1]
+    assert np.abs(dense - ac_ref.toarray()).max() < 1e-10 * abs(ac_ref).max()
