@@ -98,20 +98,50 @@ def comb_rap(offsets: Sequence[int], data, dims: Sequence[int],
     coords = np.indices(coarse_dims)  # (d, *coarse_dims) host-only ints
     mod3 = coords % 3
 
+    if xp is np:
+        from .. import native
+
+        use_native = native.available()
+    else:
+        use_native = False
+
     def chain(v):
+        if use_native:
+            return native.restrict(
+                native.dia_apply(offsets, data,
+                                 native.prolong(v, dims, coarse_dims,
+                                                coarsened)),
+                dims, coarse_dims, coarsened)
         return restrict(
             dia_apply(offsets, data, prolong(v, dims, coarse_dims, coarsened, xp), xp),
             dims, coarse_dims, coarsened, xp)
 
-    # 3^d comb responses
+    # 3^d comb responses; with the native library, all combs go through ONE
+    # blocked pass so the operator data streams from memory exactly once
     w = {}
     dtype = data.dtype
-    for t in iproduct(range(3), repeat=d):
-        mask = np.ones(coarse_dims, bool)
-        for ax in range(d):
-            mask &= mod3[ax] == t[ax]
-        v = xp.asarray(mask.ravel().astype(dtype))
-        w[t] = chain(v)
+    tlist = list(iproduct(range(3), repeat=d))
+    if use_native:
+        from .. import native
+
+        v_block = np.zeros((nc, len(tlist)), np.float64)
+        for ti, t in enumerate(tlist):
+            mask = np.ones(coarse_dims, bool)
+            for ax in range(d):
+                mask &= mod3[ax] == t[ax]
+            v_block[mask.ravel(), ti] = 1.0
+        x_block = native.prolong_block(v_block, dims, coarse_dims, coarsened)
+        y_block = native.dia_apply_block(offsets, data, x_block)
+        w_block = native.restrict_block(y_block, dims, coarse_dims, coarsened)
+        for ti, t in enumerate(tlist):
+            w[t] = np.ascontiguousarray(w_block[:, ti])
+    else:
+        for t in tlist:
+            mask = np.ones(coarse_dims, bool)
+            for ax in range(d):
+                mask &= mod3[ax] == t[ax]
+            v = xp.asarray(mask.ravel().astype(dtype))
+            w[t] = chain(v)
 
     # assemble each coarse diagonal from the responses
     wstack = xp.stack([w[t] for t in iproduct(range(3), repeat=d)])
@@ -192,6 +222,31 @@ def comb_rap_device(offsets, data_f32, dims, coarse_dims, coarsened):
     if err > 2e-4 * scale:
         raise ValueError(f"comb_rap_device radius assumption violated: {err}")
     return offs_c, data_c
+
+
+def structured_rap(offsets, data, dims, coarse_dims, coarsened):
+    """Preferred host entry: fused native RAP, probe-validated, with the
+    lattice-comb (numpy) implementation as oracle and fallback."""
+    from .. import native
+
+    if native.available():
+        res = native.rap_stencil(offsets, data, dims, coarse_dims, coarsened)
+        if res is not None:
+            offs_c, data_c = res
+            rng = np.random.default_rng(0)
+            nc = int(np.prod(coarse_dims))
+            x = rng.standard_normal(nc)
+            y1 = dia_apply(offs_c, data_c, x, np)
+            y2 = native.restrict(
+                native.dia_apply(offsets, data,
+                                 native.prolong(x, dims, coarse_dims,
+                                                coarsened)),
+                dims, coarse_dims, coarsened)
+            err = float(np.max(np.abs(y1 - y2)))
+            scale = float(np.max(np.abs(y2))) + 1e-30
+            if err <= 1e-8 * scale:
+                return offs_c, data_c
+    return comb_rap(offsets, data, dims, coarse_dims, coarsened, xp=np)
 
 
 def coarse_offsets(coarse_dims):

@@ -266,8 +266,8 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
                     coarse_dims, axes)
                 data_c = np.asarray(data_dev, np.float64)
             else:
-                offs_c, data_c = cr.comb_rap(offsets, data, dims, coarse_dims,
-                                             axes, xp=np)
+                offs_c, data_c = cr.structured_rap(offsets, data, dims,
+                                                   coarse_dims, axes)
         except ValueError:
             # operator outside the radius-1 contract → exact sparse product
             from ..ops.rap import galerkin_product
@@ -282,8 +282,9 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
 
         diag = data[offsets.index(0)]
         dinv_np = 1.0 / diag
+        from .. import native
         lmax = _estimate_lmax_apply(
-            lambda v: cr.dia_apply(offsets, data, v, np), dinv_np, n)
+            lambda v: native.dia_apply(offsets, data, v), dinv_np, n)
         a_lvl = Dia(data=jnp.asarray(data, dtype=dtype),
                     offsets=tuple(offsets))
         levels.append(Level(a=a_lvl, dinv=jnp.asarray(dinv_np, dtype=dtype),

@@ -1,0 +1,240 @@
+"""ctypes binding for the native OpenMP setup kernels (csrc/native.cc).
+
+Auto-builds ``csrc/libamgnative.so`` on first use (a few seconds of g++,
+cached on disk); every entry point degrades gracefully to the numpy/scipy
+implementation when the toolchain or library is unavailable, so the pure-
+Python framework keeps working anywhere.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_CSRC = Path(__file__).resolve().parent.parent / "csrc"
+_LIB_PATH = _CSRC / "libamgnative.so"
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("OMP_AMG_NO_NATIVE") == "1":
+        return None
+    try:
+        if not _LIB_PATH.exists() or (
+            _LIB_PATH.stat().st_mtime < (_CSRC / "native.cc").stat().st_mtime
+        ):
+            subprocess.run(["make", "-C", str(_CSRC)], check=True,
+                           capture_output=True, timeout=120)
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
+        lib.dia_apply_f64.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                      f64p, f64p, f64p]
+        lib.prolong_last_f64.argtypes = [ctypes.c_int64] * 3 + [f64p, f64p]
+        lib.restrict_last_f64.argtypes = [ctypes.c_int64] * 3 + [f64p, f64p]
+        lib.transpose2d_f64.argtypes = [ctypes.c_int64, ctypes.c_int64, f64p,
+                                        f64p]
+        lib.dia_apply_block_f64.argtypes = [ctypes.c_int64] * 3 + [i64p, f64p,
+                                                                   f64p, f64p]
+        lib.prolong_mid_f64.argtypes = [ctypes.c_int64] * 4 + [f64p, f64p]
+        lib.restrict_mid_f64.argtypes = [ctypes.c_int64] * 4 + [f64p, f64p]
+        lib.rap_stencil_f64.argtypes = [ctypes.c_int64, i64p, i64p, i64p,
+                                        ctypes.c_int64, i64p, i64p, f64p,
+                                        f64p]
+        lib.spgemm_row_nnz.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                       i32p, i64p, i32p, i64p]
+        lib.spgemm_fill.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                    i32p, f64p, i64p, i32p, f64p, i64p, i32p,
+                                    f64p]
+        lib.native_num_threads.restype = ctypes.c_int
+        _lib = lib
+    except Exception:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def dia_apply(offsets, data: np.ndarray, x: np.ndarray) -> np.ndarray:
+    lib = _load()
+    n = x.shape[0]
+    if lib is None:
+        from .amg.comb_rap import dia_apply as np_apply
+
+        return np_apply(list(offsets), data, x, np)
+    y = np.empty_like(x)
+    lib.dia_apply_f64(n, len(offsets),
+                      np.ascontiguousarray(offsets, np.int64),
+                      np.ascontiguousarray(data, np.float64),
+                      np.ascontiguousarray(x, np.float64), y)
+    return y
+
+
+def _apply_axis(x: np.ndarray, axis: int, fn, n_out: int) -> np.ndarray:
+    """Apply a last-axis kernel along ``axis`` of a C-order ndarray."""
+    lib = _load()
+    moved = np.ascontiguousarray(np.moveaxis(x, axis, -1), np.float64)
+    rows = int(np.prod(moved.shape[:-1], dtype=np.int64))
+    n_in = moved.shape[-1]
+    out = np.empty(moved.shape[:-1] + (n_out,), np.float64)
+    fn(rows, n_in, n_out, moved.reshape(rows, n_in), out.reshape(rows, n_out))
+    return np.moveaxis(out, -1, axis)
+
+
+def prolong(xc: np.ndarray, fine_shape, coarse_shape, coarsened) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        from .amg.comb_rap import prolong as np_prolong
+
+        return np_prolong(xc, fine_shape, coarse_shape, coarsened, np)
+    x = xc.reshape(coarse_shape)
+    for ax, c in enumerate(coarsened):
+        if c:
+            x = _apply_axis(x, ax, lib.prolong_last_f64, fine_shape[ax])
+    return x.reshape(-1)
+
+
+def restrict(xf: np.ndarray, fine_shape, coarse_shape, coarsened) -> np.ndarray:
+    lib = _load()
+    if lib is None:
+        from .amg.comb_rap import restrict as np_restrict
+
+        return np_restrict(xf, fine_shape, coarse_shape, coarsened, np)
+    x = xf.reshape(fine_shape)
+    for ax, c in enumerate(coarsened):
+        if c:
+            x = _apply_axis(x, ax, lib.restrict_last_f64, coarse_shape[ax])
+    return x.reshape(-1)
+
+
+def _block_transfer(x2: np.ndarray, from_shape, to_shape, coarsened,
+                    kernel) -> np.ndarray:
+    """Apply a mid-axis transfer kernel along every coarsened axis of a
+    (n, nvec) multi-vector array laid out on ``from_shape``."""
+    lib = _load()
+    nvec = x2.shape[1]
+    dims = list(from_shape)
+    arr = np.ascontiguousarray(x2, np.float64)
+    for ax in range(len(coarsened)):
+        if not coarsened[ax]:
+            continue
+        rows = int(np.prod(dims[:ax], dtype=np.int64))
+        mid = dims[ax]
+        tail = int(np.prod(dims[ax + 1:], dtype=np.int64)) * nvec
+        out = np.empty((rows * to_shape[ax] * tail,), np.float64)
+        kernel(rows, mid, to_shape[ax], tail, arr.reshape(-1), out)
+        dims[ax] = to_shape[ax]
+        arr = out
+    return arr.reshape(-1, nvec)
+
+
+def prolong_block(x2: np.ndarray, fine_shape, coarse_shape, coarsened):
+    return _block_transfer(x2, coarse_shape, fine_shape, coarsened,
+                           _load().prolong_mid_f64)
+
+
+def restrict_block(x2: np.ndarray, fine_shape, coarse_shape, coarsened):
+    return _block_transfer(x2, fine_shape, coarse_shape, coarsened,
+                           _load().restrict_mid_f64)
+
+
+def dia_apply_block(offsets, data: np.ndarray, x2: np.ndarray) -> np.ndarray:
+    lib = _load()
+    n, nvec = x2.shape
+    y = np.empty_like(x2)
+    lib.dia_apply_block_f64(n, len(offsets), nvec,
+                            np.ascontiguousarray(offsets, np.int64),
+                            np.ascontiguousarray(data, np.float64),
+                            np.ascontiguousarray(x2, np.float64), y)
+    return y
+
+
+def rap_stencil(offsets, data: np.ndarray, dims, coarse_dims, coarsened):
+    """Fused direct Galerkin RAP (see csrc rap_stencil_f64). Returns
+    (offsets_c sorted, data_c (k, nc)) with all-zero taps dropped, or None
+    when the native library is unavailable."""
+    from itertools import product as iproduct
+
+    lib = _load()
+    if lib is None:
+        return None
+    d = len(dims)
+    nc = int(np.prod(coarse_dims, dtype=np.int64))
+    strides = [1] * d
+    for k in range(d - 2, -1, -1):
+        strides[k] = strides[k + 1] * dims[k + 1]
+    # balanced per-axis decomposition of each scalar offset (valid because
+    # the masked-zero invariant keeps every stored tap non-wrapping)
+    deltas = np.zeros((len(offsets), d), np.int64)
+    for ki, off in enumerate(offsets):
+        rem = int(off)
+        for ax in range(d):
+            q = int(round(rem / strides[ax]))
+            deltas[ki, ax] = q
+            rem -= q * strides[ax]
+        if rem != 0:
+            return None  # offset not decomposable on this grid
+    out = np.zeros((3 ** d) * nc, np.float64)
+    lib.rap_stencil_f64(
+        d, np.ascontiguousarray(dims, np.int64),
+        np.ascontiguousarray(coarse_dims, np.int64),
+        np.ascontiguousarray([1 if c else 0 for c in coarsened], np.int64),
+        len(offsets), np.ascontiguousarray(offsets, np.int64),
+        np.ascontiguousarray(deltas.ravel(), np.int64),
+        np.ascontiguousarray(data, np.float64), out)
+    out = out.reshape(3 ** d, nc)
+    cstrides = [1] * d
+    for k in range(d - 2, -1, -1):
+        cstrides[k] = cstrides[k + 1] * coarse_dims[k + 1]
+    entries = []
+    for ti, delta in enumerate(iproduct((-1, 0, 1), repeat=d)):
+        if any(abs(dl) >= cd for dl, cd in zip(delta, coarse_dims)):
+            continue
+        if not np.any(out[ti]):
+            continue
+        off = sum(dl * st for dl, st in zip(delta, cstrides))
+        entries.append((off, out[ti]))
+    entries.sort(key=lambda e: e[0])
+    offs_c = [e[0] for e in entries]
+    data_c = np.stack([e[1] for e in entries]) if entries else out[:0]
+    return offs_c, data_c
+
+
+def spgemm(a, b):
+    """C = A @ B for scipy CSR matrices via the native Gustavson kernels."""
+    import scipy.sparse as sp
+
+    lib = _load()
+    if lib is None:
+        return (sp.csr_matrix(a) @ sp.csr_matrix(b)).tocsr()
+    a = sp.csr_matrix(a)
+    b = sp.csr_matrix(b)
+    n, m = a.shape[0], b.shape[1]
+    a_indptr = np.ascontiguousarray(a.indptr, np.int64)
+    b_indptr = np.ascontiguousarray(b.indptr, np.int64)
+    a_idx = np.ascontiguousarray(a.indices, np.int32)
+    b_idx = np.ascontiguousarray(b.indices, np.int32)
+    a_val = np.ascontiguousarray(a.data, np.float64)
+    b_val = np.ascontiguousarray(b.data, np.float64)
+    row_nnz = np.empty(n, np.int64)
+    lib.spgemm_row_nnz(n, m, a_indptr, a_idx, b_indptr, b_idx, row_nnz)
+    c_indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(row_nnz, out=c_indptr[1:])
+    nnz = int(c_indptr[-1])
+    c_idx = np.empty(nnz, np.int32)
+    c_val = np.empty(nnz, np.float64)
+    lib.spgemm_fill(n, m, a_indptr, a_idx, a_val, b_indptr, b_idx, b_val,
+                    c_indptr, c_idx, c_val)
+    return sp.csr_matrix((c_val, c_idx, c_indptr), shape=(n, m))

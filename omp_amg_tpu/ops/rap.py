@@ -21,11 +21,22 @@ import numpy as np
 
 
 def galerkin_product(a_sp, p_sp):
-    """A_c = Pᵀ A P on host (f64, setup phase)."""
+    """A_c = Pᵀ A P on host (f64, setup phase).
+
+    Uses the native OpenMP Gustavson SpGEMM (csrc/native.cc) when built,
+    scipy's single-threaded product otherwise.
+    """
     import scipy.sparse as sp
 
-    ac = (p_sp.T @ sp.csr_matrix(a_sp, dtype=np.float64) @ p_sp).tocsr()
-    ac.sum_duplicates()
+    from ..native import available, spgemm
+
+    a64 = sp.csr_matrix(a_sp, dtype=np.float64)
+    p64 = sp.csr_matrix(p_sp, dtype=np.float64)
+    if available():
+        ac = spgemm(p64.T.tocsr(), spgemm(a64, p64))
+    else:
+        ac = (p64.T @ a64 @ p64).tocsr()
+        ac.sum_duplicates()
     ac.eliminate_zeros()
     ac.sort_indices()
     return ac
