@@ -146,6 +146,8 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
     ):
         n = a_sp.shape[0]
         if flavor == "device":
+            # device flavor implements direct interpolation only (standard
+            # interpolation needs setup-phase sparse products — host path)
             a_ell = _to_ell(a_dev)
             mask = strength_mask(a_ell, params.theta)
             state = pmis(a_ell, mask, max_rounds=params.max_coarsen_rounds)
@@ -165,8 +167,13 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             nc = int(is_c.sum())
             if nc == 0 or n / max(nc, 1) < params.min_coarsen_factor:
                 break
-            p_col, p_val = hs.direct_interpolation_np(col, val, mask, state,
-                                                      cmap, nc)
+            if params.interp == "standard":
+                p_col, p_val = hs.standard_interpolation_np(
+                    col, val, mask, state, cmap, nc,
+                    max_elements=params.interp_max_elements)
+            else:
+                p_col, p_val = hs.direct_interpolation_np(col, val, mask,
+                                                          state, cmap, nc)
             p_sp = ell_planes_to_scipy(p_col, p_val, nc)
             p = Ell(col=jnp.asarray(p_col), val=jnp.asarray(p_val, dtype=dtype),
                     n_cols=nc)

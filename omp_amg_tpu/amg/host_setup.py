@@ -143,3 +143,103 @@ def direct_interpolation_np(col, val, mask, state, cmap, n_coarse):
     p_col[is_c, 0] = cmap[is_c]
     p_val[is_c, 0] = 1.0
     return p_col, p_val
+
+
+def standard_interpolation_np(col, val, mask, state, cmap, n_coarse,
+                              max_elements: int = 6):
+    """Ruge–Stüben 'standard' interpolation (strong-F distribution).
+
+    Strong F-neighbors k of an F-point i are eliminated by distributing
+    e_k over k's own strong-C couplings (fractions of negative couplings),
+    then the resulting C-couplings are scaled like classical interpolation
+    with weak couplings lumped into the diagonal:
+
+        N = A_sC + A_sF · P1,   w_i: = -N_i: / (a_ii + Σ_weak a_ik),
+
+    where P1[k,j] = â_kj / Σ_j â_kj over k's strong-C set (â = negative
+    part). Restores near-grid-independent convergence for PMIS coarsening
+    (direct interpolation alone loses it — see PAPERS.md, De Sterck/Yang).
+    Rows are truncated to ``max_elements`` entries with sign-class rescaling
+    (hypre-style P_max) so the device ELL width stays bounded.
+    """
+    import scipy.sparse as sp
+
+    from ..sparse.formats import ell_planes_to_scipy
+
+    n, k = col.shape
+    rows = np.arange(n, dtype=col.dtype)[:, None]
+    is_diag = col == rows
+    is_c = state == CPOINT
+    is_f_col = (state == FPOINT)[col]
+
+    diag = (val * is_diag).sum(axis=1)
+    strong_c = mask & is_c[col]
+    strong_f = mask & is_f_col
+    weak = ~is_diag & ~strong_c & ~strong_f & (val != 0)
+
+    # P1: distribution fractions over strong-C, negative couplings only
+    neg = val < 0
+    p1_num = val * (strong_c & neg)
+    p1_den = p1_num.sum(axis=1)
+    safe_den = np.where(p1_den != 0, p1_den, 1.0)
+    p1_val = p1_num / safe_den[:, None]
+    # strong-F neighbors whose own strong-C set is empty cannot distribute;
+    # treat those couplings as weak (lump into the diagonal)
+    can_distribute = (p1_den != 0)
+    sf_ok = strong_f & can_distribute[col]
+    weak = weak | (strong_f & ~sf_ok)
+
+    # sparse assembly (host, setup phase): N = A_sC + A_sF_ok @ P1
+    a_sc = ell_planes_to_scipy(np.where(strong_c, col, 0),
+                               val * strong_c, n)
+    a_sf = ell_planes_to_scipy(np.where(strong_f & sf_ok, col, 0),
+                               val * (strong_f & sf_ok), n)
+    p1 = ell_planes_to_scipy(np.where(strong_c & neg, col, 0), p1_val, n)
+    from ..native import spgemm
+    nmat = (a_sc + spgemm(a_sf, p1)).tocsr()
+    nmat.sum_duplicates()
+    # columns of N are C-points by construction: a_sc has strong-C columns;
+    # a_sf @ p1 columns are the strong-C sets of F rows.
+
+    dtil = diag + (val * weak).sum(axis=1)
+
+    # per-row top-|max_elements| truncation with sign-class rescale
+    lengths = np.diff(nmat.indptr)
+    kmax = int(lengths.max(initial=1))
+    ncol, nval, _ = _csr_to_padded(nmat, kmax)
+    wmat = -nval / dtil[:, None]
+    if kmax > max_elements:
+        order = np.argsort(-np.abs(wmat), axis=1)[:, :max_elements]
+        sel_col = np.take_along_axis(ncol, order, axis=1)
+        sel_w = np.take_along_axis(wmat, order, axis=1)
+        # rescale kept entries to preserve each sign-class row sum
+        for sign in (1.0, -1.0):
+            full = (wmat * (np.sign(wmat) == sign)).sum(axis=1)
+            kept = (sel_w * (np.sign(sel_w) == sign)).sum(axis=1)
+            fac = np.where(kept != 0, full / np.where(kept != 0, kept, 1), 1.0)
+            sel_w = np.where(np.sign(sel_w) == sign, sel_w * fac[:, None],
+                             sel_w)
+        ncol, wmat = sel_col, sel_w
+
+    p_col = np.where(wmat != 0, cmap[ncol], 0).astype(np.int32)
+    p_val = wmat.astype(val.dtype) * (wmat != 0)
+    is_c_row = is_c
+    p_col[is_c_row] = 0
+    p_val[is_c_row] = 0
+    p_col[is_c_row, 0] = cmap[is_c_row]
+    p_val[is_c_row, 0] = 1.0
+    return p_col, p_val
+
+
+def _csr_to_padded(m, kmax):
+    """CSR → padded (col, val) planes (col 0 / val 0 padding)."""
+    n = m.shape[0]
+    lengths = np.diff(m.indptr)
+    col = np.zeros((n, max(kmax, 1)), np.int64)
+    val = np.zeros((n, max(kmax, 1)), np.float64)
+    pos = np.arange(m.nnz, dtype=np.int64) - np.repeat(
+        m.indptr[:-1].astype(np.int64), lengths)
+    rr = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    col[rr, pos] = m.indices
+    val[rr, pos] = m.data
+    return col, val, lengths

@@ -8,6 +8,7 @@ import jax.numpy as jnp
 import omp_amg_tpu as amg
 from omp_amg_tpu.amg import host_setup as hs
 from omp_amg_tpu.amg.hierarchy import amg_setup
+from omp_amg_tpu.amg.params import AMGParams
 from omp_amg_tpu.amg.interp import direct_interpolation
 from omp_amg_tpu.amg.pmis import coarse_map, pmis
 from omp_amg_tpu.amg.strength import strength_mask
@@ -56,8 +57,9 @@ def test_host_kernels_match_device(name, theta):
 def test_setup_flavors_produce_same_hierarchy(name):
     a_sp = OPERATORS[name]()
     a_ell = amg.ell_from_scipy(a_sp)
-    h_host, ops_host = amg_setup(a_ell, keep_host=True, flavor="host")
-    h_dev, ops_dev = amg_setup(a_ell, keep_host=True, flavor="device")
+    params = AMGParams(interp="direct")  # device flavor implements direct only
+    h_host, ops_host = amg_setup(a_ell, keep_host=True, flavor="host", params=params)
+    h_dev, ops_dev = amg_setup(a_ell, keep_host=True, flavor="device", params=params)
     assert len(h_host.levels) == len(h_dev.levels)
     for oh, od in zip(ops_host, ops_dev):
         assert (oh != 0).nnz == (od != 0).nnz

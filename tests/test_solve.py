@@ -46,8 +46,10 @@ def test_config1_grid_scaling():
     i1, *_ = solve_count(amg.poisson2d_5pt(32))
     i2, *_ = solve_count(amg.poisson2d_5pt(64))
     i3, *_ = solve_count(amg.poisson2d_5pt(96))
-    assert i1 <= i2 + 1 and i2 <= i3 + 1, (i1, i2, i3)
-    assert i3 - i1 <= 8, f"iterations grew too fast with grid: {i1}, {i2}, {i3}"
+    assert i3 - i1 <= 3, f"standard interp lost grid independence: {i1}, {i2}, {i3}"
+    d1, *_ = solve_count(amg.poisson2d_5pt(32), params=AMGParams(interp="direct"))
+    d3, *_ = solve_count(amg.poisson2d_5pt(96), params=AMGParams(interp="direct"))
+    assert d3 - d1 <= 8, f"direct interp degraded: {d1}, {d3}"
 
 
 def test_config2_3d_7pt():
@@ -121,7 +123,7 @@ def test_preconditioner_is_spd_symmetric():
 def test_vcycle_matches_numpy_reference():
     a_dia = amg.poisson2d_5pt(12)
     a_sp = amg.dia_to_scipy(a_dia)
-    params = AMGParams(coarse_size=20, omega=2.0 / 3.0)  # pin: numpy ref uses fixed 2/3
+    params = AMGParams(coarse_size=20, omega=2.0 / 3.0, interp="direct")  # pin: numpy ref uses fixed 2/3
     hier, host_ops = amg_setup(a_dia, params, keep_host=True)
 
     levels_ref, a_coarse_ref = ref.amg_hierarchy(a_sp, coarse_size=20)
