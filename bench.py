@@ -79,9 +79,9 @@ def main():
         a2 = amg.poisson3d_7pt(ns)
         b2 = amg.default_rhs(a2, "random", seed=0)
         t0 = time.time()
-        hier, host_ops = amg_setup(a2, keep_host=True, grid=(ns, ns, ns))
+        hier = amg_setup(a2, grid=(ns, ns, ns))
         details["setup_s"] = time.time() - t0
-        details["hierarchy"] = hierarchy_stats(hier, host_ops)
+        details["hierarchy"] = hierarchy_stats(hier)
 
         def _solve():
             r = amg_pcg(a2, b2, hier, tol=1e-6, maxiter=200)

@@ -293,7 +293,7 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
         lmax = _estimate_lmax_apply(
             lambda v: native.dia_apply(offsets, data, v), dinv_np, n)
         a_lvl = Dia(data=jnp.asarray(data, dtype=dtype),
-                    offsets=tuple(offsets))
+                    offsets=tuple(offsets), dims=dims)
         levels.append(Level(a=a_lvl, dinv=jnp.asarray(dinv_np, dtype=dtype),
                             p=p, r=r,
                             lmax=jnp.asarray(lmax, dtype=dtype)))

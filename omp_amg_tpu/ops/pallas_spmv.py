@@ -127,6 +127,147 @@ def _make_call(m, offsets, bm, dtype_name, interpret=False):
     return call, len(clusters), k0, k1
 
 
+def _plane_decompose(offsets, plane):
+    """offset → (pz, q, r): plane shift, sublane shift, lane shift."""
+    out = []
+    for d in offsets:
+        pz = int(round(d / plane))
+        rem = d - pz * plane
+        q, r = divmod(rem, LANES)
+        out.append((pz, q, r))
+    return out
+
+
+def _plane_kernel(x_hbm, data_ref, o_ref, xbuf, sems, *, decomp, pr, srows,
+                  ring, nz):
+    i = pl.program_id(0)
+
+    def dma(p):
+        slot = jax.lax.rem(p + ring, ring)
+        last = p >= nz - 1
+
+        @pl.when(~last)
+        def _():
+            pltpu.make_async_copy(x_hbm.at[pl.ds(p * pr, srows), :],
+                                  xbuf.at[slot], sems.at[slot]).start()
+
+        @pl.when(last)
+        def _():
+            pltpu.make_async_copy(x_hbm.at[pl.ds(p * pr, pr), :],
+                                  xbuf.at[slot, :pr, :],
+                                  sems.at[slot]).start()
+
+    def wait(p):
+        slot = jax.lax.rem(p + ring, ring)
+        last = p >= nz - 1
+
+        @pl.when(~last)
+        def _():
+            pltpu.make_async_copy(x_hbm.at[pl.ds(p * pr, srows), :],
+                                  xbuf.at[slot], sems.at[slot]).wait()
+
+        @pl.when(last)
+        def _():
+            pltpu.make_async_copy(x_hbm.at[pl.ds(p * pr, pr), :],
+                                  xbuf.at[slot, :pr, :],
+                                  sems.at[slot]).wait()
+
+    @pl.when(i == 0)
+    def _():
+        # finite-garbage guard for never-DMA'd carry rows and ghost planes
+        xbuf[...] = jnp.zeros_like(xbuf)
+        dma(jnp.int32(0))
+        dma(jnp.int32(1))
+        wait(jnp.int32(0))
+        wait(jnp.int32(1))
+        if nz > 2:
+            dma(jnp.int32(2))
+
+    @pl.when(i > 0)
+    def _():
+        @pl.when(i + 2 < nz)
+        def _():
+            dma(i + 2)
+
+        @pl.when(i + 1 < nz)
+        def _():
+            wait(i + 1)
+
+    def rows(pz, q):
+        """(pr, 128) view of plane i+pz shifted down by q sublane rows."""
+        if q >= 0:
+            slot = jax.lax.rem(i + pz + ring, ring)
+            return xbuf[slot, q : q + pr, :]
+        slot_prev = jax.lax.rem(i + pz - 1 + ring, ring)
+        slot_cur = jax.lax.rem(i + pz + ring, ring)
+        head = xbuf[slot_prev, pr + q : pr, :]
+        tail = xbuf[slot_cur, 0 : pr + q, :]
+        return jnp.concatenate([head, tail], axis=0)
+
+    acc = jnp.zeros((pr, LANES), jnp.float32)
+    for k, (pz, q, r) in enumerate(decomp):
+        a = rows(pz, q)
+        if r == 0:
+            shifted = a
+        else:
+            b = rows(pz, q + 1)
+            shifted = jnp.concatenate([a[:, r:], b[:, :r]], axis=1)
+        acc = acc + data_ref[k] * shifted
+    o_ref[:, :] = acc
+
+
+@functools.lru_cache(maxsize=64)
+def _make_plane_call(nz, pr, offsets, plane, dtype_name, interpret=False):
+    dtype = jnp.dtype(dtype_name)
+    decomp = tuple(_plane_decompose(offsets, plane))
+    if any(abs(pz) > 1 or q < -8 or q + 1 > 8 for pz, q, r in decomp):
+        return None
+    ring = 6
+    srows = pr + 8
+    ndiag = len(offsets)
+    kernel = functools.partial(_plane_kernel, decomp=decomp, pr=pr,
+                               srows=srows, ring=ring, nz=nz)
+    return pl.pallas_call(
+        kernel,
+        grid=(nz,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+            pl.BlockSpec((ndiag, pr, LANES), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((pr, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nz * pr, LANES), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ring, srows, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((ring,)),
+        ],
+        interpret=interpret,
+    )
+
+
+def spmv_dia_planes(a: Dia, x: jax.Array, interpret: bool = False):
+    """Rolling-plane kernel: x streamed from HBM exactly once (plus an 8-row
+    carry per plane) through a 6-slot VMEM ring — the minimum-traffic SpMV
+    for 3D stencil operators. Returns None when the operator doesn't fit the
+    plane contract (caller falls back to the cluster-window kernel)."""
+    if a.dims is None or len(a.dims) != 3:
+        return None
+    nz, ny, nx = a.dims
+    plane = ny * nx
+    if plane % LANES != 0 or plane // LANES < 16 or nz < 8:
+        return None
+    pr = plane // LANES
+    call = _make_plane_call(nz, pr, tuple(a.offsets), plane,
+                            jnp.dtype(x.dtype).name, interpret)
+    if call is None:
+        return None
+    m = a.n_rows // LANES
+    y2 = call(x.reshape(m, LANES),
+              a.data.reshape(len(a.offsets), m, LANES))
+    return y2.reshape(-1)
+
+
 def _edge_spmv(a: Dia, x: jax.Array, r0: int, nrows: int) -> jax.Array:
     """XLA path for rows [r0, r0+nrows) — edge blocks only (tiny pads)."""
     n = a.n_rows
@@ -146,7 +287,11 @@ def _edge_spmv(a: Dia, x: jax.Array, r0: int, nrows: int) -> jax.Array:
 
 def spmv_dia_pallas(a: Dia, x: jax.Array, bm: int = 256,
                     interpret: bool = False) -> jax.Array:
-    """y = A @ x via the Pallas banded kernel."""
+    """y = A @ x via the Pallas banded kernels (rolling-plane when the
+    operator carries 3D grid dims, cluster-window otherwise)."""
+    y = spmv_dia_planes(a, x, interpret=interpret)
+    if y is not None:
+        return y
     n = a.n_rows
     while bm > 8 and n % (LANES * bm) != 0:
         bm //= 2  # shrink the row block until it tiles the operator

@@ -51,7 +51,8 @@ def stencil_to_dia(dims: Sequence[int], taps: Dict[Tuple[int, ...], float],
             shifted = idx_grids[ax] + tap[ax]
             mask &= (shifted >= 0) & (shifted < dims[ax])
         data[k] = value * mask.ravel()
-    return Dia(data=jnp.asarray(data, dtype=dtype), offsets=tuple(offsets))
+    return Dia(data=jnp.asarray(data, dtype=dtype), offsets=tuple(offsets),
+               dims=dims)
 
 
 def poisson2d_5pt(nx: int, ny: int | None = None, dtype=jnp.float32) -> Dia:

@@ -97,11 +97,15 @@ class Dia:
     """Banded (diagonal) storage with static offsets.
 
     ``data[k, i]`` multiplies ``x[i + offsets[k]]``; out-of-range slots are 0.
-    Square matrices only (stencil operators).
+    Square matrices only (stencil operators). ``dims`` optionally records
+    the tensor-grid extents (C order) the operator lives on — the Pallas
+    rolling-plane SpMV kernel uses it to decompose offsets into
+    plane/sublane/lane shifts.
     """
 
     data: jax.Array                  # (ndiag, n) float
     offsets: Tuple[int, ...] = _static()
+    dims: Tuple[int, ...] | None = _static(default=None)
 
     @property
     def n_rows(self) -> int:

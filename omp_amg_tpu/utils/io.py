@@ -40,6 +40,7 @@ def _pack_op(prefix: str, op, out: dict, meta: dict):
     if isinstance(op, Dia):
         meta[prefix + ":kind"] = "dia"
         meta[prefix + ":offsets"] = list(op.offsets)
+        meta[prefix + ":dims"] = list(op.dims) if op.dims else None
         out[prefix + ":data"] = np.asarray(op.data)
     elif isinstance(op, Ell):
         meta[prefix + ":kind"] = "ell"
@@ -60,8 +61,10 @@ def _unpack_op(prefix: str, data: dict, meta: dict):
                    coarse_shape=tuple(meta[prefix + ":coarse"]),
                    coarsened=tuple(meta[prefix + ":axes"]))
     if kind == "dia":
+        dims = meta.get(prefix + ":dims")
         return Dia(data=jnp.asarray(data[prefix + ":data"]),
-                   offsets=tuple(meta[prefix + ":offsets"]))
+                   offsets=tuple(meta[prefix + ":offsets"]),
+                   dims=tuple(dims) if dims else None)
     return Ell(col=jnp.asarray(data[prefix + ":col"]),
                val=jnp.asarray(data[prefix + ":val"]),
                n_cols=int(meta[prefix + ":n_cols"]))

@@ -43,3 +43,29 @@ def test_pallas_dia_large_offsets():
     y = spmv_dia_pallas(a, jnp.asarray(x, jnp.float32), interpret=True)
     ref = amg.dia_to_scipy(a) @ x
     np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-5, atol=1e-4)
+
+
+def test_plane_kernel_matches_scipy_interpret():
+    """Rolling-plane kernel correctness (interpret mode)."""
+    from omp_amg_tpu.ops.pallas_spmv import spmv_dia_planes
+
+    for gen, args in [(amg.poisson3d_7pt, (64, 32, 8)),
+                      (amg.poisson3d_27pt, (32, 64, 9))]:
+        a = gen(*args)
+        assert a.dims is not None
+        n = a.n_rows
+        x = np.random.default_rng(0).standard_normal(n)
+        y = spmv_dia_planes(a, jnp.asarray(x, jnp.float32), interpret=True)
+        assert y is not None, "plane kernel should engage"
+        ref = amg.dia_to_scipy(a) @ x
+        np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-5, atol=1e-4)
+
+
+def test_plane_kernel_fallback_conditions():
+    from omp_amg_tpu.ops.pallas_spmv import spmv_dia_planes
+
+    a2d = amg.poisson2d_5pt(32)  # 2D → no plane kernel
+    assert spmv_dia_planes(a2d, jnp.ones(a2d.n_rows), interpret=True) is None
+    a_small = amg.poisson3d_7pt(4)  # nz < 8 → fallback
+    assert spmv_dia_planes(a_small, jnp.ones(64, jnp.float32),
+                           interpret=True) is None
