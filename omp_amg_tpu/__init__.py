@@ -15,6 +15,12 @@ from .sparse.formats import (  # noqa: F401
     ell_from_scipy, ell_to_scipy, transpose_ell,
 )
 from .ops.spmv import spmv, spmv_csr, spmv_dia, spmv_ell, spmv_t_ell  # noqa: F401
+from .amg.hierarchy import Hierarchy, amg_setup, hierarchy_stats  # noqa: F401
+from .amg.params import AMGParams  # noqa: F401
+from .amg.vcycle import vcycle  # noqa: F401
+from .solver import AMGSolver  # noqa: F401
+from .solvers.cg import amg_pcg, cg, pcg  # noqa: F401
+from .solvers.ir import solve_ir  # noqa: F401
 from .problems.poisson import (  # noqa: F401
     PROBLEMS, aniso2d_9pt, default_rhs, poisson2d_5pt, poisson3d_7pt,
     poisson3d_27pt, stencil_to_dia,

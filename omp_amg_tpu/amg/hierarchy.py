@@ -252,8 +252,7 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
     host_ops = [a_sp] if keep_host else None
     n = int(np.prod(dims))
     while n > params.coarse_size and len(levels) < params.max_levels - 1:
-        axes = strong_axes(Dia(data=jnp.asarray(data), offsets=tuple(offsets)),
-                           dims, params.theta)
+        axes = strong_axes((offsets, data), dims, params.theta)
         if not any(axes):
             break
         coarse_dims = tuple((d + 1) // 2 if c else d

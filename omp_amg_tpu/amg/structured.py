@@ -180,9 +180,12 @@ def strong_axes(a_sp, dims: Tuple[int, ...], theta: float) -> Tuple[bool, ...]:
     """
     from ..sparse.formats import Dia, dia_from_scipy
 
-    d = a_sp if isinstance(a_sp, Dia) else dia_from_scipy(a_sp)
-    data = np.asarray(d.data)
-    offsets = list(d.offsets)
+    if isinstance(a_sp, tuple):  # (offsets, data) host planes — no transfers
+        offsets, data = list(a_sp[0]), np.asarray(a_sp[1])
+    else:
+        d = a_sp if isinstance(a_sp, Dia) else dia_from_scipy(a_sp)
+        data = np.asarray(d.data)
+        offsets = list(d.offsets)
     n = data.shape[1]
     interior = np.abs(data).min(axis=0) > 0  # rows where every tap is active
     if not interior.any():

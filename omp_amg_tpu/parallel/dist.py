@@ -50,6 +50,12 @@ class DistOp:
     m_in: int = _static()        # input rows per shard (padded)
     n_in: int = _static()        # global (padded) input length
     n_in_real: int = _static()   # unpadded input length (for gather/replicated cols)
+    # comm/compute overlap split (halo mode): leading/trailing row counts per
+    # shard that reference halo columns; interior rows touch only the local
+    # block, so XLA's latency-hiding scheduler computes them while the
+    # ppermute strips are in flight (BASELINE "overlapped halo exchange").
+    bnd_lo: int = _static(default=0)
+    bnd_hi: int = _static(default=0)
 
 
 def halo_exchange(x_local: jax.Array, h: int) -> jax.Array:
@@ -70,7 +76,25 @@ def halo_exchange(x_local: jax.Array, h: int) -> jax.Array:
 def dist_spmv(op: DistOp, x_local: jax.Array) -> jax.Array:
     """y_local = (A @ x)_local — called inside shard_map."""
     if op.mode == "halo":
+        lo, hi = op.bnd_lo, op.bnd_hi
         xw = halo_exchange(x_local, op.halo)
+        if lo or hi:
+            # interior rows only touch the local block → their compute has no
+            # data dependence on the ppermute strips and overlaps with them
+            m_loc = x_local.shape[0]
+            n_int = op.col.shape[0] - lo - hi
+            if n_int > 0:
+                int_col = jnp.clip(op.col[lo : lo + n_int] - op.halo,
+                                   0, m_loc - 1)
+                y_int = jnp.sum(op.val[lo : lo + n_int]
+                                * jnp.take(x_local, int_col, axis=0), axis=1)
+                y_lo = jnp.sum(op.val[:lo] * jnp.take(xw, op.col[:lo], axis=0),
+                               axis=1)
+                y_hi = jnp.sum(op.val[lo + n_int :]
+                               * jnp.take(xw, op.col[lo + n_int :], axis=0),
+                               axis=1)
+                return jnp.concatenate([y_lo, y_int, y_hi])
+        return jnp.sum(op.val * jnp.take(xw, op.col, axis=0), axis=1)
     elif op.mode == "gather":
         xg = lax.all_gather(x_local, AXIS, tiled=True)
         xw = xg[: op.n_in_real]
@@ -134,7 +158,8 @@ class DistHierarchy:
 def _op_spec(op: DistOp, sharded_rows: bool):
     s = P(AXIS) if sharded_rows else P(None)
     return DistOp(col=s, val=s, mode=op.mode, halo=op.halo, m_in=op.m_in,
-                  n_in=op.n_in, n_in_real=op.n_in_real)
+                  n_in=op.n_in, n_in_real=op.n_in_real,
+                  bnd_lo=op.bnd_lo, bnd_hi=op.bnd_hi)
 
 
 def dist_specs(dh: DistHierarchy) -> DistHierarchy:

@@ -93,9 +93,31 @@ def _make_dist_op(col, val, *, ndev, out_sharded, in_sharded, m_in,
                       n_in=int(ndev * m_in), n_in_real=int(n_in_real))
 
     local = np.where(valid, rel + h, h).astype(np.int32)
+
+    # comm/compute overlap split: leading/trailing rows (per shard, maxed)
+    # that reference halo columns; the contiguous interior depends only on
+    # the local block
+    bnd_lo = bnd_hi = 0
+    if h > 0:
+        touch = (valid & ((local < h) | (local >= h + m_in))).any(axis=1)
+        touch = touch.reshape(ndev, m_out)
+        mid = m_out // 2
+        for s in range(ndev):
+            idx = np.flatnonzero(touch[s])
+            if len(idx) == 0:
+                continue
+            lo_idx = idx[idx < mid]
+            hi_idx = idx[idx >= mid]
+            if len(lo_idx):
+                bnd_lo = max(bnd_lo, int(lo_idx.max()) + 1)
+            if len(hi_idx):
+                bnd_hi = max(bnd_hi, m_out - int(hi_idx.min()))
+        if bnd_lo + bnd_hi >= m_out:
+            bnd_lo = bnd_hi = 0  # no interior worth splitting
     return DistOp(col=jnp.asarray(local), val=jnp.asarray(valp),
                   mode="halo", halo=int(h), m_in=int(m_in),
-                  n_in=int(ndev * m_in), n_in_real=int(n_in_real))
+                  n_in=int(ndev * m_in), n_in_real=int(n_in_real),
+                  bnd_lo=int(bnd_lo), bnd_hi=int(bnd_hi))
 
 
 def partition_hierarchy(hier: Hierarchy, ndev: int,

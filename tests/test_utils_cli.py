@@ -87,3 +87,18 @@ def test_cli_json(tmp_path):
     assert out2.returncode == 0, out2.stderr[-2000:]
     s2 = json.loads(out2.stdout.strip().splitlines()[-1])
     assert s2["rel_residual"] <= 1e-8
+
+
+def test_solver_facade():
+    a = amg.poisson2d_5pt(32)
+    solver = amg.AMGSolver(a, grid=(32, 32))
+    b = np.asarray(amg.default_rhs(a, "random", seed=0))
+    x = solver.solve(b, tol=1e-8)
+    assert solver.last_info["rel_residual"] <= 1e-8
+    assert solver.last_info["certified_f64"]
+    x2 = solver.solve(b, tol=1e-6, certify=False)
+    assert solver.last_info["iters"] > 0
+    st = solver.stats()
+    assert st["sizes"][0] == 1024
+    z = solver.precondition(jnp.asarray(b, jnp.float32))
+    assert z.shape == (1024,)
