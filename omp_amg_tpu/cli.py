@@ -56,7 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
+    import jax
     import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 
     from . import problems
     from .amg.hierarchy import amg_setup, hierarchy_stats
@@ -71,14 +78,20 @@ def main(argv=None) -> int:
     timers = PhaseTimers()
     with timers.phase("build"):
         grid = None
+        a_host = None
         if args.matrix:
             from .utils.io import read_matrix_market
             a_dev, a_sp = read_matrix_market(args.matrix)
+            a_host = a_sp
         else:
             gen = PROBLEMS[args.problem]
             kw = {"eps": args.eps} if args.problem == "aniso9pt" else {}
-            a_dev = gen(args.n, **kw)
-            a_sp = dia_to_scipy(a_dev)
+            a_np = gen(args.n, backend="numpy", **kw)
+            import jax.numpy as _jnp
+            a_dev = a_np.__class__(data=_jnp.asarray(a_np.data, _jnp.float32),
+                                   offsets=a_np.offsets, dims=a_np.dims)
+            a_host = (list(a_np.offsets), np.asarray(a_np.data, np.float64))
+            a_sp = None  # not needed: IR + truth use the native DIA apply
             ndim = 3 if args.problem.startswith("3d") else 2
             grid = (args.n,) * ndim
         b = (default_rhs(a_dev, args.rhs, args.seed)
@@ -94,14 +107,15 @@ def main(argv=None) -> int:
                        max_levels=args.max_levels)
 
     host_ops = None
+    keep_host = a_dev.shape[0] <= (1 << 20)  # per-level scipy only when cheap
     if args.load_hierarchy:
         from .utils.io import load_hierarchy
         with timers.phase("setup"):
             hier = load_hierarchy(args.load_hierarchy)
     else:
         with timers.phase("setup"):
-            hier, host_ops = amg_setup(a_dev, params, keep_host=True,
-                                       grid=grid)
+            out = amg_setup(a_dev, params, keep_host=keep_host, grid=grid)
+            hier, host_ops = out if keep_host else (out, None)
     if args.save_hierarchy:
         from .utils.io import save_hierarchy
         save_hierarchy(args.save_hierarchy, hier)
@@ -116,18 +130,23 @@ def main(argv=None) -> int:
             iters = int(res.iters)
             rel = float(res.rel_residual)
             b64 = np.asarray(b, np.float64)
-            true_rel = float(
-                np.linalg.norm(b64 - a_sp @ np.asarray(res.x, np.float64))
-                / np.linalg.norm(b64))
+            if isinstance(a_host, tuple):
+                from .native import dia_apply
+                ax = dia_apply(a_host[0], a_host[1],
+                               np.asarray(res.x, np.float64))
+            else:
+                ax = a_host @ np.asarray(res.x, np.float64)
+            true_rel = float(np.linalg.norm(b64 - ax) / np.linalg.norm(b64))
         else:
-            res = solve_ir(a_sp, np.asarray(b, np.float64), a_dev, hier,
+            res = solve_ir(a_host, np.asarray(b, np.float64), a_dev, hier,
                            tol=args.tol, maxiter=args.maxiter)
             iters = sum(res.inner_iters)
             rel = res.rel_residual
             true_rel = res.rel_residual
 
     # SpMV throughput on the fine operator
-    nnz = int(a_sp.nnz)
+    nnz = (int(a_sp.nnz) if a_sp is not None
+           else int(np.count_nonzero(a_host[1])))
     import jax
     spmv_j = jax.jit(spmv)
     t_spmv = timeit(spmv_j, a_dev, b, warmup=2, iters=10)
@@ -135,7 +154,7 @@ def main(argv=None) -> int:
 
     summary = {
         "problem": args.problem if not args.matrix else args.matrix,
-        "n_rows": int(a_sp.shape[0]),
+        "n_rows": int(a_dev.shape[0]),
         "nnz": nnz,
         "levels": stats["levels"],
         "sizes": stats["sizes"],

@@ -24,7 +24,7 @@ from ..sparse.formats import Dia
 
 
 def stencil_to_dia(dims: Sequence[int], taps: Dict[Tuple[int, ...], float],
-                   dtype=jnp.float32) -> Dia:
+                   dtype=jnp.float32, backend: str = "jax") -> Dia:
     """Build a Dirichlet-masked constant-stencil operator as DIA.
 
     ``dims`` are grid extents in C order (slowest axis first); unknown
@@ -51,18 +51,21 @@ def stencil_to_dia(dims: Sequence[int], taps: Dict[Tuple[int, ...], float],
             shifted = idx_grids[ax] + tap[ax]
             mask &= (shifted >= 0) & (shifted < dims[ax])
         data[k] = value * mask.ravel()
+    if backend == "numpy":
+        return Dia(data=data, offsets=tuple(offsets), dims=dims)
     return Dia(data=jnp.asarray(data, dtype=dtype), offsets=tuple(offsets),
                dims=dims)
 
 
-def poisson2d_5pt(nx: int, ny: int | None = None, dtype=jnp.float32) -> Dia:
+def poisson2d_5pt(nx: int, ny: int | None = None, dtype=jnp.float32,
+                  backend: str = "jax") -> Dia:
     ny = nx if ny is None else ny
     taps = {(0, 0): 4.0, (0, 1): -1.0, (0, -1): -1.0, (1, 0): -1.0, (-1, 0): -1.0}
-    return stencil_to_dia((ny, nx), taps, dtype=dtype)
+    return stencil_to_dia((ny, nx), taps, dtype=dtype, backend=backend)
 
 
 def poisson3d_7pt(nx: int, ny: int | None = None, nz: int | None = None,
-                  dtype=jnp.float32) -> Dia:
+                  dtype=jnp.float32, backend: str = "jax") -> Dia:
     ny = nx if ny is None else ny
     nz = nx if nz is None else nz
     taps = {(0, 0, 0): 6.0}
@@ -71,11 +74,11 @@ def poisson3d_7pt(nx: int, ny: int | None = None, nz: int | None = None,
             tap = [0, 0, 0]
             tap[ax] = s
             taps[tuple(tap)] = -1.0
-    return stencil_to_dia((nz, ny, nx), taps, dtype=dtype)
+    return stencil_to_dia((nz, ny, nx), taps, dtype=dtype, backend=backend)
 
 
 def poisson3d_27pt(nx: int, ny: int | None = None, nz: int | None = None,
-                   dtype=jnp.float32) -> Dia:
+                   dtype=jnp.float32, backend: str = "jax") -> Dia:
     """27-point 3D Laplacian (all 26 neighbors -1, center 26)."""
     ny = nx if ny is None else ny
     nz = nx if nz is None else nz
@@ -87,11 +90,11 @@ def poisson3d_27pt(nx: int, ny: int | None = None, nz: int | None = None,
                     taps[(0, 0, 0)] = 26.0
                 else:
                     taps[(dz, dy, dx)] = -1.0
-    return stencil_to_dia((nz, ny, nx), taps, dtype=dtype)
+    return stencil_to_dia((nz, ny, nx), taps, dtype=dtype, backend=backend)
 
 
 def aniso2d_9pt(nx: int, ny: int | None = None, eps: float = 1e-3,
-                dtype=jnp.float32) -> Dia:
+                dtype=jnp.float32, backend: str = "jax") -> Dia:
     """-eps*u_xx - u_yy with bilinear quad FEM → 9-point stencil.
 
     Tensor-product assembly: A = eps*(M_y ⊗ K_x) + (K_y ⊗ M_x) with 1D
@@ -107,7 +110,7 @@ def aniso2d_9pt(nx: int, ny: int | None = None, eps: float = 1e-3,
     for dy in (-1, 0, 1):
         for dx in (-1, 0, 1):
             taps[(dy, dx)] = eps * M1[dy] * K1[dx] + K1[dy] * M1[dx]
-    return stencil_to_dia((ny, nx), taps, dtype=dtype)
+    return stencil_to_dia((ny, nx), taps, dtype=dtype, backend=backend)
 
 
 def default_rhs(a: Dia, kind: str = "random", seed: int = 0) -> jnp.ndarray:

@@ -33,9 +33,22 @@ def solve_ir(a_host, b, a_dev, hier: Hierarchy, tol: float = 1e-8,
              max_outer: int = 8) -> IRResult:
     """Solve to f64 tolerance ``tol`` using the f32 device AMG-PCG.
 
-    ``a_host``: scipy CSR in f64 (true-residual operator);
+    ``a_host``: the true-residual operator in f64 — a scipy matrix, a
+    callable ``v -> A v``, or ``(offsets, data)`` DIA planes (applied via
+    the native OpenMP kernel — avoids materializing a CSR copy of huge
+    stencil operators);
     ``a_dev``: device operator (Dia/Ell) matching ``hier``'s fine level.
     """
+    if isinstance(a_host, tuple):
+        offsets, data = a_host
+        data = np.asarray(data, np.float64)
+        from .. import native
+
+        a_apply = lambda v: native.dia_apply(list(offsets), data, v)
+    elif callable(getattr(a_host, "__matmul__", None)) and hasattr(a_host, "shape"):
+        a_apply = lambda v: a_host @ v
+    else:
+        a_apply = a_host
     b = np.asarray(b, dtype=np.float64)
     bnorm = np.linalg.norm(b)
     if bnorm == 0:
@@ -44,7 +57,7 @@ def solve_ir(a_host, b, a_dev, hier: Hierarchy, tol: float = 1e-8,
     inner_iters = []
     rel = 1.0
     for outer in range(max_outer):
-        r = b - a_host @ x
+        r = b - a_apply(x)
         rel = float(np.linalg.norm(r) / bnorm)
         if rel <= tol:
             return IRResult(x, outer, inner_iters, rel)
@@ -53,6 +66,6 @@ def solve_ir(a_host, b, a_dev, hier: Hierarchy, tol: float = 1e-8,
                       hier, tol=inner_tol, maxiter=maxiter)
         inner_iters.append(int(res.iters))
         x = x + scale * np.asarray(res.x, dtype=np.float64)
-    r = b - a_host @ x
+    r = b - a_apply(x)
     rel = float(np.linalg.norm(r) / bnorm)
     return IRResult(x, max_outer, inner_iters, rel)
