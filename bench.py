@@ -46,8 +46,9 @@ def main():
 
     # ---- headline: SpMV Gnnz/s on 7pt n^3 ----
     t0 = time.time()
-    a = amg.poisson3d_7pt(n)
+    a = amg.poisson3d_7pt(n, backend="device")  # built on-chip, no transfer
     b = amg.default_rhs(a, "random", seed=0)
+    jax.block_until_ready(a.data)
     details["gen_s"] = time.time() - t0
     nnz = sum(a.n_rows - abs(o) for o in a.offsets)
     f = jax.jit(spmv)

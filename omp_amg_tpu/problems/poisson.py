@@ -40,12 +40,16 @@ def stencil_to_dia(dims: Sequence[int], taps: Dict[Tuple[int, ...], float],
     n = int(np.prod(dims))
 
     items = sorted(taps.items(), key=lambda kv: sum(d * s for d, s in zip(kv[0], strides)))
-    offsets = []
+    offsets = [sum(d * s for d, s in zip(tap, strides)) for tap, _ in items]
+    if backend == "device":
+        # build the diagonal planes on the accelerator: pure iota/compare —
+        # avoids shipping O(ndiag·n) data through the (slow) host→device path
+        return Dia(data=_stencil_data_device(dims, tuple(strides),
+                                             tuple(items), dtype),
+                   offsets=tuple(offsets), dims=dims)
     data = np.zeros((len(items), n), dtype=np.float64)
     idx_grids = np.meshgrid(*[np.arange(d) for d in dims], indexing="ij")
     for k, (tap, value) in enumerate(items):
-        off = sum(d * s for d, s in zip(tap, strides))
-        offsets.append(off)
         mask = np.ones(dims, dtype=bool)
         for ax in range(ndim):
             shifted = idx_grids[ax] + tap[ax]
@@ -55,6 +59,27 @@ def stencil_to_dia(dims: Sequence[int], taps: Dict[Tuple[int, ...], float],
         return Dia(data=data, offsets=tuple(offsets), dims=dims)
     return Dia(data=jnp.asarray(data, dtype=dtype), offsets=tuple(offsets),
                dims=dims)
+
+
+def _stencil_data_device(dims, strides, items, dtype):
+    import jax
+
+    @jax.jit
+    def build():
+        n = int(np.prod(dims))
+        idx = jnp.arange(n, dtype=jnp.int32)
+        planes = []
+        for tap, value in items:
+            mask = jnp.ones((n,), jnp.bool_)
+            for ax, d in enumerate(dims):
+                c = (idx // strides[ax]) % d
+                s = c + tap[ax]
+                mask = mask & (s >= 0) & (s < d)
+            planes.append(jnp.where(mask, jnp.asarray(value, dtype),
+                                    jnp.asarray(0, dtype)))
+        return jnp.stack(planes)
+
+    return build()
 
 
 def poisson2d_5pt(nx: int, ny: int | None = None, dtype=jnp.float32,

@@ -98,3 +98,13 @@ def test_coo_assembly_sums_duplicates():
     a = F.coo_to_csr(rows, cols, vals, shape=(3, 3))
     dense = F.csr_to_scipy(a).toarray()
     np.testing.assert_allclose(dense, [[3, 0, 0], [0, 5, 0], [1, 0, 4]])
+
+
+def test_device_backend_generator_matches_host():
+    for gen, args in [(poisson3d_7pt, (8,)), (poisson2d_5pt, (9, 7)),
+                      (aniso2d_9pt, (8,)), (poisson3d_27pt, (5,))]:
+        a_h = gen(*args)
+        a_d = gen(*args, backend="device")
+        assert a_h.offsets == a_d.offsets
+        np.testing.assert_allclose(np.asarray(a_d.data), np.asarray(a_h.data),
+                                   rtol=1e-6, atol=0)
