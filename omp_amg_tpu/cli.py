@@ -65,12 +65,10 @@ def main(argv=None) -> int:
     except Exception:
         pass
 
-    from . import problems
     from .amg.hierarchy import amg_setup, hierarchy_stats
     from .amg.params import AMGParams
     from .ops.spmv import spmv
     from .problems.poisson import PROBLEMS, default_rhs
-    from .sparse.formats import dia_to_scipy
     from .solvers.cg import amg_pcg
     from .solvers.ir import solve_ir
     from .utils.timers import PhaseTimers, gnnz_per_s, timeit

@@ -124,3 +124,26 @@ def test_comb_rap_matches_scipy_galerkin(gen, dims):
         idx = np.arange(i0, i1)
         dense[idx, idx + off] = data_c[k, i0:i1]
     assert np.abs(dense - ac_ref.toarray()).max() < 1e-10 * abs(ac_ref).max()
+
+
+def test_structured_non_cubic_grid():
+    a = amg.poisson3d_7pt(24, 16, 12)  # dims (12, 16, 24)
+    b = amg.default_rhs(a, "random", seed=0)
+    hier = amg_setup(a, grid=(12, 16, 24))
+    res = amg_pcg(a, b, hier, tol=1e-6, maxiter=100)
+    assert float(res.rel_residual) <= 1e-6
+    assert int(res.iters) <= 14
+    a_sp = amg.dia_to_scipy(a)
+    true_rel = np.linalg.norm(
+        np.asarray(b, np.float64) - a_sp @ np.asarray(res.x, np.float64)
+    ) / np.linalg.norm(np.asarray(b, np.float64))
+    assert true_rel <= 1e-4
+
+
+def test_structured_odd_sizes():
+    a = amg.poisson2d_5pt(37, 23)  # odd, non-square
+    b = amg.default_rhs(a, "random", seed=0)
+    hier = amg_setup(a, grid=(23, 37))
+    res = amg_pcg(a, b, hier, tol=1e-6, maxiter=100)
+    assert float(res.rel_residual) <= 1e-6
+    assert int(res.iters) <= 14
