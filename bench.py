@@ -51,6 +51,9 @@ def main():
     jax.block_until_ready(a.data)
     details["gen_s"] = time.time() - t0
     nnz = sum(a.n_rows - abs(o) for o in a.offsets)
+    apm = amg.to_plane_dia(a)
+    if apm is not None:
+        a = apm  # plane-major layout: one contiguous DMA per kernel step
     f = jax.jit(spmv)
     # fused-loop timing: the iteration loop runs INSIDE one jit dispatch and
     # feeds y back through the data dependence — the only methodology that

@@ -52,11 +52,18 @@ def spmv(a, x: jax.Array) -> jax.Array:
     from ..amg.structured import (
         GridProlong, GridRestrict, apply_prolong, apply_restrict,
     )
+    from ..sparse.formats import PlaneDia, plane_to_dia
 
     if isinstance(a, GridProlong):
         return apply_prolong(a, x)
     if isinstance(a, GridRestrict):
         return apply_restrict(a, x)
+    if isinstance(a, PlaneDia):
+        if jax.default_backend() == "tpu":
+            from .pallas_spmv import spmv_plane_dia
+
+            return spmv_plane_dia(a, x)
+        return spmv_dia(plane_to_dia(a), x)
     if isinstance(a, Dia):
         if jax.default_backend() == "tpu":
             from .pallas_spmv import spmv_dia_pallas

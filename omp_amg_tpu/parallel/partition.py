@@ -46,6 +46,10 @@ def _ell_np(op) -> tuple[np.ndarray, np.ndarray, int]:
         m = p_sp if isinstance(op, GridProlong) else p_sp.T.tocsr()
         col, val, n_cols = ell_planes_from_scipy(m)
         return col, val, n_cols
+    from ..sparse.formats import PlaneDia, plane_to_dia
+
+    if isinstance(op, PlaneDia):
+        op = plane_to_dia(op)
     ell = dia_to_ell(op) if isinstance(op, Dia) else op
     return np.asarray(ell.col), np.asarray(ell.val), ell.n_cols
 

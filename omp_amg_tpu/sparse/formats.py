@@ -124,6 +124,62 @@ class Dia:
         return self.data.dtype
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class PlaneDia:
+    """Banded operator in plane-major layout for the rolling-plane kernel.
+
+    ``data4[p, k, s, l]`` = the value of diagonal ``offsets[k]`` at grid row
+    ``p·(plane/128)·128 + s·128 + l`` — i.e. the per-z-plane slab of every
+    diagonal stored contiguously, so the SpMV kernel issues ONE contiguous
+    DMA per grid step (the diag-major layout's strided slab reads halve
+    effective bandwidth: 39 → 81 Gnnz/s measured at 7-pt 256³).
+
+    Built once per operator at setup time (``to_plane_dia``).
+    """
+
+    data4: jax.Array                 # (nz, ndiag, plane//128, 128)
+    offsets: Tuple[int, ...] = _static()
+    dims: Tuple[int, ...] = _static()
+
+    @property
+    def n_rows(self) -> int:
+        nz, _, pr, lanes = self.data4.shape
+        return nz * pr * lanes
+
+    @property
+    def n_cols(self) -> int:
+        return self.n_rows
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_rows, self.n_rows)
+
+    @property
+    def dtype(self):
+        return self.data4.dtype
+
+
+def to_plane_dia(a: Dia):
+    """Dia → PlaneDia when the 3D plane contract holds, else None."""
+    if a.dims is None or len(a.dims) != 3:
+        return None
+    nz, ny, nx = a.dims
+    plane = ny * nx
+    if plane % 128 != 0 or plane // 128 < 16 or nz < 8:
+        return None
+    pr = plane // 128
+    ndiag = len(a.offsets)
+    data4 = jnp.transpose(a.data.reshape(ndiag, nz, pr, 128), (1, 0, 2, 3))
+    return PlaneDia(data4=data4, offsets=a.offsets, dims=a.dims)
+
+
+def plane_to_dia(a: PlaneDia) -> Dia:
+    nz, ndiag, pr, lanes = a.data4.shape
+    data = jnp.transpose(a.data4, (1, 0, 2, 3)).reshape(ndiag, nz * pr * lanes)
+    return Dia(data=data, offsets=a.offsets, dims=a.dims)
+
+
 # ---------------------------------------------------------------------------
 # Host-side constructors / converters (numpy & scipy interop; setup phase only)
 # ---------------------------------------------------------------------------
@@ -278,6 +334,8 @@ def transpose_ell(a: Ell, width: int | None = None) -> Ell:
 
 def diagonal(a) -> jax.Array:
     """Extract the main diagonal of any format (device op for Ell/Dia)."""
+    if isinstance(a, PlaneDia):
+        a = plane_to_dia(a)
     if isinstance(a, Dia):
         if 0 in a.offsets:
             return a.data[a.offsets.index(0)]

@@ -37,6 +37,14 @@ def _pack_op(prefix: str, op, out: dict, meta: dict):
         meta[prefix + ":coarse"] = list(op.coarse_shape)
         meta[prefix + ":axes"] = [bool(c) for c in op.coarsened]
         return
+    from ..sparse.formats import PlaneDia
+
+    if isinstance(op, PlaneDia):
+        meta[prefix + ":kind"] = "pdia"
+        meta[prefix + ":offsets"] = list(op.offsets)
+        meta[prefix + ":dims"] = list(op.dims)
+        out[prefix + ":data4"] = np.asarray(op.data4)
+        return
     if isinstance(op, Dia):
         meta[prefix + ":kind"] = "dia"
         meta[prefix + ":offsets"] = list(op.offsets)
@@ -60,6 +68,12 @@ def _unpack_op(prefix: str, data: dict, meta: dict):
         return cls(fine_shape=tuple(meta[prefix + ":fine"]),
                    coarse_shape=tuple(meta[prefix + ":coarse"]),
                    coarsened=tuple(meta[prefix + ":axes"]))
+    if kind == "pdia":
+        from ..sparse.formats import PlaneDia
+
+        return PlaneDia(data4=jnp.asarray(data[prefix + ":data4"]),
+                        offsets=tuple(meta[prefix + ":offsets"]),
+                        dims=tuple(meta[prefix + ":dims"]))
     if kind == "dia":
         dims = meta.get(prefix + ":dims")
         return Dia(data=jnp.asarray(data[prefix + ":data"]),
