@@ -82,9 +82,27 @@ def main():
         ns = int(os.environ.get("BENCH_SOLVE_N", "128"))
         a2 = amg.poisson3d_7pt(ns)
         b2 = amg.default_rhs(a2, "random", seed=0)
+
+        # RAP throughput (BASELINE metric "SpMV+RAP nnz/s per chip"):
+        # fused native Galerkin product over the fine operator
+        from omp_amg_tpu.amg.comb_rap import structured_rap
+        a_np = amg.poisson3d_7pt(ns, backend="numpy")
+        nnz2 = int(np.count_nonzero(a_np.data))
         t0 = time.time()
-        hier = amg_setup(a2, grid=(ns, ns, ns))
+        structured_rap(list(a_np.offsets), np.asarray(a_np.data, np.float64),
+                       (ns, ns, ns), (ns // 2,) * 3, (True, True, True))
+        rap_s = time.time() - t0
+        details["rap_s"] = rap_s
+        details["rap_gnnz_per_s"] = nnz2 / rap_s / 1e9
+        log(f"RAP 7pt {ns}^3 (native fused): {rap_s:.2f}s "
+            f"= {nnz2/rap_s/1e9:.2f} Gnnz/s")
+
+        t0 = time.time()
+        setup_flavor = ("device" if os.environ.get("BENCH_DEVICE_SETUP") == "1"
+                        else "host")
+        hier = amg_setup(a2, grid=(ns, ns, ns), flavor=setup_flavor)
         details["setup_s"] = time.time() - t0
+        details["setup_flavor"] = setup_flavor
         details["hierarchy"] = hierarchy_stats(hier)
 
         def _solve():

@@ -33,20 +33,24 @@ import numpy as np
 def dia_apply(offsets: Sequence[int], data, x, xp=np):
     """y = A x for DIA planes (data[k, i] multiplies x[i+off])."""
     n = x.shape[0]
+    if xp is np:
+        y = np.zeros_like(x)
+        for k, off in enumerate(offsets):
+            i0, i1 = max(0, -off), min(n, n - off)
+            if i1 > i0:
+                y[i0:i1] += data[k, i0:i1] * x[i0 + off : i1 + off]
+        return y
+    # device path: pad + static slices (fusable streaming; the scatter-add
+    # formulation exceeds TPU scoped-VMEM limits in big fusions)
+    import jax.lax as lax
+
+    lo = max(0, -min(offsets)) if offsets else 0
+    hi = max(0, max(offsets)) if offsets else 0
+    xpad = xp.pad(x, (lo, hi))
     y = xp.zeros_like(x)
     for k, off in enumerate(offsets):
-        i0, i1 = max(0, -off), min(n, n - off)
-        if i1 <= i0:
-            continue
-        y = _add_range(y, i0, i1, data[k, i0:i1] * x[i0 + off : i1 + off], xp)
+        y = y + data[k] * lax.dynamic_slice(xpad, (off + lo,), (n,))
     return y
-
-
-def _add_range(y, i0, i1, val, xp):
-    if xp is np:
-        y[i0:i1] += val
-        return y
-    return y.at[i0:i1].add(val)
 
 
 def _prolong_axis(x, axis: int, n_f: int, xp=np):
@@ -135,13 +139,26 @@ def comb_rap(offsets: Sequence[int], data, dims: Sequence[int],
         w_block = native.restrict_block(y_block, dims, coarse_dims, coarsened)
         for ti, t in enumerate(tlist):
             w[t] = np.ascontiguousarray(w_block[:, ti])
-    else:
+    elif xp is np:
         for t in tlist:
             mask = np.ones(coarse_dims, bool)
             for ax in range(d):
                 mask &= mod3[ax] == t[ax]
             v = xp.asarray(mask.ravel().astype(dtype))
             w[t] = chain(v)
+    else:
+        # device path: build combs from on-device coordinates — shipping the
+        # host masks would cost 3^d × nc of transfer through the relay
+        mod3_dev = []
+        for ax in range(d):
+            stride = int(np.prod(coarse_dims[ax + 1:], dtype=np.int64))
+            c = (xp.arange(nc, dtype=xp.int32) // stride) % coarse_dims[ax]
+            mod3_dev.append(c % 3)
+        for t in tlist:
+            m = xp.ones((nc,), bool)
+            for ax in range(d):
+                m = m & (mod3_dev[ax] == t[ax])
+            w[t] = chain(m.astype(dtype))
 
     # assemble each coarse diagonal from the responses
     wstack = xp.stack([w[t] for t in iproduct(range(3), repeat=d)])
@@ -159,11 +176,16 @@ def comb_rap(offsets: Sequence[int], data, dims: Sequence[int],
         if xp is np:
             row = wstack[sel, np.arange(nc)]
         else:
-            # gather-free select for device execution
-            import jax.numpy as jnp
-            row = jnp.zeros((nc,), dtype)
+            # gather-free select for device execution; selector built from
+            # on-device coordinates (no host mask transfers)
+            tsel = xp.zeros((nc,), xp.int32)
+            for ax in range(d):
+                stride = int(np.prod(coarse_dims[ax + 1:], dtype=np.int64))
+                c = (xp.arange(nc, dtype=xp.int32) // stride) % coarse_dims[ax]
+                tsel = tsel * 3 + (c % 3 + delta[ax]) % 3
+            row = xp.zeros((nc,), dtype)
             for ti, t in enumerate(iproduct(range(3), repeat=d)):
-                row = row + w[t] * xp.asarray(sel == ti, dtype)
+                row = row + w[t] * (tsel == ti).astype(dtype)
         offsets_c.append(off)
         rows.append(row)
 

@@ -130,6 +130,9 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
     if structured:
         if grid is None or int(np.prod(grid)) != a_dev.shape[0]:
             raise ValueError("structured coarsening requires a matching grid")
+        if flavor == "device":
+            return _amg_setup_structured_device(
+                a_dev, tuple(int(g) for g in grid), params, dtype)
         if keep_host and a_sp is None:
             a_sp = _to_scipy(a_dev)
         return _amg_setup_structured(a_dev, a_sp, tuple(int(g) for g in grid),
@@ -325,6 +328,75 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
     if keep_host:
         return hier, host_ops
     return hier
+
+
+@jax.jit
+def _diag_stats(data):
+    """(per-diagonal nonzero-mean, count) — the only per-level host pulls of
+    the device-resident setup."""
+    counts = jnp.sum(data != 0, axis=1)
+    sums = jnp.sum(data, axis=1)
+    return sums / jnp.maximum(counts, 1), counts
+
+
+def _amg_setup_structured_device(a_dev, dims, params: AMGParams, dtype):
+    """Accelerator-resident structured setup (SURVEY.md L2 contract).
+
+    Every level's operator stays on device: Galerkin RAP via the jitted
+    lattice-comb graph, λmax by on-device power iteration, diagonals by
+    slicing. Only O(ndiag) scalars (axis statistics, validation residual)
+    and the tiny coarsest matrix cross the host boundary. First run pays
+    one XLA compile per level shape (amortized by the persistent cache).
+    """
+    from ..sparse.formats import Dia, to_plane_dia
+    from . import comb_rap as cr
+    from .structured import (
+        GridProlong, GridRestrict, strong_axes_from_values,
+    )
+
+    if not isinstance(a_dev, Dia):
+        raise TypeError("device structured setup needs a Dia operator")
+    offsets = list(a_dev.offsets)
+    data = jnp.asarray(a_dev.data, dtype)
+    levels = []
+    n = int(np.prod(dims))
+    while n > params.coarse_size and len(levels) < params.max_levels - 1:
+        means, _ = _diag_stats(data)
+        axes = strong_axes_from_values(offsets, np.asarray(means), dims,
+                                       params.theta)
+        if not any(axes):
+            break
+        coarse_dims = tuple((d + 1) // 2 if c else d
+                            for d, c in zip(dims, axes))
+        p = GridProlong(fine_shape=dims, coarse_shape=coarse_dims,
+                        coarsened=axes)
+        r = GridRestrict(fine_shape=dims, coarse_shape=coarse_dims,
+                         coarsened=axes)
+        offs_c, data_c = cr.comb_rap_device(offsets, data, dims, coarse_dims,
+                                            axes)
+        diag = data[offsets.index(0)]
+        dinv = 1.0 / diag
+        cur = Dia(data=data, offsets=tuple(offsets), dims=dims)
+        lmax = jax.jit(estimate_lmax)(cur, dinv).astype(dtype)
+        a_lvl = to_plane_dia(cur)
+        if a_lvl is None:
+            a_lvl = cur
+        levels.append(Level(a=a_lvl, dinv=dinv.astype(dtype), p=p, r=r,
+                            lmax=lmax))
+        offsets, data, dims = offs_c, jnp.asarray(data_c, dtype), coarse_dims
+        n = int(np.prod(dims))
+
+    data_np = np.asarray(data, np.float64)
+    dense = np.zeros((n, n), dtype=np.float64)
+    for k, off in enumerate(offsets):
+        i0, i1 = max(0, -off), min(n, n - off)
+        if i1 > i0:
+            idx = np.arange(i0, i1)
+            dense[idx, idx + off] = data_np[k, i0:i1]
+    chol = np.linalg.cholesky(dense)
+    return Hierarchy(levels=tuple(levels),
+                     coarse_chol=jnp.asarray(chol, dtype=dtype),
+                     coarse_a=jnp.asarray(dense, dtype=dtype), params=params)
 
 
 def hierarchy_stats(hier: Hierarchy, host_ops=None) -> dict:

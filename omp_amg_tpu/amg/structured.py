@@ -165,6 +165,23 @@ def axis_deltas(offsets: Sequence[int], dims: Tuple[int, ...]) -> np.ndarray:
     return out
 
 
+def strong_axes_from_values(offsets, values, dims: Tuple[int, ...],
+                            theta: float) -> Tuple[bool, ...]:
+    """Axis selection from one representative value per diagonal (see
+    strong_axes; ``values`` may be medians or nonzero-means — identical for
+    constant-stencil interiors)."""
+    values = np.asarray(values, np.float64)
+    deltas = axis_deltas(offsets, dims)
+    c = np.zeros(len(dims))
+    for ax in range(len(dims)):
+        c[ax] = max(0.0, float(np.sum(-values * (deltas[:, ax] ** 2))))
+    cmax = c.max()
+    if cmax <= 0:
+        return tuple(False for _ in dims)
+    return tuple(bool(c[ax] >= theta * cmax and dims[ax] > 2)
+                 for ax in range(len(dims)))
+
+
 def strong_axes(a_sp, dims: Tuple[int, ...], theta: float) -> Tuple[bool, ...]:
     """Directional-stiffness axis selection.
 
@@ -192,12 +209,4 @@ def strong_axes(a_sp, dims: Tuple[int, ...], theta: float) -> Tuple[bool, ...]:
         interior = np.ones(n, bool)
     med = np.array([float(np.median(data[k][interior]))
                     for k in range(len(offsets))])
-    deltas = axis_deltas(offsets, dims)
-    c = np.zeros(len(dims))
-    for ax in range(len(dims)):
-        c[ax] = max(0.0, float(np.sum(-med * (deltas[:, ax] ** 2))))
-    cmax = c.max()
-    if cmax <= 0:
-        return tuple(False for _ in dims)
-    return tuple(bool(c[ax] >= theta * cmax and dims[ax] > 2)
-                 for ax in range(len(dims)))
+    return strong_axes_from_values(offsets, med, dims, theta)

@@ -147,3 +147,28 @@ def test_structured_odd_sizes():
     res = amg_pcg(a, b, hier, tol=1e-6, maxiter=100)
     assert float(res.rel_residual) <= 1e-6
     assert int(res.iters) <= 14
+
+
+def test_device_structured_setup_matches_host():
+    """Accelerator-resident setup: same hierarchy shape, converging solve."""
+    a = amg.poisson3d_7pt(16)
+    b = amg.default_rhs(a, "random", seed=0)
+    h_host = amg_setup(a, grid=(16, 16, 16))
+    h_dev = amg_setup(a, grid=(16, 16, 16), flavor="device")
+    assert len(h_dev.levels) == len(h_host.levels)
+    for lh, ld in zip(h_host.levels, h_dev.levels):
+        assert lh.p.coarse_shape == ld.p.coarse_shape
+        assert lh.p.coarsened == ld.p.coarsened
+        np.testing.assert_allclose(float(lh.lmax), float(ld.lmax), rtol=1e-2)
+    res = amg_pcg(a, b, h_dev, tol=1e-6, maxiter=100)
+    assert float(res.rel_residual) <= 1e-6
+    assert int(res.iters) <= 12
+
+
+def test_device_structured_setup_aniso():
+    a = amg.aniso2d_9pt(32, eps=1e-3)
+    h_dev = amg_setup(a, grid=(32, 32), flavor="device")
+    assert h_dev.levels[0].p.coarsened == (True, False)  # semicoarsening kept
+    b = amg.default_rhs(a, "random", seed=0)
+    res = amg_pcg(a, b, h_dev, tol=1e-6, maxiter=100)
+    assert float(res.rel_residual) <= 1e-6
