@@ -51,7 +51,7 @@ def main():
     jax.block_until_ready(a.data)
     details["gen_s"] = time.time() - t0
     nnz = sum(a.n_rows - abs(o) for o in a.offsets)
-    apm = amg.to_plane_dia(a)
+    apm = amg.to_plane_dia(a, dtype="auto")
     if apm is not None:
         a = apm  # plane-major layout: one contiguous DMA per kernel step
     f = jax.jit(spmv)
@@ -63,6 +63,7 @@ def main():
     gnnz = nnz / sec / 1e9
     details["spmv_seconds"] = sec
     details["spmv_gnnz_per_s"] = gnnz
+    details["spmv_operator_dtype"] = str(getattr(a, "data4", a.data).dtype)
     log(f"SpMV 7pt {n}^3: {sec*1e3:.3f} ms, {gnnz:.1f} Gnnz/s (nnz={nnz:.3e})")
 
     # correctness spot check on a sampled slice (full host SpMV at 256^3 is slow)

