@@ -30,6 +30,15 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
 
+from ..amg.structured import (
+    GridProlong, GridRestrict, apply_prolong, apply_restrict,
+)
+from ..sparse.formats import Dia
+from .slab import (
+    SlabDia, SlabProlong, SlabRestrict, slab_op_spec, slab_prolong,
+    slab_restrict, slab_spmv,
+)
+
 
 def _static(**kw):
     return field(metadata=dict(static=True), **kw)
@@ -73,8 +82,28 @@ def halo_exchange(x_local: jax.Array, h: int) -> jax.Array:
     return jnp.concatenate([left, x_local, right])
 
 
-def dist_spmv(op: DistOp, x_local: jax.Array) -> jax.Array:
-    """y_local = (A @ x)_local — called inside shard_map."""
+def dist_spmv(op, x_local: jax.Array) -> jax.Array:
+    """y_local = (A @ x)_local — called inside shard_map.
+
+    Polymorphic over the operator families: z-slab structured ops
+    (:mod:`.slab` — gather-free plane exchanges), replicated structured ops
+    (plain DIA / grid transfers on full vectors), and row-sharded ELL
+    (``DistOp`` — the general-sparsity PMIS path).
+    """
+    if isinstance(op, SlabDia):
+        return slab_spmv(op, x_local)
+    if isinstance(op, SlabProlong):
+        return slab_prolong(op, x_local)
+    if isinstance(op, SlabRestrict):
+        return slab_restrict(op, x_local)
+    if isinstance(op, Dia):  # replicated coarse level
+        from ..amg.comb_rap import dia_apply
+
+        return dia_apply(op.offsets, op.data, x_local, jnp)
+    if isinstance(op, GridProlong):
+        return apply_prolong(op, x_local)
+    if isinstance(op, GridRestrict):
+        return apply_restrict(op, x_local)
     if op.mode == "halo":
         lo, hi = op.bnd_lo, op.bnd_hi
         xw = halo_exchange(x_local, op.halo)
@@ -155,7 +184,13 @@ class DistHierarchy:
     params: object = _static()
 
 
-def _op_spec(op: DistOp, sharded_rows: bool):
+def _op_spec(op, sharded_rows: bool):
+    if isinstance(op, SlabDia):
+        return slab_op_spec(op)
+    if isinstance(op, Dia):
+        return Dia(data=P(None, None), offsets=op.offsets, dims=op.dims)
+    if isinstance(op, (SlabProlong, SlabRestrict, GridProlong, GridRestrict)):
+        return op  # no array leaves
     s = P(AXIS) if sharded_rows else P(None)
     return DistOp(col=s, val=s, mode=op.mode, halo=op.halo, m_in=op.m_in,
                   n_in=op.n_in, n_in_real=op.n_in_real,

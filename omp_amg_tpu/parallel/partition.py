@@ -31,6 +31,7 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 from ..amg.hierarchy import Hierarchy
 from ..sparse.formats import Dia, Ell, dia_to_ell
 from .dist import AXIS, DistHierarchy, DistLevel, DistOp, dist_specs
+from .slab import SlabDia, SlabProlong, SlabRestrict, slab_halos
 
 
 def _ell_np(op) -> tuple[np.ndarray, np.ndarray, int]:
@@ -124,8 +125,84 @@ def _make_dist_op(col, val, *, ndev, out_sharded, in_sharded, m_in,
                   bnd_lo=int(bnd_lo), bnd_hi=int(bnd_hi))
 
 
+def _structured_dias(hier: Hierarchy):
+    """Per-level Dia operators of a structured hierarchy (None if mixed)."""
+    from ..amg.structured import GridProlong
+    from ..sparse.formats import PlaneDia, plane_to_dia
+
+    dias = []
+    for lv in hier.levels:
+        a = lv.a
+        if isinstance(a, PlaneDia):
+            a = plane_to_dia(a)
+        if not isinstance(a, Dia) or a.dims is None \
+                or not isinstance(lv.p, GridProlong):
+            return None
+        dias.append(a)
+    return dias
+
+
+def _partition_structured(hier: Hierarchy, ndev: int,
+                          agg_rows_per_dev: int):
+    """Z-slab partition of a structured hierarchy (gather-free dist ops).
+
+    Levels shard while their leading grid axis splits evenly over the mesh
+    (and evenly into coarse pairs when that axis is being coarsened); the
+    remaining coarse levels replicate (agglomeration). Returns None when
+    level 0 itself cannot shard — caller falls back to the ELL partitioner.
+    """
+    dias = _structured_dias(hier)
+    if dias is None:
+        return None
+    nlev = len(hier.levels)
+    sizes = [a.n_rows for a in dias] + [hier.coarse_a.shape[0]]
+
+    sharded = []
+    prev = True
+    for l in range(nlev):
+        a, p = dias[l], hier.levels[l].p
+        nz = a.dims[0]
+        ok = prev and nz % ndev == 0 and (
+            ndev == 1 or sizes[l] // ndev >= agg_rows_per_dev)
+        if ok and p.coarsened[0]:
+            ok = nz % (2 * ndev) == 0
+        sharded.append(bool(ok))
+        prev = ok
+    sharded.append(False)  # dense coarse level always replicated
+    if not sharded[0]:
+        return None
+
+    levels = []
+    for l, lv in enumerate(hier.levels):
+        a = dias[l]
+        p_g = lv.p
+        if sharded[l]:
+            hl, hr = slab_halos(a.offsets, a.dims)
+            a_op = SlabDia(data=jnp.asarray(a.data), offsets=a.offsets,
+                           dims=a.dims, hl=hl, hr=hr)
+            trans = not sharded[l + 1]
+            p_op = SlabProlong(fine_shape=p_g.fine_shape,
+                               coarse_shape=p_g.coarse_shape,
+                               coarsened=p_g.coarsened, slice_in=trans)
+            r_op = SlabRestrict(fine_shape=p_g.fine_shape,
+                                coarse_shape=p_g.coarse_shape,
+                                coarsened=p_g.coarsened, gather_out=trans)
+        else:
+            a_op, p_op, r_op = a, lv.p, lv.r
+        levels.append(DistLevel(
+            a=a_op, dinv=jnp.asarray(lv.dinv), p=p_op, r=r_op, lmax=lv.lmax,
+            sharded=bool(sharded[l]), next_sharded=bool(sharded[l + 1]),
+            n_next=int(sizes[l + 1]),
+        ))
+    return DistHierarchy(levels=tuple(levels), coarse_chol=hier.coarse_chol,
+                         params=hier.params)
+
+
 def partition_hierarchy(hier: Hierarchy, ndev: int,
                         agg_rows_per_dev: int = 2048) -> DistHierarchy:
+    dh = _partition_structured(hier, ndev, agg_rows_per_dev)
+    if dh is not None:
+        return dh
     nlev = len(hier.levels)
     sizes = [lv.a.shape[0] for lv in hier.levels] + [hier.coarse_a.shape[0]]
 
@@ -198,7 +275,8 @@ def place_hierarchy(dh: DistHierarchy, mesh) -> DistHierarchy:
 
 
 def pad_vector(x, dh: DistHierarchy, ndev: int):
-    n0 = dh.levels[0].a.col.shape[0]
+    a0 = dh.levels[0].a
+    n0 = a0.col.shape[0] if hasattr(a0, "col") else a0.data.shape[1]
     x = np.asarray(x)
     return jnp.asarray(_pad_rows(x, n0))
 
