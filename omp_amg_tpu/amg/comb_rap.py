@@ -189,7 +189,9 @@ def comb_rap(offsets: Sequence[int], data, dims: Sequence[int],
         offsets_c.append(off)
         rows.append(row)
 
-    order = np.argsort(offsets_c)
+    # stable: duplicate flat offsets (aliased deltas on tiny coarse grids)
+    # must pair rows identically everywhere (incl. the distributed setup)
+    order = np.argsort(offsets_c, kind="stable")
     offsets_c = [offsets_c[i] for i in order]
     data_c = xp.stack([rows[i] for i in order])
 

@@ -89,9 +89,15 @@ class SlabRestrict:
 
 
 def slab_halos(offsets, dims) -> Tuple[int, int]:
-    """(hl, hr) halo plane counts for a DIA offset set on ``dims``."""
+    """(hl, hr) halo plane counts for a DIA offset set on ``dims``.
+
+    Truncating division gives the MINIMAL plane halo: the in-plane remainder
+    (|rem| < plane) may push a flat read one plane further, but only where
+    the tap crosses a grid-row boundary — exactly where the masked-zero
+    invariant guarantees the stored value is 0, so a zero pad covers it.
+    """
     plane = _prod(dims[1:])
-    pzs = [int(round(o / plane)) for o in offsets] or [0]
+    pzs = [int(o / plane) for o in offsets] or [0]  # trunc toward zero
     return max(0, -min(pzs)), max(0, max(pzs))
 
 
@@ -133,6 +139,9 @@ def slab_spmv(op: SlabDia, x_local: jax.Array) -> jax.Array:
     n_loc = x_local.shape[0]
     hl, hr = op.hl, op.hr
     data = op.data
+    if max(hl, hr) * plane > n_loc:
+        # slab thinner than its halo (tiny coarse levels): full exchange
+        return _slab_spmv_full(op, x_local)
     pad = plane  # covers the within-plane (lane/row) part of any offset
 
     def rows(r0: int, nrows: int, xsrc, xbase: int):
@@ -159,6 +168,25 @@ def slab_spmv(op: SlabDia, x_local: jax.Array) -> jax.Array:
     y_int = rows(nb_lo, n_int, xip, pad)
     y_hi = rows(nb_lo + n_int, nb_hi, xwp, base)
     return jnp.concatenate([y_lo, y_int, y_hi])
+
+
+def _slab_spmv_full(op: SlabDia, x_local: jax.Array) -> jax.Array:
+    """Fallback when the halo is wider than a slab: reconstruct the full
+    vector with a psum-scatter, then apply the local rows against it."""
+    n_loc = x_local.shape[0]
+    d = lax.axis_size(AXIS)
+    i = lax.axis_index(AXIS)
+    xg = lax.psum(
+        lax.dynamic_update_slice(jnp.zeros((d * n_loc,), x_local.dtype),
+                                 x_local, (i * n_loc,)), AXIS)
+    offs = op.offsets
+    pad = max([abs(o) for o in offs] + [1])
+    xgp = jnp.pad(xg, (pad, pad))
+    y = jnp.zeros((n_loc,), x_local.dtype)
+    for k, off in enumerate(offs):
+        y = y + op.data[k] * lax.dynamic_slice(
+            xgp, (i * n_loc + pad + off,), (n_loc,))
+    return y
 
 
 def slab_prolong(p: SlabProlong, xc: jax.Array) -> jax.Array:
