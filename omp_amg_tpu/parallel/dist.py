@@ -305,10 +305,18 @@ def _dist_pcg_local(dh: DistHierarchy, b, tol: float, maxiter: int):
     return x, k, pnorm(r) / bnorm
 
 
+def _check_vma(dh: DistHierarchy) -> bool:
+    # the Pallas remote-DMA halo transport needs check_vma=False (kernel
+    # axis-index arithmetic is not vma-traceable)
+    return not any(isinstance(lv.a, SlabDia) and lv.a.transport == "pallas"
+                   for lv in dh.levels)
+
+
 def make_dist_solver(mesh, dh: DistHierarchy, tol: float = 1e-6,
                      maxiter: int = 200):
     """Build the jitted sharded AMG-PCG: (dh, b_padded) → (x, iters, rel)."""
     specs = dist_specs(dh)
+    cv = _check_vma(dh)
 
     @jax.jit
     def solve(dh, b):
@@ -317,6 +325,7 @@ def make_dist_solver(mesh, dh: DistHierarchy, tol: float = 1e-6,
             mesh=mesh,
             in_specs=(specs, P(AXIS)),
             out_specs=(P(AXIS), P(), P()),
+            check_vma=cv,
         )
         return fn(dh, b)
 
@@ -326,11 +335,12 @@ def make_dist_solver(mesh, dh: DistHierarchy, tol: float = 1e-6,
 def make_dist_vcycle(mesh, dh: DistHierarchy):
     """Jitted sharded single V-cycle apply: (dh, b_padded) → z_padded."""
     specs = dist_specs(dh)
+    cv = _check_vma(dh)
 
     @jax.jit
     def apply(dh, b):
         return jax.shard_map(dist_vcycle, mesh=mesh,
                              in_specs=(specs, P(AXIS)),
-                             out_specs=P(AXIS))(dh, b)
+                             out_specs=P(AXIS), check_vma=cv)(dh, b)
 
     return apply

@@ -157,7 +157,8 @@ def _op_spec(offsets, dims, hl, hr):
 
 
 def dist_structured_setup(a: Dia, grid, mesh, params: AMGParams = AMGParams(),
-                          agg_rows_per_dev: int = 2048) -> DistHierarchy:
+                          agg_rows_per_dev: int = 2048,
+                          transport: str = "ppermute") -> DistHierarchy:
     """Build a sharded structured hierarchy without global materialization.
 
     ``a`` is the fine DIA operator (host or single-device; on a real pod the
@@ -242,7 +243,8 @@ def dist_structured_setup(a: Dia, grid, mesh, params: AMGParams = AMGParams(),
             in enumerate(sh_levels):
         trans = l + 1 == nsh
         levels.append(DistLevel(
-            a=SlabDia(data=dat, offsets=tuple(offs), dims=dms, hl=hl, hr=hr),
+            a=SlabDia(data=dat, offsets=tuple(offs), dims=dms, hl=hl, hr=hr,
+                      transport=transport),
             dinv=dinv,
             p=SlabProlong(fine_shape=dms, coarse_shape=cdims, coarsened=axes,
                           slice_in=trans),

@@ -143,7 +143,8 @@ def _structured_dias(hier: Hierarchy):
 
 
 def _partition_structured(hier: Hierarchy, ndev: int,
-                          agg_rows_per_dev: int):
+                          agg_rows_per_dev: int,
+                          transport: str = "ppermute"):
     """Z-slab partition of a structured hierarchy (gather-free dist ops).
 
     Levels shard while their leading grid axis splits evenly over the mesh
@@ -179,7 +180,7 @@ def _partition_structured(hier: Hierarchy, ndev: int,
         if sharded[l]:
             hl, hr = slab_halos(a.offsets, a.dims)
             a_op = SlabDia(data=jnp.asarray(a.data), offsets=a.offsets,
-                           dims=a.dims, hl=hl, hr=hr)
+                           dims=a.dims, hl=hl, hr=hr, transport=transport)
             trans = not sharded[l + 1]
             p_op = SlabProlong(fine_shape=p_g.fine_shape,
                                coarse_shape=p_g.coarse_shape,
@@ -199,8 +200,9 @@ def _partition_structured(hier: Hierarchy, ndev: int,
 
 
 def partition_hierarchy(hier: Hierarchy, ndev: int,
-                        agg_rows_per_dev: int = 2048) -> DistHierarchy:
-    dh = _partition_structured(hier, ndev, agg_rows_per_dev)
+                        agg_rows_per_dev: int = 2048,
+                        transport: str = "ppermute") -> DistHierarchy:
+    dh = _partition_structured(hier, ndev, agg_rows_per_dev, transport)
     if dh is not None:
         return dh
     nlev = len(hier.levels)

@@ -29,11 +29,15 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Tuple
 
+import functools
+
 import numpy as np
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 AXIS = "rows"  # mesh axis name (same axis as parallel.dist)
 
@@ -56,6 +60,10 @@ class SlabDia:
     dims: Tuple[int, ...] = _static()  # GLOBAL grid extents (C order)
     hl: int = _static(default=0)       # left halo planes
     hr: int = _static(default=0)       # right halo planes
+    # halo transport: "ppermute" (XLA collective) or "pallas" (Pallas
+    # async remote copy over ICI — DMA-level overlap; requires the
+    # enclosing shard_map to run with check_vma=False)
+    transport: str = _static(default="ppermute")
 
     @property
     def plane(self) -> int:
@@ -127,12 +135,78 @@ def _exchange_planes(x: jax.Array, plane: int, hl: int, hr: int) -> jax.Array:
     return jnp.concatenate(parts) if len(parts) > 1 else x
 
 
+def _remote_halo_kernel(x_ref, left_ref, right_ref, *sems, nl, nr):
+    """Bidirectional neighbor exchange via async remote DMA (one kernel).
+
+    Circular at the DMA level (uniform SPMD — no conditional semaphores);
+    the wrap-around strips are zero-masked by the caller to restore the
+    Dirichlet/non-circular contract. Pattern follows the public Pallas TPU
+    distributed guide (right-permute with send/recv DMA semaphores).
+    """
+    my = lax.axis_index(AXIS)
+    d = lax.axis_size(AXIS)
+    right_nb = lax.rem(my + 1, d)
+    left_nb = lax.rem(my + d - 1, d)
+    n = x_ref.shape[0]
+    ops = []
+    si = 0
+    if nl:
+        # my LAST nl rows become the RIGHT neighbor's left halo
+        ops.append(pltpu.make_async_remote_copy(
+            src_ref=x_ref.at[pl.ds(n - nl, nl)], dst_ref=left_ref,
+            send_sem=sems[si], recv_sem=sems[si + 1], device_id=(right_nb,),
+            device_id_type=pltpu.DeviceIdType.MESH))
+        si += 2
+    if nr:
+        # my FIRST nr rows become the LEFT neighbor's right halo
+        ops.append(pltpu.make_async_remote_copy(
+            src_ref=x_ref.at[pl.ds(0, nr)], dst_ref=right_ref,
+            send_sem=sems[si], recv_sem=sems[si + 1], device_id=(left_nb,),
+            device_id_type=pltpu.DeviceIdType.MESH))
+    for o in ops:
+        o.start()
+    for o in ops:
+        o.wait()
+
+
+def _exchange_planes_remote(x: jax.Array, plane: int, hl: int,
+                            hr: int) -> jax.Array:
+    """Pallas async-remote-copy variant of :func:`_exchange_planes`."""
+    d = lax.axis_size(AXIS)
+    if d == 1 or (hl == 0 and hr == 0):
+        return _exchange_planes(x, plane, hl, hr)
+    nl, nr = hl * plane, hr * plane
+    interpret = (pltpu.InterpretParams()
+                 if jax.default_backend() != "tpu" else False)
+    kernel = functools.partial(_remote_halo_kernel, nl=nl, nr=nr)
+    nsem = 2 * ((nl > 0) + (nr > 0))
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((max(nl, 1),), x.dtype),
+                   jax.ShapeDtypeStruct((max(nr, 1),), x.dtype)],
+        scratch_shapes=[pltpu.SemaphoreType.DMA] * nsem,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )
+    left, right = call(x)
+    i = lax.axis_index(AXIS)
+    parts = []
+    if nl:
+        parts.append(jnp.where(i == 0, 0.0, left).astype(x.dtype))
+    parts.append(x)
+    if nr:
+        parts.append(jnp.where(i == d - 1, 0.0, right).astype(x.dtype))
+    return jnp.concatenate(parts)
+
+
 def slab_spmv(op: SlabDia, x_local: jax.Array) -> jax.Array:
     """y_local = (A @ x)_local with plane halo exchange (inside shard_map).
 
     Interior rows (planes that never reach a halo) are computed from the
     local block only, so their fma chain has no data dependence on the
-    ppermute strips — XLA overlaps communication with this compute.
+    halo strips — XLA overlaps communication with this compute.
     """
     offs = op.offsets
     plane = op.plane
@@ -142,6 +216,8 @@ def slab_spmv(op: SlabDia, x_local: jax.Array) -> jax.Array:
     if max(hl, hr) * plane > n_loc:
         # slab thinner than its halo (tiny coarse levels): full exchange
         return _slab_spmv_full(op, x_local)
+    exchange = (_exchange_planes_remote if op.transport == "pallas"
+                else _exchange_planes)
     pad = plane  # covers the within-plane (lane/row) part of any offset
 
     def rows(r0: int, nrows: int, xsrc, xbase: int):
@@ -154,11 +230,11 @@ def slab_spmv(op: SlabDia, x_local: jax.Array) -> jax.Array:
     nb_lo, nb_hi = hl * plane, hr * plane
     n_int = n_loc - nb_lo - nb_hi
     if (hl == 0 and hr == 0) or n_int <= 0:
-        xw = _exchange_planes(x_local, plane, hl, hr)
+        xw = exchange(x_local, plane, hl, hr)
         xwp = jnp.pad(xw, (pad, pad))
         return rows(0, n_loc, xwp, nb_lo + pad)
 
-    xw = _exchange_planes(x_local, plane, hl, hr)
+    xw = exchange(x_local, plane, hl, hr)
     xwp = jnp.pad(xw, (pad, pad))
     base = nb_lo + pad
     # interior: reads stay within the local block (out-of-block flat reads
@@ -285,5 +361,5 @@ def slab_op_spec(op):
 
     if isinstance(op, SlabDia):
         return SlabDia(data=P(None, AXIS), offsets=op.offsets, dims=op.dims,
-                       hl=op.hl, hr=op.hr)
+                       hl=op.hl, hr=op.hr, transport=op.transport)
     return op  # transfers carry no array leaves

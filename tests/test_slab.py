@@ -142,3 +142,49 @@ def test_slab_solve_matches_single_device(ndev):
     assert true_rel <= 5e-5
     np.testing.assert_allclose(np.asarray(x), np.asarray(res.x),
                                rtol=2e-3, atol=2e-4)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+@pytest.mark.parametrize("maker,n", [("poisson3d_7pt", 16),
+                                     ("poisson3d_27pt", 8)])
+def test_slab_spmv_pallas_transport_matches(ndev, maker, n):
+    """Async-remote-copy halo transport == ppermute transport (interpret)."""
+    a = getattr(amg, maker)(n)
+    hl, hr = slab_halos(a.offsets, a.dims)
+    op = SlabDia(data=jnp.asarray(a.data), offsets=a.offsets, dims=a.dims,
+                 hl=hl, hr=hr, transport="pallas")
+    a_sp = amg.dia_to_scipy(a)
+    mesh = make_mesh(ndev)
+    x = np.random.default_rng(0).standard_normal(a.n_rows).astype(np.float32)
+    from omp_amg_tpu.parallel.slab import slab_op_spec
+
+    f = jax.jit(jax.shard_map(
+        dist_spmv, mesh=mesh, in_specs=(slab_op_spec(op), P(AXIS)),
+        out_specs=P(AXIS), check_vma=False))
+    y = np.asarray(f(op, jnp.asarray(x)))
+    np.testing.assert_allclose(y, a_sp @ x, rtol=1e-5, atol=1e-4)
+
+
+def test_slab_solve_pallas_transport():
+    """Full sharded AMG-PCG with the Pallas halo transport (interpret)."""
+    ndev = 4
+    a = amg.poisson3d_7pt(16)
+    hier = amg_setup(a, AMGParams(coarse_size=80), grid=(16, 16, 16))
+    mesh = make_mesh(ndev)
+    dh = place_hierarchy(
+        partition_hierarchy(hier, ndev, agg_rows_per_dev=64,
+                            transport="pallas"), mesh)
+    assert dh.levels[0].a.transport == "pallas"
+    b = amg.default_rhs(a, "random", seed=0)
+    from omp_amg_tpu.solvers.cg import amg_pcg
+
+    res = amg_pcg(a, b, hier, tol=1e-6, maxiter=100)
+    solve = make_dist_solver(mesh, dh, tol=1e-6, maxiter=100)
+    x, iters, rel = solve(dh, pad_vector(b, dh, ndev))
+    assert int(iters) == int(res.iters)
+    a_sp = amg.dia_to_scipy(a)
+    x = unpad_vector(x, a.n_rows)
+    true_rel = np.linalg.norm(
+        np.asarray(b, np.float64) - a_sp @ np.asarray(x, np.float64)
+    ) / np.linalg.norm(np.asarray(b, np.float64))
+    assert true_rel <= 5e-5
