@@ -174,6 +174,10 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                 p_col, p_val = hs.standard_interpolation_np(
                     col, val, mask, state, cmap, nc,
                     max_elements=params.interp_max_elements)
+            elif params.interp == "extpi":
+                p_col, p_val = hs.extpi_interpolation_np(
+                    col, val, mask, state, cmap, nc,
+                    max_elements=params.interp_max_elements)
             else:
                 p_col, p_val = hs.direct_interpolation_np(col, val, mask,
                                                           state, cmap, nc)

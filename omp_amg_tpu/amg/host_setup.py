@@ -231,6 +231,90 @@ def standard_interpolation_np(col, val, mask, state, cmap, n_coarse,
     return p_col, p_val
 
 
+def extpi_interpolation_np(col, val, mask, state, cmap, n_coarse,
+                           max_elements: int = 6):
+    """Extended+i interpolation (distance-2 set, "+i" denominators).
+
+    Like standard interpolation, strong-F neighbors k are eliminated by
+    distributing their row over a C-set; extended+i distributes over
+    C_k^s ∪ {i} — the fraction denominators include the connection back to
+    the F-point i itself (the "+i" term, De Sterck/Yang/Heys; see
+    PAPERS.md):
+
+        d_ik = Σ_{l∈C_k^s} â_kl + â_ki
+        N_i: = A_sC[i,:] + Σ_{k∈F_i^s} (a_ik / d_ik) · Â_sC[k,:]
+        ᾱ_ii = a_ii + Σ_weak a_ik + Σ_{k∈F_i^s} a_ik â_ki / d_ik
+        w_i: = -N_i: / ᾱ_ii
+
+    (â = negative part). The interpolatory set is distance-2 (union of the
+    strong-F neighbors' strong-C sets), which keeps convergence grid-
+    independent under aggressive/PMIS coarsening while the row truncation
+    bounds the ELL width. Columns are C-points by construction.
+    """
+    from ..native import spgemm
+    from ..sparse.formats import ell_planes_to_scipy
+
+    n, k = col.shape
+    rows = np.arange(n, dtype=col.dtype)[:, None]
+    is_diag = col == rows
+    is_c = state == CPOINT
+    is_f_col = (state == FPOINT)[col]
+
+    diag = (val * is_diag).sum(axis=1)
+    strong_c = mask & is_c[col]
+    strong_f = mask & is_f_col
+    weak = ~is_diag & ~strong_c & ~strong_f & (val != 0)
+
+    neg = (val < 0) & ~is_diag
+    aneg_strong_c = val * (strong_c & neg)
+    d_base = aneg_strong_c.sum(axis=1)          # Σ_{l∈C_k^s} â_kl per row k
+
+    # â_ki per ELL slot (i, k): transpose lookup on the negative part
+    a_neg_sp = ell_planes_to_scipy(np.where(neg, col, 0), val * neg, n)
+    a_neg_t = a_neg_sp.T.tocsr()
+    rr = np.repeat(np.arange(n, dtype=np.int64), k)
+    cc = np.asarray(col, np.int64).ravel()
+    a_ki = np.asarray(a_neg_t[rr, cc]).reshape(n, k)
+
+    d_ik = d_base[col] + a_ki                   # per (i, k) denominator
+    ok = strong_f & (d_ik != 0)
+    weak = weak | (strong_f & ~ok)
+    b = np.where(ok, val / np.where(d_ik != 0, d_ik, 1.0), 0.0)
+
+    a_sc = ell_planes_to_scipy(np.where(strong_c, col, 0), val * strong_c, n)
+    b_sp = ell_planes_to_scipy(np.where(ok, col, 0), b, n)
+    aneg_c_sp = ell_planes_to_scipy(np.where(strong_c & neg, col, 0),
+                                    aneg_strong_c, n)
+    nmat = (a_sc + spgemm(b_sp, aneg_c_sp)).tocsr()
+    nmat.sum_duplicates()
+
+    dtil = diag + (val * weak).sum(axis=1) + (b * a_ki * ok).sum(axis=1)
+
+    lengths = np.diff(nmat.indptr)
+    kmax = int(lengths.max(initial=1))
+    ncol, nval, _ = _csr_to_padded(nmat, kmax)
+    wmat = -nval / dtil[:, None]
+    if kmax > max_elements:
+        order = np.argsort(-np.abs(wmat), axis=1)[:, :max_elements]
+        sel_col = np.take_along_axis(ncol, order, axis=1)
+        sel_w = np.take_along_axis(wmat, order, axis=1)
+        for sign in (1.0, -1.0):
+            full = (wmat * (np.sign(wmat) == sign)).sum(axis=1)
+            kept = (sel_w * (np.sign(sel_w) == sign)).sum(axis=1)
+            fac = np.where(kept != 0, full / np.where(kept != 0, kept, 1), 1.0)
+            sel_w = np.where(np.sign(sel_w) == sign, sel_w * fac[:, None],
+                             sel_w)
+        ncol, wmat = sel_col, sel_w
+
+    p_col = np.where(wmat != 0, cmap[ncol], 0).astype(np.int32)
+    p_val = wmat.astype(val.dtype) * (wmat != 0)
+    p_col[is_c] = 0
+    p_val[is_c] = 0
+    p_col[is_c, 0] = cmap[is_c]
+    p_val[is_c, 0] = 1.0
+    return p_col, p_val
+
+
 def _csr_to_padded(m, kmax):
     """CSR → padded (col, val) planes (col 0 / val 0 padding)."""
     n = m.shape[0]

@@ -22,7 +22,10 @@ class AMGParams:
     cheby_degree: int = 3        # Chebyshev polynomial degree
     cheby_ratio: float = 30.0    # lower eigenvalue bound = lambda_max / ratio
     coarsening: str = "auto"     # "pmis" | "structured" | "auto"
-    interp: str = "standard"     # "direct" | "standard" (RS F-distribution)
+    interp: str = "extpi"        # "direct" | "standard" (RS F-distribution)
+                                 # | "extpi" (extended+i, distance-2 — best
+                                 # measured: grid-flat iters, lowest op
+                                 # complexity of the three)
     interp_max_elements: int = 6  # P row width cap (truncation, rescaled)
     coarse_size: int = 100       # dense direct solve below this many rows
     max_levels: int = 25

@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "generated grid problems, PMIS for general matrices")
     p.add_argument("--smoother", default="jacobi",
                    choices=["jacobi", "chebyshev"])
+    p.add_argument("--interp", default="extpi",
+                   choices=["direct", "standard", "extpi"],
+                   help="PMIS-path interpolation variant")
     p.add_argument("--omega", type=float, default=None,
                    help="Jacobi damping; default: per-level 4/(3*1.1*lmax)")
     p.add_argument("--nu", type=int, default=1, help="pre/post sweeps")
@@ -100,7 +103,7 @@ def main(argv=None) -> int:
     params = AMGParams(theta=args.theta, smoother=args.smoother,
                        omega=args.omega, nu_pre=args.nu, nu_post=args.nu,
                        cheby_degree=args.cheby_degree,
-                       coarsening=args.coarsening,
+                       coarsening=args.coarsening, interp=args.interp,
                        coarse_size=args.coarse_size,
                        max_levels=args.max_levels)
 

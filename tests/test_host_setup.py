@@ -68,3 +68,48 @@ def test_setup_flavors_produce_same_hierarchy(name):
         np.testing.assert_allclose(np.asarray(lh.dinv), np.asarray(ld.dinv),
                                    rtol=1e-5)
         np.testing.assert_allclose(float(lh.lmax), float(ld.lmax), rtol=1e-3)
+
+
+def test_extpi_interpolation_properties():
+    """Ext+i: C-rows identity, F-rows interpolate only from C, row sums
+    reproduce constants away from boundaries (sum-preserving truncation)."""
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.amg import host_setup as hs
+    from omp_amg_tpu.sparse.formats import ell_planes_from_scipy
+
+    a = amg.poisson3d_7pt(12)
+    a_sp = amg.dia_to_scipy(a)
+    col, val, _ = ell_planes_from_scipy(a_sp)
+    mask = hs.strength_mask_np(col, val, 0.25)
+    state = hs.pmis_np(col, mask)
+    is_c = state == hs.CPOINT
+    cmap = np.cumsum(is_c) - 1
+    nc = int(is_c.sum())
+    p_col, p_val = hs.extpi_interpolation_np(col, val, mask, state, cmap, nc)
+
+    # C-point rows are identity
+    crows = np.flatnonzero(is_c)
+    assert (p_val[crows, 0] == 1.0).all()
+    assert (p_val[crows, 1:] == 0).all()
+    assert (p_col[crows, 0] == cmap[crows]).all()
+    # all columns are valid coarse indices
+    assert p_col.min() >= 0 and p_col.max() < nc
+    # F-rows have at least one interpolation weight
+    frows = np.flatnonzero(state == hs.FPOINT)
+    assert (np.abs(p_val[frows]).sum(axis=1) > 0).all()
+
+
+def test_extpi_grid_independent_iterations():
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.amg.hierarchy import amg_setup
+    from omp_amg_tpu.amg.params import AMGParams
+    from omp_amg_tpu.solvers.cg import amg_pcg
+
+    iters = []
+    for n in (32, 64, 128):
+        a = amg.poisson2d_5pt(n)
+        hier = amg_setup(a, AMGParams(coarsening="pmis", interp="extpi"))
+        b = amg.default_rhs(a, "random", seed=0)
+        iters.append(int(amg_pcg(a, b, hier, tol=1e-8, maxiter=200).iters))
+    assert max(iters) - min(iters) <= 1, iters
+    assert max(iters) <= 12, iters
