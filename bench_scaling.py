@@ -25,6 +25,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import omp_amg_tpu as amg
 from omp_amg_tpu.parallel.dist import make_dist_solver
+from omp_amg_tpu.parallel.dist_setup import dist_structured_setup
 from omp_amg_tpu.parallel.partition import (
     pad_vector, partition_hierarchy, place_hierarchy, unpad_vector,
 )
@@ -49,24 +50,36 @@ def main():
     hier = amg.amg_setup(a, grid=(n, n, n))
     results = {"n": n, "devices": {}}
     base_t = None
+    transport = os.environ.get("SCALE_TRANSPORT", "ppermute")
     for ndev in (1, 2, 4, 8):
         if ndev > len(jax.devices()):
             break
         mesh = jax.make_mesh((ndev,), ("rows",))
-        dh = place_hierarchy(
-            partition_hierarchy(hier, ndev, agg_rows_per_dev=2048), mesh)
+        # distributed setup phase (per-shard comb RAP) — timed per mesh size
+        t0 = time.perf_counter()
+        try:
+            dh = dist_structured_setup(a, (n, n, n), mesh,
+                                       agg_rows_per_dev=2048,
+                                       transport=transport)
+            setup_s = time.perf_counter() - t0
+        except ValueError:
+            dh = place_hierarchy(
+                partition_hierarchy(hier, ndev, agg_rows_per_dev=2048,
+                                    transport=transport), mesh)
+            setup_s = None
         solve = make_dist_solver(mesh, dh, tol=1e-6, maxiter=100)
         bp = pad_vector(b, dh, ndev)
         t, it, rel = timed_solve(solve, dh, bp)
         if base_t is None:
             base_t = t
-        eff = base_t / (t * 1)  # strong scaling: ideal is flat time growth→
         results["devices"][ndev] = {
             "solve_s": t, "iters": it, "rel_residual": rel,
-            "speedup_vs_1dev": base_t / t,
+            "speedup_vs_1dev": base_t / t, "dist_setup_s": setup_s,
         }
-        print(f"ndev={ndev}: {t*1e3:.1f} ms, iters={it}, "
-              f"speedup {base_t/t:.2f}", file=sys.stderr)
+        print(f"ndev={ndev}: solve {t*1e3:.1f} ms, iters={it}, "
+              f"speedup {base_t/t:.2f}, dist-setup "
+              f"{'n/a' if setup_s is None else f'{setup_s:.2f}s'}",
+              file=sys.stderr)
     print(json.dumps(results))
 
 

@@ -172,3 +172,31 @@ def test_device_structured_setup_aniso():
     b = amg.default_rhs(a, "random", seed=0)
     res = amg_pcg(a, b, h_dev, tol=1e-6, maxiter=100)
     assert float(res.rel_residual) <= 1e-6
+
+
+def test_direct_rap_matches_comb():
+    """Direct convolution RAP == comb probe RAP (offsets, values, masks)."""
+    import numpy as np
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.amg.comb_rap import comb_rap, direct_rap
+
+    cases = []
+    for maker, n in (("poisson3d_7pt", 16), ("poisson3d_27pt", 8),
+                     ("aniso2d_9pt", 16)):
+        a = getattr(amg, maker)(n)
+        cases.append((list(a.offsets), np.asarray(a.data, np.float64),
+                      a.dims))
+    a = amg.poisson3d_7pt(15)  # odd extent
+    cases.append((list(a.offsets), np.asarray(a.data, np.float64), a.dims))
+    for offsets, data, dims in cases:
+        d = len(dims)
+        for axes in {(True,) * d, (True, False) + (True,) * (d - 2),
+                     (False, True) + (True,) * (d - 2)}:
+            axes = axes[:d]
+            cdims = tuple((dd + 1) // 2 if c else dd
+                          for dd, c in zip(dims, axes))
+            o1, d1 = comb_rap(offsets, data, dims, cdims, axes, xp=np)
+            o2, d2 = direct_rap(offsets, data, dims, cdims, axes, xp=np)
+            keep = [k for k in range(len(o2)) if np.abs(d2[k]).max() > 0]
+            assert o1 == [o2[k] for k in keep], (dims, axes)
+            np.testing.assert_allclose(d1, d2[keep], atol=1e-12)
