@@ -63,7 +63,8 @@ def main():
     gnnz = nnz / sec / 1e9
     details["spmv_seconds"] = sec
     details["spmv_gnnz_per_s"] = gnnz
-    details["spmv_operator_dtype"] = str(getattr(a, "data4", a.data).dtype)
+    details["spmv_operator_dtype"] = str(
+        (a.data4 if hasattr(a, "data4") else a.data).dtype)
     log(f"SpMV 7pt {n}^3: {sec*1e3:.3f} ms, {gnnz:.1f} Gnnz/s (nnz={nnz:.3e})")
 
     # correctness spot check on a sampled slice (full host SpMV at 256^3 is slow)
@@ -97,6 +98,19 @@ def main():
         details["rap_gnnz_per_s"] = nnz2 / rap_s / 1e9
         log(f"RAP 7pt {ns}^3 (native fused): {rap_s:.2f}s "
             f"= {nnz2/rap_s/1e9:.2f} Gnnz/s")
+        if dev.platform == "tpu":
+            # device-resident Galerkin RAP (comb probe), warm steady-state
+            from omp_amg_tpu.amg.comb_rap import _device_comb_fn
+            a_d = amg.poisson3d_7pt(ns, backend="device")
+            dd = jnp.asarray(a_d.data, jnp.float32)
+            fn2 = _device_comb_fn(tuple(a_d.offsets), (ns,) * 3,
+                                  (ns // 2,) * 3, (True, True, True))
+            fn2(dd)  # compile
+            rap_dev_s = timeit(lambda d: fn2(d)[1], dd, warmup=1, iters=5)
+            details["rap_device_s"] = rap_dev_s
+            details["rap_device_gnnz_per_s"] = nnz2 / rap_dev_s / 1e9
+            log(f"RAP 7pt {ns}^3 (device comb): {rap_dev_s*1e3:.1f} ms "
+                f"= {nnz2/rap_dev_s/1e9:.2f} Gnnz/s")
 
         t0 = time.time()
         setup_flavor = ("device" if os.environ.get("BENCH_DEVICE_SETUP") == "1"

@@ -31,14 +31,45 @@ from .solvers.ir import solve_ir
 
 
 class AMGSolver:
-    """AMG-preconditioned CG solver with amortized setup."""
+    """AMG-preconditioned CG solver with amortized setup.
 
-    def __init__(self, a, params: AMGParams = AMGParams(), *, grid=None):
+    Pass ``mesh`` (a 1D ``jax.sharding.Mesh`` over axis "rows") to build and
+    solve distributed: structured problems run the fully sharded setup
+    (:func:`~omp_amg_tpu.parallel.dist_setup.dist_structured_setup`); other
+    hierarchies are built single-device and partitioned. ``certify`` is
+    unavailable distributed (the f64 outer loop is host-side).
+    """
+
+    def __init__(self, a, params: AMGParams = AMGParams(), *, grid=None,
+                 mesh=None, transport: str = "ppermute",
+                 agg_rows_per_dev: int = 2048):
         self.a = a
         self.params = params
+        self.mesh = mesh
         self._a_sp = None
-        self.hierarchy: Hierarchy = amg_setup(a, params, grid=grid)
+        self._dist = None
         self.last_info: dict = {}
+        if mesh is None:
+            self.hierarchy: Hierarchy = amg_setup(a, params, grid=grid)
+            return
+        from .parallel.dist_setup import dist_structured_setup
+        from .parallel.partition import partition_hierarchy, place_hierarchy
+
+        ndev = int(mesh.devices.size)
+        dh = None
+        if grid is not None and isinstance(a, Dia):
+            try:
+                dh = dist_structured_setup(
+                    a, grid, mesh, params, transport=transport,
+                    agg_rows_per_dev=agg_rows_per_dev)
+            except ValueError:
+                dh = None
+        if dh is None:
+            hier = amg_setup(a, params, grid=grid)
+            dh = place_hierarchy(
+                partition_hierarchy(hier, ndev, transport=transport,
+                                    agg_rows_per_dev=agg_rows_per_dev), mesh)
+        self.hierarchy = dh
 
     @property
     def a_host(self):
@@ -55,6 +86,17 @@ class AMGSolver:
         return self._a_sp
 
     def stats(self) -> dict:
+        if self.mesh is not None:
+            def rows(op):
+                if hasattr(op, "n_rows"):
+                    return int(op.n_rows)
+                return int(op.col.shape[0])  # DistOp
+
+            sizes = [rows(lv.a) for lv in self.hierarchy.levels]
+            sizes.append(int(self.hierarchy.coarse_chol.shape[0]))
+            return {"levels": len(sizes), "sizes": sizes,
+                    "sharded": [bool(lv.sharded)
+                                for lv in self.hierarchy.levels]}
         return hierarchy_stats(self.hierarchy)
 
     def solve(self, b, tol: float = 1e-8, maxiter: int = 500,
@@ -65,6 +107,22 @@ class AMGSolver:
         so the returned residual is a true f64 ‖b−Ax‖/‖b‖ ≤ tol;
         ``certify=False`` returns the single-precision device solve.
         """
+        if self.mesh is not None:
+            from .parallel.dist import make_dist_solver
+            from .parallel.partition import pad_vector, unpad_vector
+
+            key = (float(tol), int(maxiter))
+            if self._dist is None or self._dist[0] != key:
+                self._dist = (key, make_dist_solver(self.mesh, self.hierarchy,
+                                                    tol=tol, maxiter=maxiter))
+            n = np.asarray(b).shape[0]
+            bp = pad_vector(b, self.hierarchy, int(self.mesh.devices.size))
+            x, iters, rel = self._dist[1](self.hierarchy, bp)
+            self.last_info = {"iters": int(iters),
+                              "rel_residual": float(rel),
+                              "certified_f64": False,
+                              "distributed": True}
+            return unpad_vector(x, n)
         if certify:
             res = solve_ir(self.a_host, np.asarray(b, np.float64), self.a,
                            self.hierarchy, tol=tol, maxiter=maxiter)
@@ -86,4 +144,13 @@ class AMGSolver:
 
     def precondition(self, r):
         """Apply one V-cycle: z = M⁻¹ r (for use in external Krylov loops)."""
+        if self.mesh is not None:
+            from .parallel.dist import make_dist_vcycle
+            from .parallel.partition import pad_vector, unpad_vector
+
+            n = np.asarray(r).shape[0]
+            rp = pad_vector(r, self.hierarchy, int(self.mesh.devices.size))
+            return unpad_vector(
+                make_dist_vcycle(self.mesh, self.hierarchy)(self.hierarchy,
+                                                            rp), n)
         return vcycle(self.hierarchy, r)

@@ -1,0 +1,43 @@
+"""AMGSolver facade with a mesh (distributed path) — CPU 8-device mesh."""
+
+import numpy as np
+
+import jax
+
+import omp_amg_tpu as amg
+from omp_amg_tpu.parallel.slab import SlabDia
+
+
+def test_facade_distributed_structured():
+    mesh = jax.make_mesh((4,), ("rows",))
+    a = amg.poisson3d_7pt(16)
+    solver = amg.AMGSolver(a, grid=(16, 16, 16), mesh=mesh, agg_rows_per_dev=64)
+    st = solver.stats()
+    assert st["sharded"][0] is True
+    assert isinstance(solver.hierarchy.levels[0].a, SlabDia)
+    b = amg.default_rhs(a, "random", seed=0)
+    x = solver.solve(b, tol=1e-6, maxiter=100)
+    a_sp = amg.dia_to_scipy(a)
+    rel = np.linalg.norm(np.asarray(b, np.float64)
+                         - a_sp @ np.asarray(x, np.float64)) \
+        / np.linalg.norm(np.asarray(b, np.float64))
+    assert rel < 5e-5
+    assert solver.last_info["distributed"]
+    z = solver.precondition(b)
+    assert z.shape == b.shape
+
+
+def test_facade_distributed_pmis_fallback():
+    """Unstructured (PMIS) hierarchy partitions via the ELL path."""
+    mesh = jax.make_mesh((2,), ("rows",))
+    a = amg.poisson2d_5pt(32)
+    from omp_amg_tpu.amg.params import AMGParams
+
+    solver = amg.AMGSolver(a, AMGParams(coarsening="pmis"), mesh=mesh, agg_rows_per_dev=64)
+    b = amg.default_rhs(a, "random", seed=1)
+    x = solver.solve(b, tol=1e-6, maxiter=100)
+    a_sp = amg.dia_to_scipy(a)
+    rel = np.linalg.norm(np.asarray(b, np.float64)
+                         - a_sp @ np.asarray(x, np.float64)) \
+        / np.linalg.norm(np.asarray(b, np.float64))
+    assert rel < 5e-5
