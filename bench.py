@@ -141,6 +141,48 @@ def main():
             f"solve {details['solve_s']:.2f}s, iters {int(res.iters)}, "
             f"vcycle {vsec*1e3:.2f} ms")
 
+    # ---- BASELINE.json convergence configs 1-4 (end-to-end to 1e-8) ----
+    if os.environ.get("BENCH_CONFIGS", "1") == "1" \
+            and os.environ.get("BENCH_SKIP_SOLVE") != "1":
+        from omp_amg_tpu.amg.hierarchy import amg_setup
+        from omp_amg_tpu.amg.params import AMGParams
+        from omp_amg_tpu.solvers.ir import solve_ir
+
+        cfgs = [
+            ("2d5pt_128", lambda: amg.poisson2d_5pt(128), (128, 128),
+             AMGParams()),
+            ("3d7pt_64", lambda: amg.poisson3d_7pt(64), (64,) * 3,
+             AMGParams()),
+            ("aniso9pt_256_eps1e-3", lambda: amg.aniso2d_9pt(256),
+             (256, 256), AMGParams()),
+            ("3d27pt_128_cheby", lambda: amg.poisson3d_27pt(128), (128,) * 3,
+             AMGParams(smoother="chebyshev")),
+        ]
+        confs = {}
+        for name, make, grid, prm in cfgs:
+            a_c = make()
+            b_c = amg.default_rhs(a_c, "random", seed=0)
+            t0 = time.time()
+            h_c = amg_setup(a_c, prm, grid=grid)
+            setup_c = time.time() - t0
+            a_sp_c = amg.dia_to_scipy(a_c)
+            t0 = time.time()
+            res_c = solve_ir(a_sp_c, np.asarray(b_c, np.float64), a_c, h_c,
+                             tol=1e-8, maxiter=500)
+            solve_c = time.time() - t0
+            confs[name] = {
+                "setup_s": setup_c, "solve_first_s": solve_c,  # incl. jit
+                "iters": int(sum(res_c.inner_iters)),
+                "outer_iters": int(res_c.outer_iters),
+                "rel_residual_f64": float(res_c.rel_residual),
+            }
+            log(f"config {name}: setup {setup_c:.1f}s, "
+                f"solve(first+compile) {solve_c:.2f}s, "
+                f"iters {confs[name]['iters']} (+{res_c.outer_iters} outer), "
+                f"f64 rel {res_c.rel_residual:.2e}")
+            assert res_c.rel_residual <= 1e-8, (name, res_c.rel_residual)
+        details["configs"] = confs
+
     details["total_s"] = time.time() - t_start
     with open("bench_details.json", "w") as fh:
         json.dump(details, fh, indent=2)

@@ -53,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-hierarchy", default=None)
     p.add_argument("--load-hierarchy", default=None)
     p.add_argument("--json", action="store_true", help="print JSON summary")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the solve phase "
+                        "(XLA/Pallas timeline; view with tensorboard/xprof)")
     return p
 
 
@@ -123,7 +126,15 @@ def main(argv=None) -> int:
 
     stats = hierarchy_stats(hier, host_ops)
 
-    with timers.phase("solve"):
+    import contextlib
+
+    profile_ctx = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        profile_ctx = jax.profiler.trace(args.profile)
+
+    with profile_ctx, timers.phase("solve"):
         if args.no_ir:
             res = amg_pcg(a_dev, b, hier, tol=args.tol, maxiter=args.maxiter)
             import jax
