@@ -329,51 +329,6 @@ def direct_rap(offsets, data, dims, coarse_dims, coarsened, xp=np):
     return offsets_c, data_c
 
 
-def direct_rap_device(offsets, data_dev, dims, coarse_dims, coarsened):
-    """Device direct RAP: one jitted graph per shape set, zero-diagonal
-    filtering and a probe validation of the radius contract (mirrors
-    :func:`comb_rap_device`; raises ValueError so callers can fall back)."""
-    import jax
-    import jax.numpy as jnp
-
-    fn = _device_direct_fn(tuple(offsets), tuple(dims), tuple(coarse_dims),
-                           tuple(bool(c) for c in coarsened))
-    offs_c, data_c = fn(data_dev)
-    maxes = np.asarray(jnp.max(jnp.abs(data_c), axis=1))
-    keep = [k for k in range(len(offs_c)) if maxes[k] > 0]
-    offs_c = [offs_c[k] for k in keep]
-    data_c = data_c[np.asarray(keep, np.int64)] if keep else data_c[:0]
-
-    rng = np.random.default_rng(0)
-    nc = int(np.prod(coarse_dims))
-    x = jnp.asarray(rng.standard_normal(nc), data_dev.dtype)
-    y1 = dia_apply(offs_c, data_c, x, jnp)
-    y2 = restrict(dia_apply(offsets, data_dev,
-                            prolong(x, dims, coarse_dims, coarsened, jnp),
-                            jnp), dims, coarse_dims, coarsened, jnp)
-    err = float(jnp.max(jnp.abs(y1 - y2)))
-    scale = float(jnp.max(jnp.abs(y2))) + 1e-30
-    if err > 2e-4 * scale:
-        raise ValueError(f"direct_rap_device contract violated: {err}")
-    return offs_c, data_c
-
-
-@__import__("functools").lru_cache(maxsize=64)
-def _device_direct_fn(offsets, dims, coarse_dims, coarsened):
-    import jax
-    import jax.numpy as jnp
-
-    offs_c = coarse_offsets(coarse_dims)
-
-    def f(data):
-        _, data_c = direct_rap(offsets, data, dims, coarse_dims, coarsened,
-                               xp=jnp)
-        return data_c
-
-    jitted = jax.jit(f)
-    return lambda data: (list(offs_c), jitted(data))
-
-
 def comb_rap_device(offsets, data_f32, dims, coarse_dims, coarsened):
     """Device-resident comb RAP: one jitted graph per shape set.
 

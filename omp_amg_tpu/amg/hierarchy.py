@@ -149,8 +149,15 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
     ):
         n = a_sp.shape[0]
         if flavor == "device":
-            # device flavor implements direct interpolation only (standard
-            # interpolation needs setup-phase sparse products — host path)
+            # device flavor implements direct interpolation only (standard/
+            # ext+i need setup-phase sparse products — host path)
+            if params.interp != "direct" and not levels:
+                import warnings
+
+                warnings.warn(
+                    f"flavor='device' PMIS setup uses direct interpolation; "
+                    f"params.interp={params.interp!r} is host-flavor only",
+                    stacklevel=2)
             a_ell = _to_ell(a_dev)
             mask = strength_mask(a_ell, params.theta)
             state = pmis(a_ell, mask, max_rounds=params.max_coarsen_rounds)

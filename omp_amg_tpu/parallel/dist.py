@@ -35,16 +35,13 @@ from ..amg.structured import (
 )
 from ..sparse.formats import Dia
 from .slab import (
-    SlabDia, SlabProlong, SlabRestrict, slab_op_spec, slab_prolong,
+    AXIS, SlabDia, SlabProlong, SlabRestrict, slab_op_spec, slab_prolong,
     slab_restrict, slab_spmv,
 )
 
 
 def _static(**kw):
     return field(metadata=dict(static=True), **kw)
-
-
-AXIS = "rows"
 
 
 @jax.tree_util.register_dataclass

@@ -42,10 +42,10 @@ from ..amg.params import AMGParams
 from ..amg.pmis import hash01
 from ..amg.structured import strong_axes_from_values
 from ..sparse.formats import Dia
-from .dist import AXIS, DistHierarchy, DistLevel, pdot, pnorm
+from .dist import DistHierarchy, DistLevel, pdot, pnorm
 from .slab import (
-    SlabDia, SlabProlong, SlabRestrict, slab_halos, slab_prolong,
-    slab_restrict, slab_spmv,
+    AXIS, SlabDia, SlabProlong, SlabRestrict, slab_halos, slab_op_spec,
+    slab_prolong, slab_restrict, slab_spmv,
 )
 
 
@@ -91,30 +91,40 @@ def _comb_rap_local(op: SlabDia, *, coarse_dims, axes):
         return slab_restrict(sr, slab_spmv(op, slab_prolong(sp, v)))
 
     coords = _global_coords(coarse_dims, nc_l)
-    mod3 = [c % 3 for c in coords]
 
-    tlist = list(iproduct(range(3), repeat=d))
-    ws = []
-    for t in tlist:
+    # ONE chain body lax.scan'ned over the 3^d comb phases + fori_loop
+    # assembly — same compile-light structure as comb_rap._device_comb_fn
+    # (the naive 3^d-times-inlined graph costs minutes of XLA compile per
+    # level on a relay'd chip)
+    tlist = np.array(list(iproduct(range(3), repeat=d)), np.int32)
+
+    def chain_body(_, tvec):
         m = jnp.ones((nc_l,), bool)
         for ax in range(d):
-            m = m & (mod3[ax] == t[ax])
-        ws.append(chain(m.astype(dtype)))
+            m = m & (coords[ax] % 3 == tvec[ax])
+        return None, chain(m.astype(dtype))
+
+    _, ws = lax.scan(chain_body, None, jnp.asarray(tlist))  # (3^d, nc_l)
 
     strides_c = [1] * d
     for k in range(d - 2, -1, -1):
         strides_c[k] = strides_c[k + 1] * coarse_dims[k + 1]
     rows, offs = [], []
+    ntaps = 3 ** d
     for delta in iproduct((-1, 0, 1), repeat=d):
         if any(abs(dl) >= cd for dl, cd in zip(delta, coarse_dims)):
             continue
         tsel = jnp.zeros((nc_l,), jnp.int32)
         for ax in range(d):
             tsel = tsel * 3 + (coords[ax] + delta[ax]) % 3
-        row = jnp.zeros((nc_l,), dtype)
-        for ti in range(len(tlist)):
-            row = row + ws[ti] * (tsel == ti).astype(dtype)
-        rows.append(row)
+
+        def body(i, row):
+            return row + ws[i] * (tsel == i).astype(dtype)
+
+        # pvary: the carry accumulates device-varying ws, so the initial
+        # zeros must carry the same vma type under shard_map's checker
+        init = lax.pvary(jnp.zeros((nc_l,), dtype), AXIS)
+        rows.append(lax.fori_loop(0, ntaps, body, init))
         offs.append(sum(dl * st for dl, st in zip(delta, strides_c)))
     # small coarse grids alias distinct deltas onto interleaved/duplicate
     # flat offsets — pair rows to coarse_offsets() order with a STABLE sort
@@ -151,11 +161,6 @@ def _lmax_local(op: SlabDia, dinv, *, iters: int = 20):
     return pdot(v, w) / pdot(v, v)
 
 
-def _op_spec(offsets, dims, hl, hr):
-    return SlabDia(data=P(None, AXIS), offsets=tuple(offsets), dims=dims,
-                   hl=hl, hr=hr)
-
-
 def dist_structured_setup(a: Dia, grid, mesh, params: AMGParams = AMGParams(),
                           agg_rows_per_dev: int = 2048,
                           transport: str = "ppermute") -> DistHierarchy:
@@ -167,6 +172,10 @@ def dist_structured_setup(a: Dia, grid, mesh, params: AMGParams = AMGParams(),
     and the per-device block stays above ``agg_rows_per_dev``; the rest are
     agglomerated via the host structured setup and replicated.
     """
+    if params.coarsening == "pmis":
+        raise ValueError(
+            "dist_structured_setup is the structured-coarsening path; "
+            "PMIS hierarchies distribute via partition_hierarchy")
     ndev = mesh.devices.size
     dims = tuple(int(g) for g in grid)
     if _prod(dims) != a.n_rows:
@@ -193,14 +202,14 @@ def dist_structured_setup(a: Dia, grid, mesh, params: AMGParams = AMGParams(),
                             for dd, c in zip(dims, axes))
         hl, hr = slab_halos(offsets, dims)
 
+        op = SlabDia(data=data, offsets=tuple(offsets), dims=dims,
+                     hl=hl, hr=hr)
         fn = jax.jit(jax.shard_map(
             partial(_comb_rap_local, coarse_dims=coarse_dims, axes=axes),
             mesh=mesh,
-            in_specs=(_op_spec(offsets, dims, hl, hr),),
+            in_specs=(slab_op_spec(op),),
             out_specs=(P(None, AXIS), P(), P()),
         ))
-        op = SlabDia(data=data, offsets=tuple(offsets), dims=dims,
-                     hl=hl, hr=hr)
         data_c, err, scale = fn(op)
         if float(err) > 2e-4 * (float(scale) + 1e-30):
             raise ValueError(
@@ -215,7 +224,7 @@ def dist_structured_setup(a: Dia, grid, mesh, params: AMGParams = AMGParams(),
         dinv = 1.0 / data[offsets.index(0)]
         lmax_fn = jax.jit(jax.shard_map(
             _lmax_local, mesh=mesh,
-            in_specs=(_op_spec(offsets, dims, hl, hr), P(AXIS)),
+            in_specs=(slab_op_spec(op), P(AXIS)),
             out_specs=P(),
         ))
         lmax = lmax_fn(op, dinv).astype(dtype)
@@ -229,9 +238,14 @@ def dist_structured_setup(a: Dia, grid, mesh, params: AMGParams = AMGParams(),
     from ..amg.hierarchy import amg_setup
     from ..sparse.formats import PlaneDia, plane_to_dia
 
+    import dataclasses
+
     a_tail = Dia(data=jnp.asarray(np.asarray(data)), offsets=tuple(offsets),
                  dims=dims)
-    tail = amg_setup(a_tail, params, grid=dims)
+    # the tail shares the user's level budget with the sharded prefix
+    tail_params = dataclasses.replace(
+        params, max_levels=max(2, params.max_levels - len(sh_levels)))
+    tail = amg_setup(a_tail, tail_params, grid=dims)
 
     levels = []
     nsh = len(sh_levels)

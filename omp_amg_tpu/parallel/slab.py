@@ -39,7 +39,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-AXIS = "rows"  # mesh axis name (same axis as parallel.dist)
+AXIS = "rows"  # the 1D mesh axis name (single definition; dist re-exports)
 
 
 def _static(**kw):

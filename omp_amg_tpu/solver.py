@@ -48,6 +48,7 @@ class AMGSolver:
         self.mesh = mesh
         self._a_sp = None
         self._dist = None
+        self._dist_vcycle = None
         self.last_info: dict = {}
         if mesh is None:
             self.hierarchy: Hierarchy = amg_setup(a, params, grid=grid)
@@ -57,7 +58,8 @@ class AMGSolver:
 
         ndev = int(mesh.devices.size)
         dh = None
-        if grid is not None and isinstance(a, Dia):
+        if (grid is not None and isinstance(a, Dia)
+                and params.coarsening in ("structured", "auto")):
             try:
                 dh = dist_structured_setup(
                     a, grid, mesh, params, transport=transport,
@@ -111,6 +113,14 @@ class AMGSolver:
             from .parallel.dist import make_dist_solver
             from .parallel.partition import pad_vector, unpad_vector
 
+            if certify:
+                import warnings
+
+                warnings.warn(
+                    "distributed solve is f32-only (the f64 refinement loop "
+                    "is host-side); returning the uncertified device "
+                    "residual — pass certify=False to silence",
+                    stacklevel=2)
             key = (float(tol), int(maxiter))
             if self._dist is None or self._dist[0] != key:
                 self._dist = (key, make_dist_solver(self.mesh, self.hierarchy,
@@ -148,9 +158,10 @@ class AMGSolver:
             from .parallel.dist import make_dist_vcycle
             from .parallel.partition import pad_vector, unpad_vector
 
+            if self._dist_vcycle is None:  # cache: one jitted apply, reused
+                self._dist_vcycle = make_dist_vcycle(self.mesh,
+                                                     self.hierarchy)
             n = np.asarray(r).shape[0]
             rp = pad_vector(r, self.hierarchy, int(self.mesh.devices.size))
-            return unpad_vector(
-                make_dist_vcycle(self.mesh, self.hierarchy)(self.hierarchy,
-                                                            rp), n)
+            return unpad_vector(self._dist_vcycle(self.hierarchy, rp), n)
         return vcycle(self.hierarchy, r)

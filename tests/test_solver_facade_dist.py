@@ -16,7 +16,7 @@ def test_facade_distributed_structured():
     assert st["sharded"][0] is True
     assert isinstance(solver.hierarchy.levels[0].a, SlabDia)
     b = amg.default_rhs(a, "random", seed=0)
-    x = solver.solve(b, tol=1e-6, maxiter=100)
+    x = solver.solve(b, tol=1e-6, maxiter=100, certify=False)
     a_sp = amg.dia_to_scipy(a)
     rel = np.linalg.norm(np.asarray(b, np.float64)
                          - a_sp @ np.asarray(x, np.float64)) \
@@ -35,7 +35,27 @@ def test_facade_distributed_pmis_fallback():
 
     solver = amg.AMGSolver(a, AMGParams(coarsening="pmis"), mesh=mesh, agg_rows_per_dev=64)
     b = amg.default_rhs(a, "random", seed=1)
-    x = solver.solve(b, tol=1e-6, maxiter=100)
+    x = solver.solve(b, tol=1e-6, maxiter=100, certify=False)
+    a_sp = amg.dia_to_scipy(a)
+    rel = np.linalg.norm(np.asarray(b, np.float64)
+                         - a_sp @ np.asarray(x, np.float64)) \
+        / np.linalg.norm(np.asarray(b, np.float64))
+    assert rel < 5e-5
+
+
+def test_facade_mesh_respects_pmis_request():
+    """coarsening='pmis' + grid + mesh must NOT silently run structured."""
+    mesh = jax.make_mesh((4,), ("rows",))
+    a = amg.poisson3d_7pt(16)
+    from omp_amg_tpu.amg.params import AMGParams
+    from omp_amg_tpu.parallel.dist import DistOp
+
+    solver = amg.AMGSolver(a, AMGParams(coarsening="pmis"),
+                           grid=(16, 16, 16), mesh=mesh, agg_rows_per_dev=64)
+    assert not isinstance(solver.hierarchy.levels[0].a, SlabDia)
+    assert isinstance(solver.hierarchy.levels[0].a, DistOp)
+    b = amg.default_rhs(a, "random", seed=0)
+    x = solver.solve(b, tol=1e-6, maxiter=100, certify=False)
     a_sp = amg.dia_to_scipy(a)
     rel = np.linalg.norm(np.asarray(b, np.float64)
                          - a_sp @ np.asarray(x, np.float64)) \
