@@ -188,3 +188,30 @@ def test_slab_solve_pallas_transport():
         np.asarray(b, np.float64) - a_sp @ np.asarray(x, np.float64)
     ) / np.linalg.norm(np.asarray(b, np.float64))
     assert true_rel <= 5e-5
+
+
+@pytest.mark.parametrize("ndev", [2, 4])
+def test_slab_solve_2d_and_noncubic(ndev):
+    """Slab distribution on a 2D grid and a non-cubic 3D grid."""
+    from omp_amg_tpu.solvers.cg import amg_pcg
+
+    cases = [(amg.poisson2d_5pt(32), (32, 32)),
+             (amg.poisson3d_7pt(16, 24, 8), None)]
+    for a, grid in cases:
+        grid = a.dims if grid is None else grid
+        hier = amg_setup(a, AMGParams(coarse_size=60), grid=grid)
+        mesh = make_mesh(ndev)
+        dh = place_hierarchy(
+            partition_hierarchy(hier, ndev, agg_rows_per_dev=32), mesh)
+        assert isinstance(dh.levels[0].a, SlabDia), grid
+        b = amg.default_rhs(a, "random", seed=0)
+        res = amg_pcg(a, b, hier, tol=1e-6, maxiter=100)
+        solve = make_dist_solver(mesh, dh, tol=1e-6, maxiter=100)
+        x, iters, rel = solve(dh, pad_vector(b, dh, ndev))
+        assert int(iters) == int(res.iters)
+        a_sp = amg.dia_to_scipy(a)
+        x = unpad_vector(x, a.n_rows)
+        true_rel = np.linalg.norm(
+            np.asarray(b, np.float64) - a_sp @ np.asarray(x, np.float64)
+        ) / np.linalg.norm(np.asarray(b, np.float64))
+        assert true_rel <= 5e-5
