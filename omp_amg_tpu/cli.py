@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "generated grid problems, PMIS for general matrices")
     p.add_argument("--smoother", default="jacobi",
                    choices=["jacobi", "chebyshev"])
+    p.add_argument("--pcg", default="standard",
+                   choices=["standard", "pipelined"],
+                   help="PCG variant (pipelined = single-reduction CG)")
     p.add_argument("--interp", default="extpi",
                    choices=["direct", "standard", "extpi"],
                    help="PMIS-path interpolation variant")
@@ -136,7 +139,8 @@ def main(argv=None) -> int:
 
     with profile_ctx, timers.phase("solve"):
         if args.no_ir:
-            res = amg_pcg(a_dev, b, hier, tol=args.tol, maxiter=args.maxiter)
+            res = amg_pcg(a_dev, b, hier, tol=args.tol,
+                          maxiter=args.maxiter, variant=args.pcg)
             import jax
             jax.block_until_ready(res.x)
             iters = int(res.iters)
@@ -151,7 +155,8 @@ def main(argv=None) -> int:
             true_rel = float(np.linalg.norm(b64 - ax) / np.linalg.norm(b64))
         else:
             res = solve_ir(a_host, np.asarray(b, np.float64), a_dev, hier,
-                           tol=args.tol, maxiter=args.maxiter)
+                           tol=args.tol, maxiter=args.maxiter,
+                           variant=args.pcg)
             iters = sum(res.inner_iters)
             rel = res.rel_residual
             true_rel = res.rel_residual

@@ -271,6 +271,51 @@ def dist_vcycle(dh: DistHierarchy, b_local: jax.Array) -> jax.Array:
     return descend(0, b_local)
 
 
+def _dist_pcg_pipelined_local(dh: DistHierarchy, b, tol: float,
+                              maxiter: int):
+    """Single-reduction sharded PCG (Chronopoulos–Gear): the three scalar
+    reductions of standard PCG collapse into ONE fused psum of a (3,)
+    vector per iteration — one global sync point instead of three (the
+    latency lever on a mesh). Convergence checks the entry residual (one
+    iteration of lag vs standard; same solution)."""
+    a = dh.levels[0].a
+    x = jnp.zeros_like(b)
+    r = b
+    bnorm2 = lax.psum(jnp.vdot(b, b), AXIS)
+    bnorm2 = jnp.where(bnorm2 == 0, 1.0, bnorm2)
+    u = dist_vcycle(dh, r)
+    w = dist_spmv(a, u)
+    p = jnp.zeros_like(b)
+    s = jnp.zeros_like(b)
+    rn2 = lax.psum(jnp.vdot(r, r), AXIS)
+
+    def cond(st):
+        k, x, r, u, w, p, s, g_prev, a_prev, rn2 = st
+        return (rn2 > tol * tol * bnorm2) & (k < maxiter)
+
+    def body(st):
+        k, x, r, u, w, p, s, g_prev, a_prev, _ = st
+        # ONE collective: [γ, δ, ‖r‖²] partials fused into a single psum
+        parts = jnp.stack([jnp.vdot(r, u), jnp.vdot(w, u), jnp.vdot(r, r)])
+        gamma, delta, rn2 = lax.psum(parts, AXIS)
+        beta = jnp.where(k == 0, 0.0, gamma / g_prev)
+        alpha = gamma / (delta - beta * gamma / a_prev)
+        p = u + beta * p
+        s = w + beta * s
+        x = x + alpha * p
+        r = r - alpha * s
+        u = dist_vcycle(dh, r)
+        w = dist_spmv(a, u)
+        return (k + 1, x, r, u, w, p, s, gamma, alpha, rn2)
+
+    one = jnp.asarray(1.0, b.dtype)
+    k, x, r, u, w, p, s, g, al, rn2 = lax.while_loop(
+        cond, body, (jnp.int32(0), x, r, u, w, p, s, one, one, rn2))
+    # exact exit residual (outside the loop; one extra reduction total)
+    rel = pnorm(r) / jnp.sqrt(bnorm2)
+    return x, k, rel
+
+
 def _dist_pcg_local(dh: DistHierarchy, b, tol: float, maxiter: int):
     a = dh.levels[0].a
     x = jnp.zeros_like(b)
@@ -310,15 +355,21 @@ def _check_vma(dh: DistHierarchy) -> bool:
 
 
 def make_dist_solver(mesh, dh: DistHierarchy, tol: float = 1e-6,
-                     maxiter: int = 200):
-    """Build the jitted sharded AMG-PCG: (dh, b_padded) → (x, iters, rel)."""
+                     maxiter: int = 200, variant: str = "standard"):
+    """Build the jitted sharded AMG-PCG: (dh, b_padded) → (x, iters, rel).
+
+    ``variant="pipelined"`` uses single-reduction CG: one fused psum per
+    iteration instead of three global sync points.
+    """
     specs = dist_specs(dh)
     cv = _check_vma(dh)
+    local = (_dist_pcg_pipelined_local if variant == "pipelined"
+             else _dist_pcg_local)
 
     @jax.jit
     def solve(dh, b):
         fn = jax.shard_map(
-            partial(_dist_pcg_local, tol=tol, maxiter=maxiter),
+            partial(local, tol=tol, maxiter=maxiter),
             mesh=mesh,
             in_specs=(specs, P(AXIS)),
             out_specs=(P(AXIS), P(), P()),

@@ -30,7 +30,7 @@ class IRResult(NamedTuple):
 
 def solve_ir(a_host, b, a_dev, hier: Hierarchy, tol: float = 1e-8,
              inner_tol: float = 1e-6, maxiter: int = 200,
-             max_outer: int = 8) -> IRResult:
+             max_outer: int = 8, variant: str = "standard") -> IRResult:
     """Solve to f64 tolerance ``tol`` using the f32 device AMG-PCG.
 
     ``a_host``: the true-residual operator in f64 — a scipy matrix, a
@@ -63,7 +63,7 @@ def solve_ir(a_host, b, a_dev, hier: Hierarchy, tol: float = 1e-8,
             return IRResult(x, outer, inner_iters, rel)
         scale = np.linalg.norm(r)
         res = amg_pcg(a_dev, jnp.asarray(r / scale, dtype=jnp.float32),
-                      hier, tol=inner_tol, maxiter=maxiter)
+                      hier, tol=inner_tol, maxiter=maxiter, variant=variant)
         inner_iters.append(int(res.iters))
         x = x + scale * np.asarray(res.x, dtype=np.float64)
     r = b - a_apply(x)

@@ -177,3 +177,63 @@ def test_hierarchy_stats():
     assert st["operator_complexity"] < 3.0
     assert st["grid_complexity"] < 2.5
     assert all(a > b for a, b in zip(st["sizes"], st["sizes"][1:]))
+
+
+def test_pipelined_pcg_matches_standard():
+    """Single-reduction CG: same solution, iters within +1 of standard."""
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.amg.hierarchy import amg_setup
+    from omp_amg_tpu.solvers.cg import amg_pcg
+
+    for maker, n, grid in (("poisson3d_7pt", 24, (24,) * 3),
+                           ("aniso2d_9pt", 64, (64, 64))):
+        a = getattr(amg, maker)(n)
+        hier = amg_setup(a, grid=grid)
+        b = amg.default_rhs(a, "random", seed=0)
+        r_std = amg_pcg(a, b, hier, tol=1e-8, maxiter=200)
+        r_pip = amg_pcg(a, b, hier, tol=1e-8, maxiter=200,
+                        variant="pipelined")
+        assert 0 <= int(r_pip.iters) - int(r_std.iters) <= 1, \
+            (int(r_std.iters), int(r_pip.iters))
+        a_sp = amg.dia_to_scipy(a)
+        rels = []
+        for res in (r_std, r_pip):
+            rel = np.linalg.norm(
+                np.asarray(b, np.float64)
+                - a_sp @ np.asarray(res.x, np.float64)
+            ) / np.linalg.norm(np.asarray(b, np.float64))
+            rels.append(rel)
+            assert rel < 5e-5, rel  # f32 true-residual floor
+        # pipelined is not materially less accurate than standard
+        assert rels[1] < 10 * rels[0] + 1e-7, rels
+        np.testing.assert_allclose(np.asarray(r_pip.x), np.asarray(r_std.x),
+                                   rtol=5e-3, atol=5e-4)
+
+
+def test_dist_pipelined_pcg_matches_standard():
+    import jax
+
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.amg.hierarchy import amg_setup
+    from omp_amg_tpu.parallel.dist import make_dist_solver
+    from omp_amg_tpu.parallel.partition import (
+        pad_vector, partition_hierarchy, place_hierarchy, unpad_vector,
+    )
+
+    a = amg.poisson3d_7pt(16)
+    hier = amg_setup(a, grid=(16, 16, 16))
+    mesh = jax.make_mesh((4,), ("rows",))
+    dh = place_hierarchy(partition_hierarchy(hier, 4, agg_rows_per_dev=64),
+                         mesh)
+    b = amg.default_rhs(a, "random", seed=0)
+    xs = {}
+    for variant in ("standard", "pipelined"):
+        solve = make_dist_solver(mesh, dh, tol=1e-6, maxiter=100,
+                                 variant=variant)
+        x, iters, rel = solve(dh, pad_vector(b, dh, 4))
+        xs[variant] = (np.asarray(unpad_vector(x, a.n_rows)), int(iters),
+                       float(rel))
+    assert 0 <= xs["pipelined"][1] - xs["standard"][1] <= 1
+    assert xs["pipelined"][2] <= 1e-6
+    np.testing.assert_allclose(xs["pipelined"][0], xs["standard"][0],
+                               rtol=2e-3, atol=2e-4)
