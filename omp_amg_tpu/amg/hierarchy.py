@@ -383,10 +383,9 @@ def _amg_setup_structured_device(a_dev, dims, params: AMGParams, dtype):
                         coarsened=axes)
         r = GridRestrict(fine_shape=dims, coarse_shape=coarse_dims,
                          coarsened=axes)
-        # comb probing is the TPU-right RAP: zero strided slices. The direct
-        # convolution (comb_rap.direct_rap) was measured 12× SLOWER on chip
-        # (lane-stride-2 slices trigger Mosaic relayouts at gather speed);
-        # it remains the fast HOST fallback (structured_rap).
+        # device RAP auto-selects the per-axis-factored engine (MXU matmul
+        # parity extraction; 10-35× faster than comb probing on chip, zero
+        # strided slices) with comb as the general fallback — see comb_rap.
         offs_c, data_c = cr.comb_rap_device(offsets, data, dims, coarse_dims,
                                             axes)
         diag = data[offsets.index(0)]

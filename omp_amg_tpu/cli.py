@@ -41,6 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--interp", default="extpi",
                    choices=["direct", "standard", "extpi"],
                    help="PMIS-path interpolation variant")
+    p.add_argument("--setup-flavor", default="host",
+                   choices=["host", "device"],
+                   help="setup kernels: host numpy (default) or "
+                        "accelerator-resident (device RAP/λmax; structured "
+                        "mode runs the factored MXU Galerkin product)")
     p.add_argument("--omega", type=float, default=None,
                    help="Jacobi damping; default: per-level 4/(3*1.1*lmax)")
     p.add_argument("--nu", type=int, default=1, help="pre/post sweeps")
@@ -114,14 +119,17 @@ def main(argv=None) -> int:
                        max_levels=args.max_levels)
 
     host_ops = None
-    keep_host = a_dev.shape[0] <= (1 << 20)  # per-level scipy only when cheap
+    # per-level scipy only when cheap; device flavor keeps no host operators
+    keep_host = (a_dev.shape[0] <= (1 << 20)
+                 and args.setup_flavor != "device")
     if args.load_hierarchy:
         from .utils.io import load_hierarchy
         with timers.phase("setup"):
             hier = load_hierarchy(args.load_hierarchy)
     else:
         with timers.phase("setup"):
-            out = amg_setup(a_dev, params, keep_host=keep_host, grid=grid)
+            out = amg_setup(a_dev, params, keep_host=keep_host, grid=grid,
+                            flavor=args.setup_flavor)
             hier, host_ops = out if keep_host else (out, None)
     if args.save_hierarchy:
         from .utils.io import save_hierarchy

@@ -174,6 +174,45 @@ def test_device_structured_setup_aniso():
     assert float(res.rel_residual) <= 1e-6
 
 
+def test_factored_rap_matches_comb():
+    """Per-axis-factored (MXU matmul) RAP == f64 comb oracle to f32 eps."""
+    import jax.numpy as jnp
+
+    from omp_amg_tpu.amg.comb_rap import (
+        _device_factored_fn, comb_rap, comb_rap_device,
+    )
+
+    cases = [("poisson3d_7pt", (10,)), ("poisson3d_7pt", (8, 12, 6)),
+             ("poisson3d_27pt", (7,)), ("aniso2d_9pt", (14,)),
+             ("poisson2d_5pt", (2, 8)),  # nx=2: two deltas alias one offset
+             ("poisson2d_5pt", (16, 11))]
+    for maker, args in cases:
+        a = getattr(amg, maker)(*args)
+        dims = tuple(a.dims)
+        d = len(dims)
+        for axes in {(True,) * d, (True, False) + (True,) * (d - 2),
+                     (False, True) + (True,) * (d - 2)}:
+            axes = axes[:d]
+            if any(c and dd < 3 for c, dd in zip(axes, dims)):
+                continue
+            cdims = tuple((dd + 1) // 2 if c else dd
+                          for dd, c in zip(dims, axes))
+            offs, data = list(a.offsets), np.asarray(a.data, np.float64)
+            o1, d1 = comb_rap(offs, data, dims, cdims, axes, xp=np)
+            fn = _device_factored_fn(tuple(offs), tuple(dims), tuple(cdims),
+                                     tuple(axes))
+            o2, d2 = fn(jnp.asarray(data, jnp.float32))
+            d2 = np.asarray(d2, np.float64)
+            keep = [k for k in range(len(o2)) if np.abs(d2[k]).max() > 0]
+            assert o1 == [o2[k] for k in keep], (maker, dims, axes)
+            np.testing.assert_allclose(d1, d2[keep], atol=3e-6 * max(
+                1.0, np.abs(d1).max()), err_msg=f"{maker}{dims}{axes}")
+            # full entry (auto engine → factored) agrees after zero-filter
+            o3, _ = comb_rap_device(offs, jnp.asarray(data, jnp.float32),
+                                    dims, cdims, axes)
+            assert o3 == o1
+
+
 def test_direct_rap_matches_comb():
     """Direct convolution RAP == comb probe RAP (offsets, values, masks)."""
     import numpy as np
