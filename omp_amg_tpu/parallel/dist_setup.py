@@ -121,9 +121,9 @@ def _comb_rap_local(op: SlabDia, *, coarse_dims, axes):
         def body(i, row):
             return row + ws[i] * (tsel == i).astype(dtype)
 
-        # pvary: the carry accumulates device-varying ws, so the initial
-        # zeros must carry the same vma type under shard_map's checker
-        init = lax.pvary(jnp.zeros((nc_l,), dtype), AXIS)
+        # pcast-to-varying: the carry accumulates device-varying ws, so the
+        # initial zeros must carry the same vma type under shard_map's checker
+        init = lax.pcast(jnp.zeros((nc_l,), dtype), AXIS, to="varying")
         rows.append(lax.fori_loop(0, ntaps, body, init))
         offs.append(sum(dl * st for dl, st in zip(delta, strides_c)))
     # small coarse grids alias distinct deltas onto interleaved/duplicate

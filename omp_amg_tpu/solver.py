@@ -102,12 +102,16 @@ class AMGSolver:
         return hierarchy_stats(self.hierarchy)
 
     def solve(self, b, tol: float = 1e-8, maxiter: int = 500,
-              certify: bool = True):
+              certify: bool = True, residual: str = "auto"):
         """Solve A x = b.
 
         ``certify=True`` (default) runs the f64 defect-correction outer loop
         so the returned residual is a true f64 ‖b−Ax‖/‖b‖ ≤ tol;
         ``certify=False`` returns the single-precision device solve.
+        ``residual`` picks where the certified outer residual is evaluated:
+        "host" = scipy f64 SpMV, "device" = on-accelerator double-float32
+        (no large host transfers; floor ≈1e-13), "auto" = device on TPU for
+        Dia operators, else host.
         """
         if self.mesh is not None:
             from .parallel.dist import make_dist_solver
@@ -134,8 +138,19 @@ class AMGSolver:
                               "distributed": True}
             return unpad_vector(x, n)
         if certify:
-            res = solve_ir(self.a_host, np.asarray(b, np.float64), self.a,
-                           self.hierarchy, tol=tol, maxiter=maxiter)
+            use_device = (residual == "device"
+                          or (residual == "auto" and isinstance(self.a, Dia)
+                              and jax.default_backend() == "tpu"))
+            if use_device and isinstance(self.a, Dia):
+                from .solvers.ir import solve_ir_device
+
+                # the operator IS its f32 values here, so a_lo=None is exact
+                res = solve_ir_device(self.a, b, self.hierarchy, tol=tol,
+                                      maxiter=maxiter)
+            else:
+                res = solve_ir(self.a_host, np.asarray(b, np.float64),
+                               self.a, self.hierarchy, tol=tol,
+                               maxiter=maxiter)
             self.last_info = {
                 "iters": sum(res.inner_iters),
                 "outer_iters": res.outer_iters,

@@ -210,6 +210,89 @@ def test_pipelined_pcg_matches_standard():
                                    rtol=5e-3, atol=5e-4)
 
 
+def test_df64_primitives_and_spmv():
+    """Error-free transforms are exact; df_spmv matches f64 to ~1e-14."""
+    import jax
+    import jax.numpy as jnp
+
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.amg.comb_rap import dia_apply
+    from omp_amg_tpu.ops.df64 import df_from_f64, df_spmv, two_prod, two_sum
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal(512), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(512), jnp.float32)
+    s, e = jax.jit(two_sum)(a, b)
+    exact = np.asarray(a, np.float64) + np.asarray(b, np.float64)
+    assert np.abs(np.asarray(s, np.float64) + np.asarray(e, np.float64)
+                  - exact).max() == 0.0
+    p, e = jax.jit(two_prod)(a, b)
+    exact = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+    assert np.abs(np.asarray(p, np.float64) + np.asarray(e, np.float64)
+                  - exact).max() == 0.0
+
+    a_op = amg.aniso2d_9pt(24)
+    a64 = np.asarray(a_op.data, np.float64) * (1 + 1e-9)  # non-exact values
+    dh, dl = df_from_f64(a64)
+    x64 = rng.standard_normal(a_op.n_rows)
+    xh, xl = df_from_f64(x64)
+    yh, yl = jax.jit(lambda *t: df_spmv(list(a_op.offsets), *t))(
+        jnp.asarray(dh), jnp.asarray(dl), jnp.asarray(xh), jnp.asarray(xl))
+    got = np.asarray(yh, np.float64) + np.asarray(yl, np.float64)
+    ref = dia_apply(list(a_op.offsets), a64, x64, np)
+    assert np.abs(got - ref).max() < 1e-13 * np.abs(ref).max()
+
+
+def test_solve_ir_device_matches_host():
+    """Device (df64) IR reaches f64 tolerances with host-IR iteration
+    counts; its self-reported residual equals the external f64 truth."""
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.amg.comb_rap import dia_apply
+    from omp_amg_tpu.amg.hierarchy import amg_setup
+    from omp_amg_tpu.solvers.ir import solve_ir, solve_ir_device
+
+    for maker, n, grid in (("poisson3d_7pt", 20, (20,) * 3),
+                           ("aniso2d_9pt", 48, (48, 48))):
+        a = getattr(amg, maker)(n)
+        hier = amg_setup(a, grid=grid)
+        b = amg.default_rhs(a, "random", seed=0)
+        a_np = getattr(amg, maker)(n, backend="numpy")
+        a64 = np.asarray(a_np.data, np.float64)
+        lo = (a64 - a64.astype(np.float32).astype(np.float64)
+              ).astype(np.float32)
+        a_lo = lo if np.abs(lo).max() > 0 else None
+        res_d = solve_ir_device(a, b, hier, tol=1e-11, a_lo=a_lo)
+        res_h = solve_ir((list(a_np.offsets), a64),
+                         np.asarray(b, np.float64), a, hier, tol=1e-11)
+        r = (np.asarray(b, np.float64)
+             - dia_apply(list(a_np.offsets), a64, res_d.x, np))
+        true_rel = (np.linalg.norm(r)
+                    / np.linalg.norm(np.asarray(b, np.float64)))
+        assert true_rel < 1e-10, (maker, true_rel)
+        # self-reported df64 residual is honest: within 2× of the f64
+        # truth once above the ~3e-13 df64 floor (both sit at the floor
+        # when converged past it)
+        assert res_d.rel_residual <= max(2 * true_rel, 5e-13)
+        assert true_rel <= max(2 * res_d.rel_residual, 5e-13)
+        assert abs(sum(res_d.inner_iters) - sum(res_h.inner_iters)) <= 4
+
+
+def test_solver_facade_device_residual():
+    import omp_amg_tpu as amg
+
+    a = amg.poisson3d_7pt(16)
+    solver = amg.AMGSolver(a, grid=(16, 16, 16))
+    b = amg.default_rhs(a, "random", seed=0)
+    x = solver.solve(b, tol=1e-10, residual="device")
+    assert solver.last_info["certified_f64"]
+    assert solver.last_info["rel_residual"] <= 1e-10
+    a_sp = amg.dia_to_scipy(a)
+    true_rel = np.linalg.norm(
+        np.asarray(b, np.float64) - a_sp @ x
+    ) / np.linalg.norm(np.asarray(b, np.float64))
+    assert true_rel <= 1e-10
+
+
 def test_dist_pipelined_pcg_matches_standard():
     import jax
 
