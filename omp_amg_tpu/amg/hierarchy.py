@@ -202,7 +202,35 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             dinv_np = 1.0 / a_sp.diagonal()
             lmax = jnp.asarray(_estimate_lmax_host(a_sp, dinv_np), dtype=dtype)
             dinv = jnp.asarray(dinv_np, dtype=dtype)
-        levels.append(Level(a=a_dev, dinv=dinv, p=p, r=r, lmax=lmax))
+        a_lvl, p_lvl, r_lvl = a_dev, p, r
+        if isinstance(a_dev, Dia) and jax.default_backend() == "tpu":
+            # banded fine operator: the plane-major DIA kernel is ~80× the
+            # routed format on stencils — never trade it away
+            from ..sparse.formats import to_plane_dia
+
+            a_pm = to_plane_dia(a_dev, dtype="auto")
+            if a_pm is not None:
+                a_lvl = a_pm
+        if params.routed == "force" or (
+                params.routed == "auto" and jax.default_backend() == "tpu"):
+            # routed-ELL views: the TPU-fast general-sparsity SpMV format
+            # (XLA gather ≈ 0.1 Gelem/s on chip — see sparse/routed.py).
+            # Only replaces ELL (gather-path) operators; DIA stays banded.
+            from ..sparse.routed import routed_from_scipy
+
+            targets = [("p", p_sp), ("r", p_sp.T.tocsr())]
+            if isinstance(a_lvl, Ell):
+                targets.append(("a", a_sp))
+            for attr, mat in targets:
+                rt = routed_from_scipy(mat, dtype=dtype)
+                if rt is not None:
+                    if attr == "a":
+                        a_lvl = rt
+                    elif attr == "p":
+                        p_lvl = rt
+                    else:
+                        r_lvl = rt
+        levels.append(Level(a=a_lvl, dinv=dinv, p=p_lvl, r=r_lvl, lmax=lmax))
         a_sp = ac_sp
         if flavor == "device":
             a_dev = ell_from_scipy(ac_sp, dtype=dtype)

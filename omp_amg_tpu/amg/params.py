@@ -32,3 +32,5 @@ class AMGParams:
     max_structured_diags: int = 192  # bail structured→ELL above this band count
     max_coarsen_rounds: int = 64  # PMIS round cap (safety)
     min_coarsen_factor: float = 1.02  # stop if a level shrinks less than this
+    routed: str = "auto"         # routed-ELL SpMV for PMIS levels:
+                                 # "auto" (on TPU backend) | "force" | "off"

@@ -1,0 +1,190 @@
+"""Pallas TPU kernel for routed-ELL SpMV (general / PMIS-hierarchy operators).
+
+See :mod:`omp_amg_tpu.sparse.routed` for the format and planner. Per grid
+step (one 1024-row block):
+
+- one contiguous span DMA from HBM x (double-buffered: block i prefetches
+  block i+1's span before waiting on its own — the per-block base lives
+  fully in SMEM so it is readable ahead of the grid step);
+- per slot k: 8 dynamic sublane slices of the span (one per sublane group)
+  + one width-128 ``take_along_axis`` + one fma. Both primitives measured
+  at full VPU speed on the real chip (scripts/probe_span_slice.py:
+  19 Gnnz/s padded-slot throughput, ~190 GB/s streamed).
+
+Two variants, chosen statically at plan time (``RoutedEll.resident``):
+
+- **resident** (padded x + plan blocks fit VMEM, ~12 MB cap): the whole
+  (nxp, 128) x lives in VMEM for the kernel's duration and ``soff`` holds
+  ABSOLUTE x chunk indices — no manual DMA at all. The streamed variant
+  measured DMA-latency-bound at ~5.5 µs per 1024-row block on hierarchy
+  levels; resident removes that floor.
+- **streamed** (big x): per-block contiguous span DMA as described above.
+
+The XLA emulation (`spmv_routed_xla`) computes the identical sum with a
+plain gather — the CPU-backend path and the test oracle.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..sparse.routed import BLOCK_ROWS, CHUNK_U, LANES, UNROLL_K, RoutedEll
+
+RING = 2
+
+# Slot-loop shape: Python-unroll fully up to UNROLL_K; above it, a
+# lax.fori_loop with a CHUNK_U-slot unrolled body bounds the Mosaic program
+# size (a K≈200 full unroll produced a compile payload the relay rejects
+# outright — HTTP 413) while keeping most of the unrolled throughput
+# (measured: plain fori_loop halves padded Gnnz/s vs unrolled).
+
+
+def _slot_accumulate(win_of, lidx_ref, val_ref, *, K):
+    """acc = Σ_k val[k] * win_of(k)[lidx[k]] with bounded program size."""
+    def slot(k, acc):
+        g = jnp.take_along_axis(win_of(k), lidx_ref[pl.ds(k, 1)][0], axis=1)
+        return acc + val_ref[pl.ds(k, 1)][0].astype(jnp.float32) * g
+
+    acc = jnp.zeros((8, LANES), jnp.float32)
+    if K <= UNROLL_K:
+        for k in range(K):
+            acc = slot(k, acc)
+        return acc
+
+    def chunk(c, acc):
+        for u in range(CHUNK_U):  # Mosaic supports only unroll=1/full, so
+            acc = slot(c * CHUNK_U + u, acc)  # unroll by hand inside the body
+        return acc
+
+    n_full = K // CHUNK_U
+    acc = jax.lax.fori_loop(0, n_full, chunk, acc)
+    for k in range(n_full * CHUNK_U, K):  # remainder (planner pads K away)
+        acc = slot(k, acc)
+    return acc
+
+
+def _routed_kernel(sbase_ref, soff_ref, lidx_ref, val_ref, x_hbm, o_ref,
+                   span, sems, *, K, S, nb):
+    i = pl.program_id(0)
+
+    def copy(p):
+        slot = jax.lax.rem(p, RING)
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(sbase_ref[0, p], S), :],
+            span.at[slot], sems.at[slot])
+
+    @pl.when(i == 0)
+    def _():
+        copy(jnp.int32(0)).start()
+
+    @pl.when(i + 1 < nb)
+    def _():
+        copy(i + 1).start()
+
+    copy(i).wait()
+    sl = jax.lax.rem(i, RING)
+
+    def win_of(k):
+        return jnp.concatenate(
+            [span[sl, pl.ds(soff_ref[0, k * 8 + s], 1), :] for s in range(8)],
+            axis=0)
+
+    o_ref[:, :] = _slot_accumulate(win_of, lidx_ref, val_ref, K=K)
+
+
+@functools.lru_cache(maxsize=256)
+def _make_routed_call(nb, K, S, P, nbp, nxp, dtype_name, interpret=False):
+    kernel = functools.partial(_routed_kernel, K=K, S=S, nb=nb)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # sbase (1,nbp)
+            pl.BlockSpec((None, 1, P), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),            # soff
+            pl.BlockSpec((None, K, 8, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),            # lidx4
+            pl.BlockSpec((None, K, 8, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),            # val4
+            pl.BlockSpec(memory_space=pl.ANY),                # x2 (nxp,128) HBM
+        ],
+        out_specs=pl.BlockSpec((8, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * 8, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((RING, S, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((RING,)),
+        ],
+        interpret=interpret,
+    )
+
+
+def _routed_resident_kernel(soff_ref, lidx_ref, val_ref, x_ref, o_ref, *, K):
+    def win_of(k):
+        return jnp.concatenate(
+            [x_ref[pl.ds(soff_ref[0, k * 8 + s], 1), :] for s in range(8)],
+            axis=0)
+
+    o_ref[:, :] = _slot_accumulate(win_of, lidx_ref, val_ref, K=K)
+
+
+@functools.lru_cache(maxsize=256)
+def _make_resident_call(nb, K, P, nxp, dtype_name, interpret=False):
+    kernel = functools.partial(_routed_resident_kernel, K=K)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((None, 1, P), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),            # soff (absolute)
+            pl.BlockSpec((None, K, 8, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),            # lidx4
+            pl.BlockSpec((None, K, 8, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),            # val4
+            pl.BlockSpec((nxp, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),            # x2, whole
+        ],
+        out_specs=pl.BlockSpec((8, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * 8, LANES), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def _pad_x(a: RoutedEll, x: jax.Array) -> jax.Array:
+    pad = a.nxp * LANES - a.n_cols
+    xp = jnp.concatenate([x.astype(jnp.float32), jnp.zeros((pad,), jnp.float32)])
+    return xp.reshape(a.nxp, LANES)
+
+
+def spmv_routed(a: RoutedEll, x: jax.Array, interpret: bool = False):
+    """y = A @ x via the routed-ELL Pallas kernel."""
+    nb, K = a.val4.shape[:2]
+    dt = jnp.dtype(a.val4.dtype).name
+    if a.resident:
+        call = _make_resident_call(nb, K, a.soff.shape[2], a.nxp, dt,
+                                   interpret)
+        y = call(a.soff, a.lidx4, a.val4, _pad_x(a, x))
+    else:
+        call = _make_routed_call(nb, K, a.span, a.soff.shape[2],
+                                 a.sbase.shape[1], a.nxp, dt, interpret)
+        y = call(a.sbase, a.soff, a.lidx4, a.val4, _pad_x(a, x))
+    return y.reshape(-1)[: a.n_rows].astype(x.dtype)
+
+
+def spmv_routed_xla(a: RoutedEll, x: jax.Array):
+    """XLA-gather formulation of the same sum (CPU path / oracle)."""
+    nb, K = a.val4.shape[:2]
+    x2 = _pad_x(a, x)
+    soff3 = a.soff[:, 0, : 8 * K].reshape(nb, K, 8)
+    rowidx = soff3 if a.resident else (
+        a.sbase[0, :nb, None, None] + soff3)              # (nb, K, 8)
+    win = jnp.take(x2, rowidx.reshape(-1), axis=0).reshape(nb, K, 8, LANES)
+    g = jnp.take_along_axis(win, a.lidx4, axis=3)
+    y = jnp.sum(a.val4.astype(jnp.float32) * g, axis=1)   # (nb, 8, 128)
+    return y.reshape(-1)[: a.n_rows].astype(x.dtype)

@@ -54,10 +54,20 @@ def spmv(a, x: jax.Array) -> jax.Array:
     )
     from ..sparse.formats import PlaneDia, plane_to_dia
 
+    from ..sparse.routed import RoutedEll
+
     if isinstance(a, GridProlong):
         return apply_prolong(a, x)
     if isinstance(a, GridRestrict):
         return apply_restrict(a, x)
+    if isinstance(a, RoutedEll):
+        if jax.default_backend() == "tpu":
+            from .pallas_routed import spmv_routed
+
+            return spmv_routed(a, x)
+        from .pallas_routed import spmv_routed_xla
+
+        return spmv_routed_xla(a, x)
     if isinstance(a, PlaneDia):
         if jax.default_backend() == "tpu":
             from .pallas_spmv import spmv_plane_dia
@@ -101,5 +111,9 @@ def nnz_count(a) -> int:
         del rows
         return int(valid.sum())
     if isinstance(a, Csr):
+        return a.nnz
+    from ..sparse.routed import RoutedEll
+
+    if isinstance(a, RoutedEll):
         return a.nnz
     raise TypeError(type(a))

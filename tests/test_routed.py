@@ -1,0 +1,155 @@
+"""Routed-ELL format: planner exactness, SpMV paths, hierarchy integration.
+
+The routed plan must be an exact re-encoding of the operator
+(sparse/routed.py), the XLA emulation and the Pallas kernel (interpret
+mode) must agree with scipy, and a PMIS hierarchy built with routed views
+must converge identically to the ELL one.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from omp_amg_tpu.amg.hierarchy import amg_setup
+from omp_amg_tpu.amg.params import AMGParams
+from omp_amg_tpu.ops.pallas_routed import spmv_routed, spmv_routed_xla
+from omp_amg_tpu.ops.spmv import spmv
+from omp_amg_tpu.problems.poisson import poisson2d_5pt, poisson3d_7pt
+from omp_amg_tpu.solvers.cg import amg_pcg
+from omp_amg_tpu.sparse.formats import dia_to_scipy
+from omp_amg_tpu.sparse.routed import (
+    RoutedEll, plan_routed, routed_from_scipy, routed_to_scipy,
+)
+
+
+def _random_sparse(n_rows, n_cols, density, seed, band=None):
+    rng = np.random.default_rng(seed)
+    nnz = int(n_rows * n_cols * density)
+    rows = rng.integers(0, n_rows, nnz)
+    if band is None:
+        cols = rng.integers(0, n_cols, nnz)
+    else:
+        cols = np.clip(rows * n_cols // n_rows
+                       + rng.integers(-band, band + 1, nnz), 0, n_cols - 1)
+    vals = rng.standard_normal(nnz)
+    m = sp.csr_matrix((vals, (rows, cols)), shape=(n_rows, n_cols))
+    m.sum_duplicates()
+    m.eliminate_zeros()
+    return m
+
+
+CASES = [
+    _random_sparse(1024, 1024, 0.01, 0),
+    _random_sparse(3000, 3000, 0.004, 1),          # n not a block multiple
+    _random_sparse(2048, 300, 0.01, 2),            # tall (prolongation-like)
+    _random_sparse(300, 2048, 0.02, 3, band=40),   # wide (restriction-like)
+    _random_sparse(130, 130, 0.05, 4),             # single partial block
+    sp.csr_matrix((512, 512)),                     # empty
+]
+
+
+@pytest.mark.parametrize("i", range(len(CASES)))
+def test_plan_roundtrip_exact(i):
+    m = CASES[i]
+    plan = plan_routed(m, dtype=np.float64)
+    assert plan is not None
+    a = RoutedEll(val4=plan["val4"], lidx4=plan["lidx4"], soff=plan["soff"],
+                  sbase=plan["sbase"], n_rows=plan["n_rows"],
+                  n_cols=plan["n_cols"], span=plan["span"], nxp=plan["nxp"],
+                  nnz=plan["nnz"])
+    back = routed_to_scipy(a)
+    assert (back != m).nnz == 0
+    assert a.nnz == m.nnz
+
+
+@pytest.mark.parametrize("i", range(len(CASES)))
+def test_spmv_xla_matches_scipy(i):
+    m = CASES[i]
+    a = routed_from_scipy(m)
+    x = np.random.default_rng(10 + i).standard_normal(m.shape[1])
+    y = spmv_routed_xla(a, jnp.asarray(x, jnp.float32))
+    ref = m @ x
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(np.asarray(y) - ref).max() / scale < 5e-6
+
+
+@pytest.mark.parametrize("mode", ["resident", "streamed"])
+@pytest.mark.parametrize("i", [0, 2, 3, 4, 5])
+def test_spmv_kernel_interpret_matches_scipy(i, mode, monkeypatch):
+    if mode == "streamed":   # force the per-block span-DMA variant
+        import omp_amg_tpu.sparse.routed as routed_mod
+        monkeypatch.setattr(routed_mod, "RESIDENT_CAP_BYTES", 0)
+    m = CASES[i]
+    a = routed_from_scipy(m)
+    assert a.resident == (mode == "resident")
+    x = np.random.default_rng(20 + i).standard_normal(m.shape[1])
+    y = spmv_routed(a, jnp.asarray(x, jnp.float32), interpret=True)
+    ref = m @ x
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(np.asarray(y) - ref).max() / scale < 5e-6
+
+
+@pytest.mark.parametrize("i", range(len(CASES)))
+def test_resident_roundtrip_exact(i):
+    """Resident mode (absolute soff) roundtrips exactly through
+    routed_to_scipy's resident branch."""
+    m = CASES[i]
+    plan = plan_routed(m, dtype=np.float64)
+    nb = plan["val4"].shape[0]
+    soff_abs = plan["soff"] + plan["sbase"][0, :nb, None, None]
+    a = RoutedEll(val4=plan["val4"], lidx4=plan["lidx4"], soff=soff_abs,
+                  sbase=plan["sbase"], n_rows=plan["n_rows"],
+                  n_cols=plan["n_cols"], span=plan["span"], nxp=plan["nxp"],
+                  nnz=plan["nnz"], resident=True)
+    back = routed_to_scipy(a)
+    assert (back != m).nnz == 0
+    # routed_from_scipy builds the same absolute soff
+    dev = routed_from_scipy(m)
+    assert dev.resident
+    assert np.array_equal(np.asarray(dev.soff), soff_abs)
+
+
+def test_spmv_dispatch_uses_routed():
+    m = CASES[0]
+    a = routed_from_scipy(m)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(m.shape[0]),
+                    jnp.float32)
+    y = spmv(a, x)
+    ref = m @ np.asarray(x)
+    assert np.abs(np.asarray(y) - ref).max() / np.abs(ref).max() < 5e-6
+
+
+def test_plan_efficiency_on_pmis_levels():
+    """Per-sublane packing keeps K within ~4x of the ELL width on real
+    PMIS coarse operators (the block-level alternative wasted 8-30x)."""
+    a = poisson3d_7pt(24)
+    h, ops = amg_setup(a, AMGParams(coarsening="pmis"), keep_host=True,
+                       flavor="host")
+    a1 = ops[1]
+    plan = plan_routed(a1)
+    assert plan is not None
+    ell_k = int(np.diff(a1.indptr).max())
+    assert plan["K"] <= 4 * ell_k
+    assert plan["eff"] > 0.1
+
+
+@pytest.mark.parametrize("prob", ["2d", "3d"])
+def test_pmis_solve_routed_matches_ell(prob):
+    """Hierarchy with routed views converges like the ELL hierarchy."""
+    a = poisson2d_5pt(48) if prob == "2d" else poisson3d_7pt(14)
+    params_off = AMGParams(coarsening="pmis", routed="off")
+    params_on = AMGParams(coarsening="pmis", routed="force")
+    h0 = amg_setup(a, params_off, flavor="host")
+    h1 = amg_setup(a, params_on, flavor="host")
+    # routed views actually present on some level operator
+    assert any(isinstance(lv.a, RoutedEll) or isinstance(lv.p, RoutedEll)
+               for lv in h1.levels)
+    a_sp = dia_to_scipy(a)
+    b = np.random.default_rng(5).standard_normal(a.shape[0])
+    bj = jnp.asarray(b, jnp.float32)
+    res0 = amg_pcg(a, bj, h0, tol=1e-6, maxiter=60)
+    res1 = amg_pcg(a, bj, h1, tol=1e-6, maxiter=60)
+    assert int(res1.iters) <= int(res0.iters) + 2
+    r1 = b - a_sp @ np.asarray(res1.x, np.float64)
+    assert np.linalg.norm(r1) / np.linalg.norm(b) < 5e-6
