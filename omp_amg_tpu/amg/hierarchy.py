@@ -49,7 +49,9 @@ class Level:
 @dataclass(frozen=True)
 class Hierarchy:
     levels: Tuple[Level, ...]
-    coarse_chol: jax.Array        # dense Cholesky factor (lower) of coarsest A
+    coarse_chol: jax.Array        # dense coarse-solve data: Cholesky factor
+                                  # (lower), or A⁻¹ when params.coarse_solver
+                                  # == "inv" (one matmul per application)
     coarse_a: jax.Array           # dense coarsest operator (for diagnostics)
     params: AMGParams = _static()
 
@@ -72,6 +74,23 @@ def _to_scipy(a):
     if isinstance(a, Dia):
         return dia_to_scipy(a)
     raise TypeError(type(a))
+
+
+def _coarse_factor(dense: np.ndarray, params: AMGParams) -> np.ndarray:
+    """Coarse-solve data from the densified coarsest operator (f64 host).
+
+    "chol": lower Cholesky factor (two triangular solves per application).
+    "inv": explicit symmetrized inverse — one matmul per application, i.e.
+    one serialized device stage instead of two (the relay's ~0.5 ms
+    per-stage latency floor makes that the faster coarse solve; at the
+    ≤ coarse_size sizes involved the inverse is numerically benign for a
+    preconditioner).
+    """
+    chol = np.linalg.cholesky(dense)  # also validates SPD in both modes
+    if params.coarse_solver == "inv":
+        inv = np.linalg.inv(dense)
+        return 0.5 * (inv + inv.T)  # exact symmetry keeps the V-cycle SPD
+    return chol
 
 
 def _estimate_lmax_host(a_sp, dinv: np.ndarray, iters: int = 20) -> float:
@@ -244,10 +263,10 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
         host_ops.append(a_sp)
 
     dense = np.asarray(a_sp.toarray(), dtype=np.float64)
-    chol = np.linalg.cholesky(dense)
+    fac = _coarse_factor(dense, params)
     hier = Hierarchy(
         levels=tuple(levels),
-        coarse_chol=jnp.asarray(chol, dtype=dtype),
+        coarse_chol=jnp.asarray(fac, dtype=dtype),
         coarse_a=jnp.asarray(dense, dtype=dtype),
         params=params,
     )
@@ -357,10 +376,10 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
         if i1 > i0:
             idx = np.arange(i0, i1)
             dense[idx, idx + off] = data[k, i0:i1]
-    chol = np.linalg.cholesky(dense)
+    fac = _coarse_factor(dense, params)
     hier = Hierarchy(
         levels=tuple(levels),
-        coarse_chol=jnp.asarray(chol, dtype=dtype),
+        coarse_chol=jnp.asarray(fac, dtype=dtype),
         coarse_a=jnp.asarray(dense, dtype=dtype),
         params=params,
     )
@@ -435,9 +454,9 @@ def _amg_setup_structured_device(a_dev, dims, params: AMGParams, dtype):
         if i1 > i0:
             idx = np.arange(i0, i1)
             dense[idx, idx + off] = data_np[k, i0:i1]
-    chol = np.linalg.cholesky(dense)
+    fac = _coarse_factor(dense, params)
     return Hierarchy(levels=tuple(levels),
-                     coarse_chol=jnp.asarray(chol, dtype=dtype),
+                     coarse_chol=jnp.asarray(fac, dtype=dtype),
                      coarse_a=jnp.asarray(dense, dtype=dtype), params=params)
 
 

@@ -28,6 +28,10 @@ class AMGParams:
                                  # complexity of the three)
     interp_max_elements: int = 6  # P row width cap (truncation, rescaled)
     coarse_size: int = 100       # dense direct solve below this many rows
+    coarse_solver: str = "chol"  # "chol" (triangular solves) | "inv"
+                                 # (precomputed dense inverse: one matmul =
+                                 # one serialized stage — faster through the
+                                 # relay's per-stage latency floor)
     max_levels: int = 25
     max_structured_diags: int = 192  # bail structured→ELL above this band count
     max_coarsen_rounds: int = 64  # PMIS round cap (safety)

@@ -33,7 +33,11 @@ def _smooth(level: Level, params: AMGParams, x, b, sweeps: int):
 
 
 def coarse_solve(hier: Hierarchy, b):
-    """Dense Cholesky solve at the coarsest level (factored at setup)."""
+    """Dense direct solve at the coarsest level (factored at setup):
+    Cholesky triangular solves, or one matmul with the precomputed inverse
+    (params.coarse_solver == "inv" — one serialized stage instead of two)."""
+    if hier.params.coarse_solver == "inv":
+        return hier.coarse_chol @ b
     chol = hier.coarse_chol
     y = jax.scipy.linalg.solve_triangular(chol, b, lower=True)
     return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)

@@ -33,7 +33,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..sparse.routed import BLOCK_ROWS, CHUNK_U, LANES, UNROLL_K, RoutedEll
+from ..sparse.routed import (
+    BLOCK_ROWS, CHUNK_U, K_BLK, LANES, UNROLL_K, RoutedEll,
+)
 
 RING = 2
 
@@ -68,9 +70,24 @@ def _slot_accumulate(win_of, lidx_ref, val_ref, *, K):
     return acc
 
 
+def _accumulate_out(o_ref, acc):
+    """Output blocks are revisited across the K-chunk grid dim (kb is the
+    innermost grid dimension, so the block stays VMEM-resident)."""
+    kb = pl.program_id(1)
+
+    @pl.when(kb == 0)
+    def _():
+        o_ref[:, :] = acc
+
+    @pl.when(kb != 0)
+    def _():
+        o_ref[:, :] = o_ref[:, :] + acc
+
+
 def _routed_kernel(sbase_ref, soff_ref, lidx_ref, val_ref, x_hbm, o_ref,
-                   span, sems, *, K, S, nb):
+                   span, sems, *, kb_slots, S, nb):
     i = pl.program_id(0)
+    kb = pl.program_id(1)
 
     def copy(p):
         slot = jax.lax.rem(p, RING)
@@ -78,42 +95,53 @@ def _routed_kernel(sbase_ref, soff_ref, lidx_ref, val_ref, x_hbm, o_ref,
             x_hbm.at[pl.ds(sbase_ref[0, p], S), :],
             span.at[slot], sems.at[slot])
 
-    @pl.when(i == 0)
+    @pl.when(jnp.logical_and(i == 0, kb == 0))
     def _():
         copy(jnp.int32(0)).start()
 
-    @pl.when(i + 1 < nb)
+    @pl.when(jnp.logical_and(kb == 0, i + 1 < nb))
     def _():
         copy(i + 1).start()
 
-    copy(i).wait()
+    @pl.when(kb == 0)  # the slot persists across this block's K-chunks
+    def _():
+        copy(i).wait()
+
     sl = jax.lax.rem(i, RING)
 
     def win_of(k):
         return jnp.concatenate(
-            [span[sl, pl.ds(soff_ref[0, k * 8 + s], 1), :] for s in range(8)],
+            [span[sl, pl.ds(soff_ref[kb, k * 8 + s], 1), :] for s in range(8)],
             axis=0)
 
-    o_ref[:, :] = _slot_accumulate(win_of, lidx_ref, val_ref, K=K)
+    _accumulate_out(
+        o_ref, _slot_accumulate(win_of, lidx_ref, val_ref, K=kb_slots))
 
 
 @functools.lru_cache(maxsize=256)
 def _make_routed_call(nb, K, S, P, nbp, nxp, dtype_name, interpret=False):
-    kernel = functools.partial(_routed_kernel, K=K, S=S, nb=nb)
+    kb_slots = min(K, K_BLK)
+    nkb = K // kb_slots
+    kernel = functools.partial(_routed_kernel, kb_slots=kb_slots, S=S, nb=nb)
     return pl.pallas_call(
         kernel,
-        grid=(nb,),
+        grid=(nb, nkb),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),            # sbase (1,nbp)
-            pl.BlockSpec((None, 1, P), lambda i: (i, 0, 0),
+            # whole block's soff (all K-chunks): the TPU lowering wants the
+            # last two block dims equal to the array dims (nkb is not
+            # 8-divisible); the kernel indexes chunk kb directly
+            pl.BlockSpec((None, nkb, P), lambda i, kb: (i, 0, 0),
                          memory_space=pltpu.SMEM),            # soff
-            pl.BlockSpec((None, K, 8, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),            # lidx4
-            pl.BlockSpec((None, K, 8, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),            # val4
+            pl.BlockSpec((None, kb_slots, 8, LANES),
+                         lambda i, kb: (i, kb, 0, 0),
+                         memory_space=pltpu.VMEM),            # lidx4 chunk
+            pl.BlockSpec((None, kb_slots, 8, LANES),
+                         lambda i, kb: (i, kb, 0, 0),
+                         memory_space=pltpu.VMEM),            # val4 chunk
             pl.BlockSpec(memory_space=pl.ANY),                # x2 (nxp,128) HBM
         ],
-        out_specs=pl.BlockSpec((8, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((8, LANES), lambda i, kb: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb * 8, LANES), jnp.float32),
         scratch_shapes=[
@@ -124,32 +152,40 @@ def _make_routed_call(nb, K, S, P, nbp, nxp, dtype_name, interpret=False):
     )
 
 
-def _routed_resident_kernel(soff_ref, lidx_ref, val_ref, x_ref, o_ref, *, K):
+def _routed_resident_kernel(soff_ref, lidx_ref, val_ref, x_ref, o_ref, *,
+                            kb_slots):
+    kb = pl.program_id(1)
+
     def win_of(k):
         return jnp.concatenate(
-            [x_ref[pl.ds(soff_ref[0, k * 8 + s], 1), :] for s in range(8)],
+            [x_ref[pl.ds(soff_ref[kb, k * 8 + s], 1), :] for s in range(8)],
             axis=0)
 
-    o_ref[:, :] = _slot_accumulate(win_of, lidx_ref, val_ref, K=K)
+    _accumulate_out(
+        o_ref, _slot_accumulate(win_of, lidx_ref, val_ref, K=kb_slots))
 
 
 @functools.lru_cache(maxsize=256)
 def _make_resident_call(nb, K, P, nxp, dtype_name, interpret=False):
-    kernel = functools.partial(_routed_resident_kernel, K=K)
+    kb_slots = min(K, K_BLK)
+    nkb = K // kb_slots
+    kernel = functools.partial(_routed_resident_kernel, kb_slots=kb_slots)
     return pl.pallas_call(
         kernel,
-        grid=(nb,),
+        grid=(nb, nkb),
         in_specs=[
-            pl.BlockSpec((None, 1, P), lambda i: (i, 0, 0),
+            pl.BlockSpec((None, nkb, P), lambda i, kb: (i, 0, 0),
                          memory_space=pltpu.SMEM),            # soff (absolute)
-            pl.BlockSpec((None, K, 8, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),            # lidx4
-            pl.BlockSpec((None, K, 8, LANES), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),            # val4
-            pl.BlockSpec((nxp, LANES), lambda i: (0, 0),
+            pl.BlockSpec((None, kb_slots, 8, LANES),
+                         lambda i, kb: (i, kb, 0, 0),
+                         memory_space=pltpu.VMEM),            # lidx4 chunk
+            pl.BlockSpec((None, kb_slots, 8, LANES),
+                         lambda i, kb: (i, kb, 0, 0),
+                         memory_space=pltpu.VMEM),            # val4 chunk
+            pl.BlockSpec((nxp, LANES), lambda i, kb: (0, 0),
                          memory_space=pltpu.VMEM),            # x2, whole
         ],
-        out_specs=pl.BlockSpec((8, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((8, LANES), lambda i, kb: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb * 8, LANES), jnp.float32),
         interpret=interpret,
@@ -181,7 +217,10 @@ def spmv_routed_xla(a: RoutedEll, x: jax.Array):
     """XLA-gather formulation of the same sum (CPU path / oracle)."""
     nb, K = a.val4.shape[:2]
     x2 = _pad_x(a, x)
-    soff3 = a.soff[:, 0, : 8 * K].reshape(nb, K, 8)
+    kb_slots = K // a.soff.shape[1]
+    k = jnp.arange(K)[:, None]
+    s = jnp.arange(8)[None, :]
+    soff3 = a.soff[:, k // kb_slots, (k % kb_slots) * 8 + s]  # (nb, K, 8)
     rowidx = soff3 if a.resident else (
         a.sbase[0, :nb, None, None] + soff3)              # (nb, K, 8)
     win = jnp.take(x2, rowidx.reshape(-1), axis=0).reshape(nb, K, 8, LANES)

@@ -251,6 +251,8 @@ def dist_vcycle(dh: DistHierarchy, b_local: jax.Array) -> jax.Array:
 
     def descend(l, bl):
         if l == len(levels):
+            if getattr(params, "coarse_solver", "chol") == "inv":
+                return dh.coarse_chol @ bl  # precomputed inverse
             y = jax.scipy.linalg.solve_triangular(dh.coarse_chol, bl, lower=True)
             return jax.scipy.linalg.solve_triangular(dh.coarse_chol.T, y,
                                                      lower=False)

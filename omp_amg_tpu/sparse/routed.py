@@ -51,13 +51,17 @@ BLOCK_ROWS = 8 * LANES  # 1024
 # Kernel slot-loop shape (ops/pallas_routed.py): ≤ UNROLL_K slots unroll
 # fully; above that the kernel runs a fori_loop over CHUNK_U-slot chunks, so
 # the planner pads K to a multiple of CHUNK_U (padding slots are val=0,
-# soff=0 — exact and in-bounds).
+# soff=0 — exact and in-bounds). Above K_BLK slots the kernel grid gains a
+# second dimension: each step covers K_BLK slots and accumulates into the
+# output block, so VMEM per step and compile size stay bounded at any K
+# (K is then padded to a multiple of K_BLK; soff is laid out per K-chunk).
 UNROLL_K = 32
 CHUNK_U = 8
+K_BLK = 64
 
-# Caps: beyond these the plan would strain SMEM/VMEM — fall back to XLA.
+# Caps: beyond these the plan would strain SMEM/HBM — fall back to XLA.
 S_CAP = 2048     # span chunks (2 × S × 512 B of VMEM scratch)
-K_CAP = 512      # slots (K × 8 KB VMEM per pipelined operand block)
+K_CAP = 4096     # slots (plan arrays are nb × K × 8 KB of HBM)
 NB_CAP = 8192    # blocks (sbase lives fully in SMEM)
 
 # Resident mode: when padded x plus the pipelined plan blocks fit VMEM
@@ -70,7 +74,8 @@ RESIDENT_CAP_BYTES = 12 << 20
 
 def _resident(nxp: int, K: int) -> bool:
     x_bytes = nxp * LANES * 4
-    plan_bytes = 2 * 2 * K * 8 * LANES * 8  # val4+lidx4, double-buffered
+    kb = min(K, K_BLK)  # val4+lidx4 pipeline one K-chunk per grid step
+    plan_bytes = 2 * 2 * kb * 8 * LANES * 8  # two operands, double-buffered
     return x_bytes + plan_bytes <= RESIDENT_CAP_BYTES
 
 
@@ -91,7 +96,9 @@ class RoutedEll:
 
     val4: jax.Array   # (nb, K, 8, 128) float
     lidx4: jax.Array  # (nb, K, 8, 128) int32 — lane within the span row
-    soff: jax.Array   # (nb, 1, P) int32 — span row per (slot, sublane):
+    soff: jax.Array   # (nb, nkb, P) int32 — span row per (slot, sublane),
+                      # laid out per K-chunk of kb_slots = K // nkb: slot k
+                      # lives at [b, k // kb_slots, (k % kb_slots)*8 + s];
                       # ABSOLUTE x chunk in resident mode, else span-relative
     sbase: jax.Array  # (1, NBP) int32 — span base chunk per block
     n_rows: int = _static()
@@ -195,8 +202,12 @@ def plan_routed(m, dtype=np.float32):
     K = int(k_per_g.max())
     if K > UNROLL_K:
         K = _pad_to(K, CHUNK_U)
+    if K > K_BLK:
+        K = _pad_to(K, K_BLK)
     if K > K_CAP:
         return None
+    kb_slots = min(K, K_BLK)
+    nkb = K // kb_slots
 
     slot = slot_base[gj_id] + t  # per sorted nnz
 
@@ -207,15 +218,15 @@ def plan_routed(m, dtype=np.float32):
     val4[b_o, slot, s_o, lane[order]] = vals[order]
     lidx4[b_o, slot, s_o, lane[order]] = lid[order]
 
-    P = _pad_to(8 * K, LANES)
-    soff = np.zeros((nb, 1, P), np.int32)
+    P = _pad_to(8 * kb_slots, LANES)
+    soff = np.zeros((nb, nkb, P), np.int32)
     # each gj group fills slots [slot_base, slot_base + m) of (b, s) with j
     rep_b = np.repeat(b_o[gj_starts], m_gj)
     rep_s = np.repeat(s_o[gj_starts], m_gj)
     rep_j = np.repeat(j_o[gj_starts], m_gj)
     seq = np.arange(int(m_gj.sum())) - np.repeat(csum - m_gj, m_gj)
     rep_k = np.repeat(slot_base, m_gj) + seq
-    soff[rep_b, 0, rep_k * 8 + rep_s] = rep_j
+    soff[rep_b, rep_k // kb_slots, (rep_k % kb_slots) * 8 + rep_s] = rep_j
 
     sbase = np.zeros((1, _pad_to(nb, LANES)), np.int32)
     sbase[0, :nb] = base
@@ -262,7 +273,9 @@ def routed_to_scipy(a: RoutedEll):
     nb, K = val4.shape[:2]
     bi, ki, si, li = np.nonzero(val4)
     rows = bi * BLOCK_ROWS + si * LANES + li
-    srow = soff[bi, 0, ki * 8 + si].astype(np.int64)
+    kb_slots = K // soff.shape[1]
+    srow = soff[bi, ki // kb_slots,
+                (ki % kb_slots) * 8 + si].astype(np.int64)
     if not a.resident:   # streamed mode: soff is span-relative
         srow = srow + sbase[0, bi].astype(np.int64)
     cols = srow * LANES + lidx4[bi, ki, si, li]

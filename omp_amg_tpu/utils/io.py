@@ -45,6 +45,15 @@ def _pack_op(prefix: str, op, out: dict, meta: dict):
         meta[prefix + ":dims"] = list(op.dims)
         out[prefix + ":data4"] = np.asarray(op.data4)
         return
+    from ..sparse.routed import RoutedEll
+
+    if isinstance(op, RoutedEll):
+        meta[prefix + ":kind"] = "routed"
+        meta[prefix + ":geom"] = [op.n_rows, op.n_cols, op.span, op.nxp,
+                                  op.nnz, int(op.resident)]
+        for name in ("val4", "lidx4", "soff", "sbase"):
+            out[prefix + ":" + name] = np.asarray(getattr(op, name))
+        return
     if isinstance(op, Dia):
         meta[prefix + ":kind"] = "dia"
         meta[prefix + ":offsets"] = list(op.offsets)
@@ -74,6 +83,17 @@ def _unpack_op(prefix: str, data: dict, meta: dict):
         return PlaneDia(data4=jnp.asarray(data[prefix + ":data4"]),
                         offsets=tuple(meta[prefix + ":offsets"]),
                         dims=tuple(meta[prefix + ":dims"]))
+    if kind == "routed":
+        from ..sparse.routed import RoutedEll
+
+        n_rows, n_cols, span, nxp, nnz, res = meta[prefix + ":geom"]
+        return RoutedEll(
+            val4=jnp.asarray(data[prefix + ":val4"]),
+            lidx4=jnp.asarray(data[prefix + ":lidx4"]),
+            soff=jnp.asarray(data[prefix + ":soff"]),
+            sbase=jnp.asarray(data[prefix + ":sbase"]),
+            n_rows=n_rows, n_cols=n_cols, span=span, nxp=nxp, nnz=nnz,
+            resident=bool(res))
     if kind == "dia":
         dims = meta.get(prefix + ":dims")
         return Dia(data=jnp.asarray(data[prefix + ":data"]),

@@ -29,13 +29,24 @@ from omp_amg_tpu.sparse.formats import ell_from_scipy
 from omp_amg_tpu.utils.timers import timeit_fused
 
 
+def _chainable(fn):
+    """Wrap y=f(A,x) so the fused timing loop can feed y back as x even for
+    non-square operators (truncate or pad with the old x's tail)."""
+    def step(a, xv):
+        y = fn(a, xv)
+        if y.shape[0] >= xv.shape[0]:
+            return y[: xv.shape[0]]
+        return jnp.concatenate([y, xv[y.shape[0]:]])
+    return step
+
+
 def bench_level_spmv(name, rt, ell, n_cols):
     x = jnp.asarray(np.random.default_rng(0).standard_normal(n_cols),
                     jnp.float32)
 
     nnz = rt.nnz
-    t_rt = timeit_fused(spmv_routed, rt, x, iters=20)
-    t_ell = timeit_fused(spmv_ell, ell, x, iters=20)
+    t_rt = timeit_fused(_chainable(spmv_routed), rt, x, iters=20)
+    t_ell = timeit_fused(_chainable(spmv_ell), ell, x, iters=20)
     print(f"{name}: routed {t_rt*1e3:8.3f} ms ({nnz/t_rt/1e9:7.2f} Gnnz/s)  "
           f"xla-ell {t_ell*1e3:8.3f} ms ({nnz/t_ell/1e9:7.2f} Gnnz/s)  "
           f"speedup {t_ell/t_rt:6.1f}x  [K={rt.width} S={rt.span} "
@@ -58,11 +69,21 @@ def main():
 
     results = []
     for li, lv in enumerate(hier.levels):
-        for tag, op, msp in (("a", lv.a, ops[li]),):
-            if isinstance(op, RoutedEll):
-                ell = ell_from_scipy(msp)
-                results.append(bench_level_spmv(f"A[{li}]", op, ell,
-                                                op.n_cols))
+        p_sp = None
+        for tag, op in (("A", lv.a), ("P", lv.p), ("R", lv.r)):
+            if not isinstance(op, RoutedEll):
+                continue
+            if tag == "A":
+                msp = ops[li]
+            else:
+                if p_sp is None:
+                    from omp_amg_tpu.sparse.routed import routed_to_scipy
+                    p_sp = routed_to_scipy(lv.p if isinstance(lv.p, RoutedEll)
+                                           else None)
+                msp = p_sp if tag == "P" else p_sp.T.tocsr()
+            ell = ell_from_scipy(msp)
+            results.append(bench_level_spmv(f"{tag}[{li}]", op, ell,
+                                            op.n_cols))
 
     b = default_rhs(a, "random")
 

@@ -46,6 +46,7 @@ CASES = [
     _random_sparse(300, 2048, 0.02, 3, band=40),   # wide (restriction-like)
     _random_sparse(130, 130, 0.05, 4),             # single partial block
     sp.csr_matrix((512, 512)),                     # empty
+    _random_sparse(600, 4096, 0.06, 6),            # dense rows → K > K_BLK
 ]
 
 
@@ -74,8 +75,17 @@ def test_spmv_xla_matches_scipy(i):
     assert np.abs(np.asarray(y) - ref).max() / scale < 5e-6
 
 
+def test_high_k_case_is_multichunk():
+    """CASE 6 really exercises the K-chunked grid (K > K_BLK)."""
+    from omp_amg_tpu.sparse.routed import K_BLK
+
+    plan = plan_routed(CASES[6])
+    assert plan is not None and plan["K"] > K_BLK
+    assert plan["soff"].shape[1] == plan["K"] // K_BLK
+
+
 @pytest.mark.parametrize("mode", ["resident", "streamed"])
-@pytest.mark.parametrize("i", [0, 2, 3, 4, 5])
+@pytest.mark.parametrize("i", [0, 2, 3, 4, 5, 6])
 def test_spmv_kernel_interpret_matches_scipy(i, mode, monkeypatch):
     if mode == "streamed":   # force the per-block span-DMA variant
         import omp_amg_tpu.sparse.routed as routed_mod

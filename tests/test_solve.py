@@ -320,3 +320,27 @@ def test_dist_pipelined_pcg_matches_standard():
     assert xs["pipelined"][2] <= 1e-6
     np.testing.assert_allclose(xs["pipelined"][0], xs["standard"][0],
                                rtol=2e-3, atol=2e-4)
+
+
+def test_coarse_solver_inv_matches_chol():
+    """coarse_solver="inv" (one-matmul coarse solve) converges identically
+    and keeps the V-cycle SPD-symmetric."""
+    a = amg.poisson3d_7pt(14)
+    b = amg.default_rhs(a, "random", seed=0)
+    h_chol = amg_setup(a, AMGParams(coarse_size=400))
+    h_inv = amg_setup(a, AMGParams(coarse_size=400, coarse_solver="inv"))
+    r0 = amg_pcg(a, b, h_chol, tol=1e-6, maxiter=60)
+    r1 = amg_pcg(a, b, h_inv, tol=1e-6, maxiter=60)
+    assert abs(int(r0.iters) - int(r1.iters)) <= 1
+    a_sp = amg.dia_to_scipy(a)
+    bb = np.asarray(b, np.float64)
+    rel = np.linalg.norm(bb - a_sp @ np.asarray(r1.x, np.float64))
+    assert rel / np.linalg.norm(bb) < 5e-6
+    # symmetry of the preconditioner with the inverse coarse solve
+    rng = np.random.default_rng(7)
+    u = jnp.asarray(rng.standard_normal(a.n_rows), jnp.float32)
+    v = jnp.asarray(rng.standard_normal(a.n_rows), jnp.float32)
+    f = jax.jit(vcycle)
+    lhs = float(jnp.vdot(u, f(h_inv, v)))
+    rhs = float(jnp.vdot(f(h_inv, u), v))
+    assert abs(lhs - rhs) <= 1e-4 * max(abs(lhs), abs(rhs))

@@ -102,3 +102,21 @@ def test_solver_facade():
     assert st["sizes"][0] == 1024
     z = solver.precondition(jnp.asarray(b, jnp.float32))
     assert z.shape == (1024,)
+
+
+def test_routed_hierarchy_save_load_roundtrip(tmp_path):
+    """PMIS hierarchy with routed-ELL views checkpoints and re-solves."""
+    from omp_amg_tpu.amg.params import AMGParams
+    from omp_amg_tpu.sparse.routed import RoutedEll
+
+    a = amg.poisson3d_7pt(12)
+    hier = amg_setup(a, AMGParams(coarsening="pmis", routed="force"))
+    assert any(isinstance(lv.p, RoutedEll) for lv in hier.levels)
+    path = str(tmp_path / "hr.npz")
+    save_hierarchy(path, hier)
+    h2 = load_hierarchy(path)
+    assert h2.params == hier.params
+    b = amg.default_rhs(a, "random", seed=0)
+    y1 = np.asarray(jax.jit(vcycle)(hier, b))
+    y2 = np.asarray(jax.jit(vcycle)(h2, b))
+    np.testing.assert_array_equal(y1, y2)
