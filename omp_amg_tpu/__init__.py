@@ -9,7 +9,8 @@ AMG-preconditioned CG — row-sharded across TPU device meshes.
 """
 
 from .sparse.formats import (  # noqa: F401
-    Csr, Dia, Ell, PlaneDia, plane_to_dia, to_plane_dia,
+    ConstDia, Csr, Dia, Ell, PlaneDia, const_to_dia, plane_to_dia,
+    to_const_dia, to_plane_dia,
     coo_to_csr, csr_from_scipy, csr_to_ell, csr_to_scipy,
     dia_from_scipy, dia_to_csr, dia_to_ell, dia_to_scipy, diagonal,
     ell_from_scipy, ell_to_scipy, transpose_ell,

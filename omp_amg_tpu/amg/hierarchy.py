@@ -354,7 +354,19 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
             lambda v: native.dia_apply(offsets, data, v), dinv_np, n)
         a_lvl = Dia(data=jnp.asarray(data, dtype=dtype),
                     offsets=tuple(offsets), dims=dims)
-        if jax.default_backend() == "tpu":
+        a_cd = None
+        if params.const_stencil != "off":
+            # detect masked-constant stencils on the host f32 planes (no
+            # device traffic); typically hits the finest level only —
+            # Galerkin coarse operators have boundary-modified values
+            from ..sparse.formats import to_const_dia
+
+            a_cd = to_const_dia(Dia(
+                data=np.asarray(data, np.dtype(jnp.dtype(dtype).name)),
+                offsets=tuple(offsets), dims=dims))
+        if a_cd is not None:
+            a_lvl = a_cd  # matrix-free: streams x/y only (~2.8× PlaneDia)
+        elif jax.default_backend() == "tpu":
             from ..sparse.formats import to_plane_dia
 
             a_pm = to_plane_dia(a_lvl, dtype="auto")
@@ -439,7 +451,13 @@ def _amg_setup_structured_device(a_dev, dims, params: AMGParams, dtype):
         dinv = 1.0 / diag
         cur = Dia(data=data, offsets=tuple(offsets), dims=dims)
         lmax = jax.jit(estimate_lmax)(cur, dinv).astype(dtype)
-        a_lvl = to_plane_dia(cur, dtype="auto")
+        a_lvl = None
+        if params.const_stencil != "off":
+            from ..sparse.formats import to_const_dia
+
+            a_lvl = to_const_dia(cur)  # O(1) host traffic (scalars + bool)
+        if a_lvl is None:
+            a_lvl = to_plane_dia(cur, dtype="auto")
         if a_lvl is None:
             a_lvl = cur
         levels.append(Level(a=a_lvl, dinv=dinv.astype(dtype), p=p, r=r,

@@ -38,3 +38,7 @@ class AMGParams:
     min_coarsen_factor: float = 1.02  # stop if a level shrinks less than this
     routed: str = "auto"         # routed-ELL SpMV for PMIS levels:
                                  # "auto" (on TPU backend) | "force" | "off"
+    const_stencil: str = "auto"  # matrix-free ConstDia for levels whose
+                                 # operator is a masked-constant stencil
+                                 # (streams x/y only — ~2.8× the PlaneDia
+                                 # SpMV ceiling): "auto" | "off"

@@ -21,13 +21,18 @@ def jacobi(a, dinv, x, b, omega: float, sweeps: int):
     return x
 
 
-def chebyshev(a, dinv, x, b, lmax, degree: int, ratio: float):
+def chebyshev(a, dinv, x, b, lmax, degree: int, ratio: float,
+              x_is_zero: bool = False):
     """Chebyshev polynomial smoother on D⁻¹A over [1.1·lmax/ratio, 1.1·lmax].
 
     Classical three-term Chebyshev semi-iteration (Saad alg. 12.1 with
     hypre-style spectral bounds, SURVEY.md §3.7). ``degree`` = number of
     SpMV applications. A fixed polynomial in D⁻¹A, hence symmetric as a
     preconditioner component — preserves the SPD contract of §3.9.
+
+    ``x_is_zero=True`` skips the initial residual SpMV exactly (A·0 ≡ 0):
+    the V-cycle pre-smoother always starts from a zero guess, so this saves
+    one SpMV per level per cycle at bitwise-identical results.
     """
     upper = 1.1 * lmax
     lower = upper / ratio
@@ -36,9 +41,9 @@ def chebyshev(a, dinv, x, b, lmax, degree: int, ratio: float):
     sigma = theta / delta
     rho = 1.0 / sigma
 
-    r = dinv * (b - spmv(a, x))
+    r = dinv * b if x_is_zero else dinv * (b - spmv(a, x))
     d = r / theta
-    x = x + d
+    x = d if x_is_zero else x + d
     for _ in range(degree - 1):
         r = r - dinv * spmv(a, d)
         rho_new = 1.0 / (2.0 * sigma - rho)

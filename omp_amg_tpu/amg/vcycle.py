@@ -32,6 +32,31 @@ def _smooth(level: Level, params: AMGParams, x, b, sweeps: int):
     raise ValueError(f"unknown smoother {params.smoother!r}")
 
 
+def _smooth_zero(level: Level, params: AMGParams, b, sweeps: int):
+    """Smooth with a known-zero initial guess, skipping the first SpMV.
+
+    ``A·0`` is exactly the zero vector (every format's products are
+    ``value·0``), so the first weighted-Jacobi sweep collapses to
+    ``ω·D⁻¹·b`` and the first Chebyshev residual to ``D⁻¹·b`` — one SpMV
+    saved per level per V-cycle at bitwise-identical results.
+    """
+    if sweeps == 0:
+        return jnp.zeros_like(b)
+    if params.smoother == "jacobi":
+        omega = (params.omega if params.omega is not None
+                 else 4.0 / (3.0 * 1.1 * level.lmax))
+        x = omega * level.dinv * b  # == 0 + ω·D⁻¹·(b − A·0), same assoc
+        return jacobi(level.a, level.dinv, x, b, omega, sweeps - 1)
+    if params.smoother == "chebyshev":
+        x = chebyshev(level.a, level.dinv, None, b, level.lmax,
+                      params.cheby_degree, params.cheby_ratio, x_is_zero=True)
+        for _ in range(sweeps - 1):
+            x = chebyshev(level.a, level.dinv, x, b, level.lmax,
+                          params.cheby_degree, params.cheby_ratio)
+        return x
+    raise ValueError(f"unknown smoother {params.smoother!r}")
+
+
 def coarse_solve(hier: Hierarchy, b):
     """Dense direct solve at the coarsest level (factored at setup):
     Cholesky triangular solves, or one matmul with the precomputed inverse
@@ -52,7 +77,7 @@ def vcycle(hier: Hierarchy, b):
         if l == len(levels):
             return coarse_solve(hier, bl)
         lv = levels[l]
-        x = _smooth(lv, params, jnp.zeros_like(bl), bl, params.nu_pre)
+        x = _smooth_zero(lv, params, bl, params.nu_pre)
         r = bl - spmv(lv.a, x)
         xc = descend(l + 1, spmv(lv.r, r))
         x = x + spmv(lv.p, xc)

@@ -47,15 +47,44 @@ def spmv_dia(a: Dia, x: jax.Array) -> jax.Array:
     return y
 
 
+def spmv_const_xla(a, x: jax.Array) -> jax.Array:
+    """XLA fallback for ConstDia: iota-derived masks fused into shift-fma.
+
+    Bitwise-identical to ``spmv_dia`` on the materialized operator: the
+    products ``(c_k·m)·x`` and ``(c_k)·(m·x)`` agree exactly for m ∈ {0,1}
+    and the accumulation order is the same.
+    """
+    from ..sparse.formats import _const_expected_masks
+
+    n = a.n_rows
+    offs = a.offsets
+    lo = max(0, -min(offs))
+    hi = max(0, max(offs))
+    xp = jnp.pad(x, (lo, hi))
+    masks = _const_expected_masks(jnp, None, a.taps, a.dims)
+    y = jnp.zeros_like(x, shape=(n,))
+    for k, off in enumerate(offs):
+        data_k = jnp.where(masks[k], jnp.asarray(a.coeffs[k], x.dtype),
+                           jnp.asarray(0, x.dtype))
+        y = y + data_k * jax.lax.dynamic_slice(xp, (off + lo,), (n,))
+    return y
+
+
 def spmv(a, x: jax.Array) -> jax.Array:
     """y = A @ x for any supported format (dispatch is static under jit)."""
     from ..amg.structured import (
         GridProlong, GridRestrict, apply_prolong, apply_restrict,
     )
-    from ..sparse.formats import PlaneDia, plane_to_dia
+    from ..sparse.formats import ConstDia, PlaneDia, plane_to_dia
 
     from ..sparse.routed import RoutedEll
 
+    if isinstance(a, ConstDia):
+        if jax.default_backend() == "tpu":
+            from .pallas_const import spmv_const
+
+            return spmv_const(a, x)
+        return spmv_const_xla(a, x)
     if isinstance(a, GridProlong):
         return apply_prolong(a, x)
     if isinstance(a, GridRestrict):
@@ -116,4 +145,12 @@ def nnz_count(a) -> int:
 
     if isinstance(a, RoutedEll):
         return a.nnz
+    from ..sparse.formats import ConstDia
+
+    if isinstance(a, ConstDia):
+        nz, ny, nx = a.dims
+        return int(sum(
+            (nz - abs(dz)) * (ny - abs(dy)) * (nx - abs(dx))
+            for (dz, dy, dx), c in zip(a.taps, a.coeffs) if c != 0.0
+        ))
     raise TypeError(type(a))

@@ -218,12 +218,17 @@ def dist_specs(dh: DistHierarchy) -> DistHierarchy:
 # sharded levels and full vectors for replicated levels)
 # ---------------------------------------------------------------------------
 
-def _smooth(lv: DistLevel, params, x, b, sweeps: int):
+def _smooth(lv: DistLevel, params, x, b, sweeps: int, x_is_zero=False):
+    """``x_is_zero=True`` skips the first residual SpMV+halo exactly
+    (A·0 ≡ 0) — the V-cycle pre-smoother path (see amg/vcycle._smooth_zero)."""
     if params.smoother == "jacobi":
         omega = (params.omega if params.omega is not None
                  else 4.0 / (3.0 * 1.1 * lv.lmax))
-        for _ in range(sweeps):
-            x = x + omega * lv.dinv * (b - dist_spmv(lv.a, x))
+        for s in range(sweeps):
+            if s == 0 and x_is_zero:
+                x = omega * lv.dinv * b
+            else:
+                x = x + omega * lv.dinv * (b - dist_spmv(lv.a, x))
         return x
     # Chebyshev (same recurrence as the single-device smoother)
     upper = 1.1 * lv.lmax
@@ -231,11 +236,16 @@ def _smooth(lv: DistLevel, params, x, b, sweeps: int):
     theta = (upper + lower) / 2.0
     delta = (upper - lower) / 2.0
     sigma = theta / delta
-    for _ in range(sweeps):
+    for s in range(sweeps):
         rho = 1.0 / sigma
-        r = lv.dinv * (b - dist_spmv(lv.a, x))
-        d = r / theta
-        x = x + d
+        if s == 0 and x_is_zero:
+            r = lv.dinv * b
+            d = r / theta
+            x = d
+        else:
+            r = lv.dinv * (b - dist_spmv(lv.a, x))
+            d = r / theta
+            x = x + d
         for _ in range(params.cheby_degree - 1):
             r = r - lv.dinv * dist_spmv(lv.a, d)
             rho_new = 1.0 / (2.0 * sigma - rho)
@@ -257,7 +267,8 @@ def dist_vcycle(dh: DistHierarchy, b_local: jax.Array) -> jax.Array:
             return jax.scipy.linalg.solve_triangular(dh.coarse_chol.T, y,
                                                      lower=False)
         lv = levels[l]
-        x = _smooth(lv, params, jnp.zeros_like(bl), bl, params.nu_pre)
+        x = _smooth(lv, params, jnp.zeros_like(bl), bl, params.nu_pre,
+                    x_is_zero=True)
         r = bl - dist_spmv(lv.a, x)
         if lv.r is not None:
             bc = dist_spmv(lv.r, r)

@@ -47,8 +47,10 @@ def _ell_np(op) -> tuple[np.ndarray, np.ndarray, int]:
         m = p_sp if isinstance(op, GridProlong) else p_sp.T.tocsr()
         col, val, n_cols = ell_planes_from_scipy(m)
         return col, val, n_cols
-    from ..sparse.formats import PlaneDia, plane_to_dia
+    from ..sparse.formats import ConstDia, PlaneDia, const_to_dia, plane_to_dia
 
+    if isinstance(op, ConstDia):
+        op = const_to_dia(op)
     if isinstance(op, PlaneDia):
         op = plane_to_dia(op)
     ell = dia_to_ell(op) if isinstance(op, Dia) else op
@@ -128,11 +130,13 @@ def _make_dist_op(col, val, *, ndev, out_sharded, in_sharded, m_in,
 def _structured_dias(hier: Hierarchy):
     """Per-level Dia operators of a structured hierarchy (None if mixed)."""
     from ..amg.structured import GridProlong
-    from ..sparse.formats import PlaneDia, plane_to_dia
+    from ..sparse.formats import ConstDia, PlaneDia, const_to_dia, plane_to_dia
 
     dias = []
     for lv in hier.levels:
         a = lv.a
+        if isinstance(a, ConstDia):
+            a = const_to_dia(a)
         if isinstance(a, PlaneDia):
             a = plane_to_dia(a)
         if not isinstance(a, Dia) or a.dims is None \

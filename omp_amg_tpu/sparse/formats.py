@@ -23,6 +23,7 @@ All three are registered JAX pytrees so they can flow through ``jit`` /
 from __future__ import annotations
 
 import dataclasses
+import functools
 from dataclasses import dataclass, field
 from typing import Tuple
 
@@ -194,6 +195,173 @@ def plane_to_dia(a: PlaneDia) -> Dia:
     return Dia(data=data, offsets=a.offsets, dims=a.dims)
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class ConstDia:
+    """Matrix-free masked-constant stencil operator (hypre-PFMG-style).
+
+    A Dirichlet-eliminated constant-coefficient stencil has DIA data of the
+    form ``data[k, i] = coeffs[k] · valid_k(i)`` where ``valid_k`` is pure
+    index arithmetic (the tap stays inside the grid). Storing only the
+    coefficients makes SpMV stream **x and y only** (~8 B/point instead of
+    ~22 B/point for a bf16 7-pt PlaneDia) — the speed-of-light SpMV for the
+    BASELINE stencil operators.
+
+    ``masks`` holds the deduplicated in-plane (y,x) validity planes as
+    ``(nmask, plane//128, 128)`` f32 — resident in VMEM across all kernel
+    steps (fetched once). The z-direction validity is a per-plane scalar
+    handled at trace time. ``mask_of[k]`` maps tap k to its mask row
+    (``-1`` = all-ones, i.e. pure-z or center taps).
+    """
+
+    masks: jax.Array                         # (nmask, plane//128, 128) f32
+    coeffs: Tuple[float, ...] = _static()    # per-tap stencil constant
+    offsets: Tuple[int, ...] = _static()     # flat diagonal offsets
+    taps: Tuple[Tuple[int, int, int], ...] = _static()   # (dz, dy, dx)
+    mask_of: Tuple[int, ...] = _static()     # tap -> mask row (-1 all-ones)
+    dims: Tuple[int, ...] = _static()        # (nz, ny, nx)
+
+    @property
+    def n_rows(self) -> int:
+        nz, ny, nx = self.dims
+        return nz * ny * nx
+
+    @property
+    def n_cols(self) -> int:
+        return self.n_rows
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_rows, self.n_rows)
+
+    @property
+    def dtype(self):
+        return self.masks.dtype
+
+
+def _tap_decompose(d: int, dims) -> Tuple[int, int, int] | None:
+    """Flat diagonal offset → (dz, dy, dx) grid tap (minimal L1 norm)."""
+    nz, ny, nx = dims
+    plane = ny * nx
+    best = None
+    for dz in (-1, 0, 1):
+        for dy in range(-8, 9):
+            dx = d - dz * plane - dy * nx
+            if abs(dx) <= 8:
+                cand = (abs(dz) + abs(dy) + abs(dx), dz, dy, dx)
+                if best is None or cand < best:
+                    best = cand
+    return None if best is None else best[1:]
+
+
+def _const_expected_masks(xp, data_like, taps, dims):
+    """Per-tap full-length validity masks (bool) via index arithmetic."""
+    nz, ny, nx = dims
+    n = nz * ny * nx
+    idx = xp.arange(n, dtype=xp.int32)
+    xi = idx % nx
+    yi = (idx // nx) % ny
+    zi = idx // (nx * ny)
+    out = []
+    for dz, dy, dx in taps:
+        out.append((xi + dx >= 0) & (xi + dx < nx)
+                   & (yi + dy >= 0) & (yi + dy < ny)
+                   & (zi + dz >= 0) & (zi + dz < nz))
+    return out
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _const_check_dev(data, coeffs, taps, dims):
+    masks = _const_expected_masks(jnp, data, taps, dims)
+    ok = jnp.bool_(True)
+    for k, m in enumerate(masks):
+        exp = jnp.where(m, jnp.asarray(coeffs[k], data.dtype),
+                        jnp.asarray(0, data.dtype))
+        ok = ok & jnp.all(data[k] == exp)
+    return ok
+
+
+def _const_xy_masks(taps, dims):
+    """Deduplicated in-plane validity masks → ((nmask, pr, 128) f32, map)."""
+    nz, ny, nx = dims
+    plane = ny * nx
+    pr = plane // 128
+    uniq: dict = {}
+    mask_of = []
+    for dz, dy, dx in taps:
+        key = (dy, dx)
+        if key == (0, 0):
+            mask_of.append(-1)
+            continue
+        if key not in uniq:
+            uniq[key] = len(uniq)
+        mask_of.append(uniq[key])
+    pos = np.arange(plane, dtype=np.int64)
+    xi, yi = pos % nx, pos // nx
+    rows = [
+        (((xi + dx >= 0) & (xi + dx < nx) & (yi + dy >= 0) & (yi + dy < ny))
+         .astype(np.float32))
+        for (dy, dx) in uniq
+    ] or [np.ones(plane, np.float32)]  # dummy row keeps the pytree non-empty
+    masks = jnp.asarray(np.stack(rows).reshape(len(rows), pr, 128))
+    return masks, tuple(mask_of)
+
+
+def to_const_dia(a: Dia):
+    """Dia → ConstDia when the operator is a masked-constant stencil, else None.
+
+    The verification compares every stored value against the index-derived
+    expectation (exact equality), on whatever backend the data lives on —
+    only O(ndiag) scalars and one bool cross the host boundary. Galerkin
+    coarse operators fail the check (their boundary values are modified,
+    not merely zeroed) and stay in DIA/PlaneDia form automatically.
+    """
+    if a.dims is None or len(a.dims) != 3:
+        return None
+    nz, ny, nx = (int(d) for d in a.dims)
+    dims = (nz, ny, nx)
+    plane = ny * nx
+    if plane % 128 != 0:
+        return None
+    taps = []
+    for d in a.offsets:
+        t = _tap_decompose(int(d), dims)
+        if t is None:
+            return None
+        taps.append(t)
+    zm, ym, xm = nz // 2, ny // 2, nx // 2
+    for dz, dy, dx in taps:
+        if not (0 <= zm + dz < nz and 0 <= ym + dy < ny and 0 <= xm + dx < nx):
+            return None  # grid too small to sample an interior coefficient
+    taps = tuple(taps)
+    mid = (zm * ny + ym) * nx + xm
+    if isinstance(a.data, np.ndarray):
+        coeffs = tuple(float(v) for v in a.data[:, mid])
+        masks_np = _const_expected_masks(np, a.data, taps, dims)
+        for k, m in enumerate(masks_np):
+            if not np.array_equal(a.data[k],
+                                  np.where(m, a.data.dtype.type(coeffs[k]),
+                                           a.data.dtype.type(0))):
+                return None
+    else:
+        coeffs = tuple(float(v) for v in np.asarray(a.data[:, mid]))
+        if not bool(_const_check_dev(a.data, coeffs, taps, dims)):
+            return None
+    masks, mask_of = _const_xy_masks(taps, dims)
+    return ConstDia(masks=masks, coeffs=coeffs, offsets=tuple(a.offsets),
+                    taps=taps, mask_of=mask_of, dims=dims)
+
+
+def const_to_dia(a: ConstDia, dtype=jnp.float32) -> Dia:
+    """Materialize the DIA data planes of a ConstDia (interop/fallbacks)."""
+    masks = _const_expected_masks(jnp, None, a.taps, a.dims)
+    data = jnp.stack([
+        jnp.where(m, jnp.asarray(c, dtype), jnp.asarray(0, dtype))
+        for c, m in zip(a.coeffs, masks)
+    ])
+    return Dia(data=data, offsets=a.offsets, dims=a.dims)
+
+
 # ---------------------------------------------------------------------------
 # Host-side constructors / converters (numpy & scipy interop; setup phase only)
 # ---------------------------------------------------------------------------
@@ -350,6 +518,12 @@ def diagonal(a) -> jax.Array:
     """Extract the main diagonal of any format (device op for Ell/Dia)."""
     if isinstance(a, PlaneDia):
         a = plane_to_dia(a)
+    if isinstance(a, ConstDia):
+        # the center tap (0,0,0) is valid everywhere → constant diagonal
+        if 0 in a.offsets:
+            return jnp.full((a.n_rows,), a.coeffs[a.offsets.index(0)],
+                            jnp.float32)
+        return jnp.zeros((a.n_rows,), jnp.float32)
     if isinstance(a, Dia):
         if 0 in a.offsets:
             return a.data[a.offsets.index(0)]

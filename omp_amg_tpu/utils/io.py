@@ -45,6 +45,16 @@ def _pack_op(prefix: str, op, out: dict, meta: dict):
         meta[prefix + ":dims"] = list(op.dims)
         out[prefix + ":data4"] = np.asarray(op.data4)
         return
+    from ..sparse.formats import ConstDia
+
+    if isinstance(op, ConstDia):
+        # fully metadata-defined — masks are rebuilt from the taps on load
+        meta[prefix + ":kind"] = "cdia"
+        meta[prefix + ":offsets"] = list(op.offsets)
+        meta[prefix + ":dims"] = list(op.dims)
+        meta[prefix + ":taps"] = [list(t) for t in op.taps]
+        meta[prefix + ":coeffs"] = list(op.coeffs)
+        return
     from ..sparse.routed import RoutedEll
 
     if isinstance(op, RoutedEll):
@@ -83,6 +93,17 @@ def _unpack_op(prefix: str, data: dict, meta: dict):
         return PlaneDia(data4=jnp.asarray(data[prefix + ":data4"]),
                         offsets=tuple(meta[prefix + ":offsets"]),
                         dims=tuple(meta[prefix + ":dims"]))
+    if kind == "cdia":
+        from ..sparse.formats import ConstDia, _const_xy_masks
+
+        taps = tuple(tuple(t) for t in meta[prefix + ":taps"])
+        dims = tuple(meta[prefix + ":dims"])
+        masks, mask_of = _const_xy_masks(taps, dims)
+        return ConstDia(masks=masks,
+                        coeffs=tuple(float(c) for c in
+                                     meta[prefix + ":coeffs"]),
+                        offsets=tuple(meta[prefix + ":offsets"]),
+                        taps=taps, mask_of=mask_of, dims=dims)
     if kind == "routed":
         from ..sparse.routed import RoutedEll
 

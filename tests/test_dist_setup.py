@@ -21,7 +21,11 @@ def make_mesh(ndev):
 
 
 def _level_dia(lv):
+    from omp_amg_tpu.sparse.formats import ConstDia, const_to_dia
+
     a = lv.a
+    if isinstance(a, ConstDia):
+        a = const_to_dia(a)
     if isinstance(a, PlaneDia):
         a = plane_to_dia(a)
     return a

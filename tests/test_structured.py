@@ -57,9 +57,12 @@ def test_structured_solve_configs(gen, dims, bound):
     a = gen()
     b = amg.default_rhs(a, "random", seed=0)
     hier = amg_setup(a, grid=dims)
-    # every level operator is banded (Dia) — the TPU no-gather invariant
+    # every level operator is banded (Dia) or matrix-free constant-stencil
+    # (ConstDia) — the TPU no-gather invariant
+    from omp_amg_tpu.sparse.formats import ConstDia
+
     for lv in hier.levels:
-        assert isinstance(lv.a, Dia)
+        assert isinstance(lv.a, (Dia, ConstDia))
         assert isinstance(lv.p, GridProlong)
     res = amg_pcg(a, b, hier, tol=1e-6, maxiter=100)
     assert float(res.rel_residual) <= 1e-6
