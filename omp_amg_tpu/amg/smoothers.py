@@ -16,6 +16,18 @@ from .pmis import hash01
 
 
 def jacobi(a, dinv, x, b, omega: float, sweeps: int):
+    from ..sparse.formats import ConstDia
+
+    if isinstance(a, ConstDia) and jax.default_backend() == "tpu":
+        # constant diagonal → ω·D⁻¹ is one scalar; the whole sweep fuses
+        # into a single Pallas pass (x, b in / x' out — bitwise-identical
+        # to the unfused sweep, ~2× less level traffic)
+        from ..ops.pallas_const import jacobi_const
+
+        s = omega * dinv[0]
+        for _ in range(sweeps):
+            x = jacobi_const(a, x, b, s)
+        return x
     for _ in range(sweeps):
         x = x + omega * dinv * (b - spmv(a, x))
     return x

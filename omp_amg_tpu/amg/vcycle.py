@@ -11,7 +11,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..ops.spmv import spmv
+from ..ops.spmv import residual, spmv
 from .hierarchy import Hierarchy, Level
 from .params import AMGParams
 from .smoothers import chebyshev, jacobi
@@ -78,7 +78,7 @@ def vcycle(hier: Hierarchy, b):
             return coarse_solve(hier, bl)
         lv = levels[l]
         x = _smooth_zero(lv, params, bl, params.nu_pre)
-        r = bl - spmv(lv.a, x)
+        r = residual(lv.a, x, bl)
         xc = descend(l + 1, spmv(lv.r, r))
         x = x + spmv(lv.p, xc)
         return _smooth(lv, params, x, bl, params.nu_post)
@@ -88,5 +88,5 @@ def vcycle(hier: Hierarchy, b):
 
 def vcycle_apply(hier: Hierarchy, x, b):
     """x ← x + M⁻¹(b − A x): V-cycle as an iteration (standalone AMG solve)."""
-    r = b - spmv(hier.levels[0].a, x) if hier.levels else b
+    r = residual(hier.levels[0].a, x, b) if hier.levels else b
     return x + vcycle(hier, r)

@@ -36,8 +36,27 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def _const_kernel(x_hbm, masks_ref, o_ref, xbuf, sems, *, plan, pr, nb,
-                  ring, nz):
+def _const_kernel(*refs, plan, pr, nb, ring, nz, mode="spmv"):
+    """Body for y=Ax and its fused variants.
+
+    ``refs`` layout: x_hbm, masks_ref, [b_ref], [s_ref], o_ref, xbuf, sems.
+    ``mode``: "spmv" → o = A·x; "residual" → o = b − A·x;
+    "jacobi" → o = x + s·(b − A·x)  (weighted-Jacobi sweep, s = ω·D⁻¹
+    scalar — valid because a ConstDia diagonal is constant). The fused
+    epilogues stream b through the Pallas-managed pipeline (an extra
+    concurrent DMA stream) and eliminate the separate XLA triad pass of
+    the unfused smoother/residual (~2× level traffic).
+    """
+    x_hbm, masks_ref = refs[0], refs[1]
+    k = 2
+    b_ref = s_ref = None
+    if mode in ("residual", "jacobi"):
+        b_ref = refs[k]
+        k += 1
+    if mode == "jacobi":
+        s_ref = refs[k]
+        k += 1
+    o_ref, xbuf, sems = refs[k], refs[k + 1], refs[k + 2]
     i = pl.program_id(0)          # block index
     nsteps = nz // nb
     brows = nb * pr
@@ -136,24 +155,41 @@ def _const_kernel(x_hbm, masks_ref, o_ref, xbuf, sems, *, plan, pr, nb,
                 g = i * nb + j + pz  # global plane index of the tap source
                 ok = (g >= 0) & (g < nz)
                 acc = acc + jnp.where(ok, jnp.float32(c), jnp.float32(0)) * v
-        o_ref[j * pr : (j + 1) * pr, :] = acc
+        rows_j = slice(j * pr, (j + 1) * pr)
+        if mode == "spmv":
+            o_ref[rows_j, :] = acc
+        elif mode == "residual":
+            o_ref[rows_j, :] = b_ref[rows_j, :] - acc
+        else:  # jacobi: x + s·(b − A x); x-block rows live at offset j·pr
+            s = s_ref[0, 0]
+            xv = rows(j * pr)
+            o_ref[rows_j, :] = xv + s * (b_ref[rows_j, :] - acc)
 
 
 @functools.lru_cache(maxsize=64)
-def _make_const_call(nz, pr, nb, plan, nmask, dtype_name, interpret=False):
+def _make_const_call(nz, pr, nb, plan, nmask, dtype_name, interpret=False,
+                     mode="spmv"):
     dtype = jnp.dtype(dtype_name)
     ring = 4
     nsteps = nz // nb
     kernel = functools.partial(_const_kernel, plan=plan, pr=pr, nb=nb,
-                               ring=ring, nz=nz)
+                               ring=ring, nz=nz, mode=mode)
+    in_specs = [
+        pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
+        pl.BlockSpec((nmask, pr, LANES), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),  # masks: fetched once
+    ]
+    if mode in ("residual", "jacobi"):
+        # b is halo-free → Pallas-managed pipeline (its own DMA stream)
+        in_specs.append(pl.BlockSpec((nb * pr, LANES), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+    if mode == "jacobi":
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
+                                     memory_space=pltpu.SMEM))
     return pl.pallas_call(
         kernel,
         grid=(nsteps,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),   # x stays in HBM
-            pl.BlockSpec((nmask, pr, LANES), lambda i: (0, 0, 0),
-                         memory_space=pltpu.VMEM),  # masks: fetched once
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((nb * pr, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nz * pr, LANES), dtype),
@@ -204,9 +240,7 @@ def _pick_nb(nz: int, pr: int) -> int | None:
     return nb
 
 
-def spmv_const(a, x: jax.Array, interpret: bool = False,
-               nb: int | None = None) -> jax.Array:
-    """y = A @ x for a ConstDia operator via the matrix-free Pallas kernel."""
+def _resolve(a, nb, interpret, mode, dtype_name):
     nz, ny, nx = a.dims
     plane = ny * nx
     pr = plane // LANES
@@ -215,10 +249,55 @@ def spmv_const(a, x: jax.Array, interpret: bool = False,
         nb = _pick_nb(nz, pr)
     if (plan is None or nb is None or nz % nb != 0
             or (nb - 1) * pr < 8):  # neighbor-slot reads must fit one slot
+        return None
+    return _make_const_call(nz, pr, nb, plan, int(a.masks.shape[0]),
+                            dtype_name, interpret, mode=mode)
+
+
+def spmv_const(a, x: jax.Array, interpret: bool = False,
+               nb: int | None = None) -> jax.Array:
+    """y = A @ x for a ConstDia operator via the matrix-free Pallas kernel."""
+    call = _resolve(a, nb, interpret, "spmv", jnp.dtype(x.dtype).name)
+    if call is None:
         from .spmv import spmv_const_xla
 
         return spmv_const_xla(a, x)
-    call = _make_const_call(nz, pr, nb, plan, int(a.masks.shape[0]),
-                            jnp.dtype(x.dtype).name, interpret)
     m = a.n_rows // LANES
     return call(x.reshape(m, LANES), a.masks).reshape(-1)
+
+
+def residual_const(a, x: jax.Array, b: jax.Array,
+                   interpret: bool = False, nb: int | None = None):
+    """r = b − A·x in ONE fused pass (b rides a separate managed stream).
+
+    Bitwise-identical to ``b - spmv_const(a, x)`` — same tap products and
+    accumulation order, the subtraction merely moves inside the kernel.
+    """
+    call = _resolve(a, nb, interpret, "residual", jnp.dtype(x.dtype).name)
+    if call is None:
+        from .spmv import spmv_const_xla
+
+        return b - spmv_const_xla(a, x)
+    m = a.n_rows // LANES
+    return call(x.reshape(m, LANES), a.masks,
+                b.reshape(m, LANES)).reshape(-1)
+
+
+def jacobi_const(a, x: jax.Array, b: jax.Array, s,
+                 interpret: bool = False, nb: int | None = None):
+    """One weighted-Jacobi sweep x + s·(b − A·x) in ONE fused pass.
+
+    ``s`` is the scalar ω·D⁻¹ (a ConstDia diagonal is constant, so the
+    usual per-element ω·dinv vector is one number). Tap products and
+    accumulation order match the unfused ``x + s*(b - spmv(a, x))`` sweep
+    exactly; the final update may contract into an FMA (≤1 ulp, tighter).
+    """
+    call = _resolve(a, nb, interpret, "jacobi", jnp.dtype(x.dtype).name)
+    if call is None:
+        from .spmv import spmv_const_xla
+
+        return x + s * (b - spmv_const_xla(a, x))
+    m = a.n_rows // LANES
+    s_arr = jnp.asarray(s, jnp.float32).reshape(1, 1)
+    return call(x.reshape(m, LANES), a.masks, b.reshape(m, LANES),
+                s_arr).reshape(-1)

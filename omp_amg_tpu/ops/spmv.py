@@ -116,6 +116,19 @@ def spmv(a, x: jax.Array) -> jax.Array:
     raise TypeError(type(a))
 
 
+def residual(a, x: jax.Array, b: jax.Array) -> jax.Array:
+    """r = b − A·x (one fused Pallas pass for ConstDia on TPU; XLA fuses
+    the subtraction into the SpMV epilogue everywhere else). Bitwise-equal
+    to ``b - spmv(a, x)``."""
+    from ..sparse.formats import ConstDia
+
+    if isinstance(a, ConstDia) and jax.default_backend() == "tpu":
+        from .pallas_const import residual_const
+
+        return residual_const(a, x, b)
+    return b - spmv(a, x)
+
+
 def spmv_t_ell(a: Ell, x: jax.Array) -> jax.Array:
     """y = A^T @ x via deterministic scatter-add (used when R isn't materialized)."""
     contrib = a.val * x[:, None]

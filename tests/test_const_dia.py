@@ -163,3 +163,24 @@ def test_pallas_const_block_sizes(nb):
     y = spmv_const(cd, jnp.asarray(x, jnp.float32), interpret=True, nb=nb)
     ref = amg.dia_to_scipy(a) @ x
     np.testing.assert_allclose(np.asarray(y), ref, rtol=2e-5, atol=1e-4)
+
+
+def test_fused_residual_jacobi_interpret():
+    """Fused Pallas epilogues == unfused compositions (bitwise)."""
+    from omp_amg_tpu.ops.pallas_const import (
+        jacobi_const, residual_const, spmv_const,
+    )
+
+    a = amg.poisson3d_7pt(128, 16, 8)
+    cd = to_const_dia(a)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal(a.n_rows), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(a.n_rows), jnp.float32)
+    y = spmv_const(cd, x, interpret=True)
+    r = residual_const(cd, x, b, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r), np.asarray(b - y))
+    s = jnp.float32(0.123)
+    xj = jacobi_const(cd, x, b, s, interpret=True)
+    # the final update may contract into an FMA inside the kernel (≤1 ulp)
+    np.testing.assert_allclose(np.asarray(xj), np.asarray(x + s * (b - y)),
+                               rtol=3e-7, atol=3e-7)
