@@ -42,7 +42,7 @@ class AMGSolver:
 
     def __init__(self, a, params: AMGParams = AMGParams(), *, grid=None,
                  mesh=None, transport: str = "ppermute",
-                 agg_rows_per_dev: int = 2048):
+                 agg_rows_per_dev: int = 2048, flavor: str = "host"):
         self.a = a
         self.params = params
         self.mesh = mesh
@@ -51,7 +51,8 @@ class AMGSolver:
         self._dist_vcycle = None
         self.last_info: dict = {}
         if mesh is None:
-            self.hierarchy: Hierarchy = amg_setup(a, params, grid=grid)
+            self.hierarchy: Hierarchy = amg_setup(a, params, grid=grid,
+                                                  flavor=flavor)
             return
         from .parallel.dist_setup import dist_structured_setup
         from .parallel.partition import partition_hierarchy, place_hierarchy
