@@ -35,6 +35,37 @@ def _static(**kw):
     return field(metadata=dict(static=True), **kw)
 
 
+class _SetupTrace:
+    """Opt-in per-phase setup timing (OMP_AMG_SETUP_TIMERS=1): the analog of
+    the reference's per-phase ``omp_get_wtime`` setup report. ``mark`` takes
+    an optional device value to sync on (scalar-pull — the only true barrier
+    through the axon relay, see utils/timers)."""
+
+    def __init__(self):
+        import os
+
+        self.enabled = os.environ.get("OMP_AMG_SETUP_TIMERS") == "1"
+        if self.enabled:
+            import time
+
+            self.t = time.perf_counter()
+
+    def mark(self, label: str, sync=None):
+        if not self.enabled:
+            return
+        import sys
+        import time
+
+        if sync is not None:
+            from ..utils.timers import _sync
+
+            _sync(sync)
+        now = time.perf_counter()
+        print(f"[setup] {label}: {now - self.t:.3f}s", file=sys.stderr,
+              flush=True)
+        self.t = now
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class Level:
@@ -311,9 +342,11 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
 
     levels = []
     host_ops = [a_sp] if keep_host else None
+    trace = _SetupTrace()
     n = int(np.prod(dims))
     while n > params.coarse_size and len(levels) < params.max_levels - 1:
         axes = strong_axes((offsets, data), dims, params.theta)
+        trace.mark(f"L{len(levels)} n={n} strength/axes")
         if not any(axes):
             break
         coarse_dims = tuple((d + 1) // 2 if c else d
@@ -347,11 +380,13 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
             offs_c = list(dnext.offsets)
             data_c = np.asarray(dnext.data, np.float64)
 
+        trace.mark(f"L{len(levels)} RAP")
         diag = data[offsets.index(0)]
         dinv_np = 1.0 / diag
         from .. import native
         lmax = _estimate_lmax_apply(
             lambda v: native.dia_apply(offsets, data, v), dinv_np, n)
+        trace.mark(f"L{len(levels)} lmax")
         a_lvl = Dia(data=jnp.asarray(data, dtype=dtype),
                     offsets=tuple(offsets), dims=dims)
         a_cd = None
@@ -372,6 +407,7 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
             a_pm = to_plane_dia(a_lvl, dtype="auto")
             if a_pm is not None:
                 a_lvl = a_pm  # plane-major: 2× SpMV bandwidth on chip
+        trace.mark(f"L{len(levels)} operator form ({type(a_lvl).__name__})")
         levels.append(Level(a=a_lvl, dinv=jnp.asarray(dinv_np, dtype=dtype),
                             p=p, r=r,
                             lmax=jnp.asarray(lmax, dtype=dtype)))
@@ -426,6 +462,7 @@ def _amg_setup_structured_device(a_dev, dims, params: AMGParams, dtype):
 
     if not isinstance(a_dev, Dia):
         raise TypeError("device structured setup needs a Dia operator")
+    trace = _SetupTrace()
     offsets = list(a_dev.offsets)
     data = jnp.asarray(a_dev.data, dtype)
     levels = []
@@ -434,6 +471,7 @@ def _amg_setup_structured_device(a_dev, dims, params: AMGParams, dtype):
         means, _ = _diag_stats(data)
         axes = strong_axes_from_values(offsets, np.asarray(means), dims,
                                        params.theta)
+        trace.mark(f"L{len(levels)} n={n} strength/axes")
         if not any(axes):
             break
         coarse_dims = tuple((d + 1) // 2 if c else d
@@ -447,10 +485,12 @@ def _amg_setup_structured_device(a_dev, dims, params: AMGParams, dtype):
         # strided slices) with comb as the general fallback — see comb_rap.
         offs_c, data_c = cr.comb_rap_device(offsets, data, dims, coarse_dims,
                                             axes)
+        trace.mark(f"L{len(levels)} RAP", sync=data_c)
         diag = data[offsets.index(0)]
         dinv = 1.0 / diag
         cur = Dia(data=data, offsets=tuple(offsets), dims=dims)
         lmax = jax.jit(estimate_lmax)(cur, dinv).astype(dtype)
+        trace.mark(f"L{len(levels)} lmax", sync=lmax)
         a_lvl = None
         if params.const_stencil != "off":
             from ..sparse.formats import to_const_dia
@@ -460,6 +500,8 @@ def _amg_setup_structured_device(a_dev, dims, params: AMGParams, dtype):
             a_lvl = to_plane_dia(cur, dtype="auto")
         if a_lvl is None:
             a_lvl = cur
+        trace.mark(f"L{len(levels)} operator form "
+                   f"({type(a_lvl).__name__})")
         levels.append(Level(a=a_lvl, dinv=dinv.astype(dtype), p=p, r=r,
                             lmax=lmax))
         offsets, data, dims = offs_c, jnp.asarray(data_c, dtype), coarse_dims

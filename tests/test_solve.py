@@ -292,6 +292,14 @@ def test_solver_facade_device_residual():
     ) / np.linalg.norm(np.asarray(b, np.float64))
     assert true_rel <= 1e-10
 
+    # device-resident result: (x_hi, x_lo) pair, no host pull; summing the
+    # pair on host reproduces the pulled f64 solution exactly
+    xp = solver.solve(b, tol=1e-10, residual="device", device_result=True)
+    assert isinstance(xp, tuple) and len(xp) == 2
+    assert all(not isinstance(v, np.ndarray) for v in xp)
+    x_pair = np.asarray(xp[0], np.float64) + np.asarray(xp[1], np.float64)
+    np.testing.assert_array_equal(x_pair, x)
+
 
 def test_dist_pipelined_pcg_matches_standard():
     import jax
