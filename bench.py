@@ -114,17 +114,18 @@ def main():
         log(f"RAP 7pt {ns}^3 (native fused): {rap_s:.2f}s "
             f"= {nnz2/rap_s/1e9:.2f} Gnnz/s")
         if dev.platform == "tpu":
-            # device-resident Galerkin RAP (comb probe), warm steady-state
-            from omp_amg_tpu.amg.comb_rap import _device_comb_fn
+            # device-resident Galerkin RAP (per-axis factored engine — the
+            # setup default on chip), warm steady-state
+            from omp_amg_tpu.amg.comb_rap import _device_factored_fn
             a_d = amg.poisson3d_7pt(ns, backend="device")
             dd = jnp.asarray(a_d.data, jnp.float32)
-            fn2 = _device_comb_fn(tuple(a_d.offsets), (ns,) * 3,
-                                  (ns // 2,) * 3, (True, True, True))
+            fn2 = _device_factored_fn(tuple(a_d.offsets), (ns,) * 3,
+                                      (ns // 2,) * 3, (True, True, True))
             fn2(dd)  # compile
             rap_dev_s = timeit(lambda d: fn2(d)[1], dd, warmup=1, iters=5)
             details["rap_device_s"] = rap_dev_s
             details["rap_device_gnnz_per_s"] = nnz2 / rap_dev_s / 1e9
-            log(f"RAP 7pt {ns}^3 (device comb): {rap_dev_s*1e3:.1f} ms "
+            log(f"RAP 7pt {ns}^3 (device factored): {rap_dev_s*1e3:.1f} ms "
                 f"= {nnz2/rap_dev_s/1e9:.2f} Gnnz/s")
 
         t0 = time.time()

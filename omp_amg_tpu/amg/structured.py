@@ -103,7 +103,71 @@ def _restrict_axis(x: jax.Array, axis: int, nc: int) -> jax.Array:
     return jnp.moveaxis(out, -1, axis)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _axis_restrict_mat(n_f: int, nc: int) -> np.ndarray:
+    """Dense (nc, n_f) restriction matrix: y_c[j] = x[2j] + ½(x[2j−1]+x[2j+1])
+    with Dirichlet (zero) taps outside the grid — exactly `_restrict_axis`."""
+    m = np.zeros((nc, n_f), np.float32)
+    j = np.arange(nc)
+    m[j, 2 * j] = 1.0
+    m[j[1:], 2 * j[1:] - 1] = 0.5
+    ok = 2 * j + 1 < n_f
+    m[j[ok], 2 * j[ok] + 1] = 0.5
+    return m
+
+
+def _transfer_matmul(x: jax.Array, shape_in, shape_out, coarsened,
+                     prolong: bool) -> jax.Array:
+    """Grid transfer as a cascade of per-axis banded matmuls (MXU).
+
+    XLA lowers the slice-based `_restrict_axis`/`_prolong_axis` to
+    lane-stride-2 ops that Mosaic executes as relayouts (~gather speed) —
+    measured 13.7 ms for the level-0 restrict+prolong round trip at 256³,
+    70% of the whole V-cycle. Contracting each axis against its small
+    (nc×nf) transfer matrix instead keeps the work on the MXU: same trick
+    as the per-axis-factored RAP. Weights are powers of two, products are
+    exact; only the f32 summation order differs from the slice path
+    (HIGHEST precision keeps full f32 accumulation).
+    """
+    hi = jax.lax.Precision.HIGHEST
+    nz, ny, nx = shape_in
+    mz, my, mx = shape_out
+    t = x.reshape(shape_in)
+    if coarsened[2]:
+        m = _axis_restrict_mat(*((nx, mx) if not prolong else (mx, nx)))
+        m = jnp.asarray(m.T if not prolong else m, t.dtype)
+        t = jnp.matmul(t.reshape(nz * ny, nx), m, precision=hi)
+    t = t.reshape(nz, ny, mx)
+    if coarsened[1]:
+        m = _axis_restrict_mat(*((ny, my) if not prolong else (my, ny)))
+        m = jnp.asarray(m if not prolong else m.T, t.dtype)
+        t = jnp.einsum("vy,zyx->zvx", m, t, precision=hi)
+    t = t.reshape(nz, my * mx)
+    if coarsened[0]:
+        m = _axis_restrict_mat(*((nz, mz) if not prolong else (mz, nz)))
+        m = jnp.asarray(m if not prolong else m.T, t.dtype)
+        t = jnp.matmul(m, t, precision=hi)
+    return t.reshape(-1)
+
+
+def _use_matmul_transfers(ndim: int) -> bool:
+    import os
+
+    mode = os.environ.get("OMP_AMG_TRANSFER", "auto")
+    if mode == "matmul":
+        return ndim == 3
+    if mode == "slice":
+        return False
+    return ndim == 3 and jax.default_backend() == "tpu"
+
+
 def apply_prolong(p: GridProlong, xc: jax.Array) -> jax.Array:
+    if _use_matmul_transfers(len(p.fine_shape)):
+        return _transfer_matmul(xc, p.coarse_shape, p.fine_shape,
+                                p.coarsened, prolong=True)
     x = xc.reshape(p.coarse_shape)
     for ax, c in enumerate(p.coarsened):
         if c:
@@ -112,6 +176,9 @@ def apply_prolong(p: GridProlong, xc: jax.Array) -> jax.Array:
 
 
 def apply_restrict(r: GridRestrict, xf: jax.Array) -> jax.Array:
+    if _use_matmul_transfers(len(r.fine_shape)):
+        return _transfer_matmul(xf, r.fine_shape, r.coarse_shape,
+                                r.coarsened, prolong=False)
     x = xf.reshape(r.fine_shape)
     for ax, c in enumerate(r.coarsened):
         if c:

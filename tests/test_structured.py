@@ -242,3 +242,40 @@ def test_direct_rap_matches_comb():
             keep = [k for k in range(len(o2)) if np.abs(d2[k]).max() > 0]
             assert o1 == [o2[k] for k in keep], (dims, axes)
             np.testing.assert_allclose(d1, d2[keep], atol=1e-12)
+
+
+def test_matmul_transfers_match_slice_path():
+    """MXU-matmul grid transfers == slice-based transfers (f32-tight).
+
+    Products are exact (power-of-two weights); only summation order may
+    differ, so compare with a tiny relative tolerance.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+    from omp_amg_tpu.amg.structured import (
+        GridProlong, GridRestrict, _transfer_matmul, apply_prolong,
+        apply_restrict,
+    )
+
+    rng = np.random.default_rng(3)
+    for dims in ((16, 12, 8), (9, 7, 128), (17, 16, 15)):
+        for axes in ((True, True, True), (True, False, True),
+                     (False, True, False)):
+            cdims = tuple((d + 1) // 2 if c else d
+                          for d, c in zip(dims, axes))
+            r = GridRestrict(fine_shape=dims, coarse_shape=cdims,
+                             coarsened=axes)
+            p = GridProlong(fine_shape=dims, coarse_shape=cdims,
+                            coarsened=axes)
+            xf = jnp.asarray(
+                rng.standard_normal(int(np.prod(dims))), jnp.float32)
+            xc = jnp.asarray(
+                rng.standard_normal(int(np.prod(cdims))), jnp.float32)
+            got_r = _transfer_matmul(xf, dims, cdims, axes, prolong=False)
+            got_p = _transfer_matmul(xc, cdims, dims, axes, prolong=True)
+            ref_r = apply_restrict(r, xf)   # slice path (CPU backend)
+            ref_p = apply_prolong(p, xc)
+            np.testing.assert_allclose(np.asarray(got_r), np.asarray(ref_r),
+                                       rtol=2e-6, atol=2e-6)
+            np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref_p),
+                                       rtol=2e-6, atol=2e-6)
