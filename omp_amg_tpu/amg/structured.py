@@ -9,9 +9,11 @@ bounded stencil on a regular sub-grid. Consequences on TPU:
 - every level's operator is DIA → the Pallas banded SpMV kernel applies at
   every level (no gathers anywhere in the V-cycle; XLA gather runs at
   ~0.1 Gelem/s on TPU — measured, see ops/pallas_spmv.py);
-- prolongation/restriction are constant-weight separable grid ops
-  (interleave / average along axes) → pure reshape/slice/add, also
-  gather-free.
+- prolongation/restriction are constant-weight separable grid ops: on TPU
+  each axis is contracted against its small banded transfer matrix as an
+  MXU matmul (stride-2 slices lower to Mosaic relayouts — 8.8× slower,
+  measured); the slice/add formulation remains the CPU/reference path.
+  Both are gather-free.
 
 Axis selection is *algebraic*: an axis is coarsened iff its axis-aligned
 coupling passes the classical strength test (θ) against the row's strongest
