@@ -155,6 +155,21 @@ def _transfer_matmul(x: jax.Array, shape_in, shape_out, coarsened,
     return t.reshape(-1)
 
 
+def _axis_mat_apply(x: jax.Array, axis: int, m: jax.Array) -> jax.Array:
+    """y[..., i, ...] = Σ_j m[i, j]·x[..., j, ...] — one axis contracted
+    against a small transfer matrix on the MXU (restrict: m = R;
+    prolong: m = Rᵀ). Used by the slab (distributed) transfers for their
+    fully-local within-plane axes."""
+    hi = jax.lax.Precision.HIGHEST
+    if axis == x.ndim - 1:
+        out = jnp.matmul(x.reshape(-1, x.shape[-1]), m.T, precision=hi)
+        return out.reshape(*x.shape[:-1], m.shape[0])
+    if axis == x.ndim - 2:
+        return jnp.einsum("vy,...yx->...vx", m, x, precision=hi)
+    t = jnp.tensordot(m, x, axes=(1, axis), precision=hi)
+    return jnp.moveaxis(t, 0, axis)
+
+
 def _use_matmul_transfers(ndim: int) -> bool:
     import os
 

@@ -68,6 +68,19 @@ def coarse_solve(hier: Hierarchy, b):
     return jax.scipy.linalg.solve_triangular(chol.T, y, lower=False)
 
 
+def _fused_v11_level(lv: Level, params: AMGParams) -> bool:
+    """True when the level can run the fully fused ConstDia V(1,1) pair:
+    r = b − s·A·b (pre-smooth+residual) and x = u + s·(b − A·u) with
+    u = s·b + P·xc (correction+post-smooth) — 2 Pallas passes instead of 5
+    XLA/Pallas stages over the level (the pre-smoothed iterate s·b never
+    materializes)."""
+    from ..sparse.formats import ConstDia
+
+    return (isinstance(lv.a, ConstDia) and params.smoother == "jacobi"
+            and params.nu_pre == 1 and params.nu_post == 1
+            and jax.default_backend() == "tpu")
+
+
 def vcycle(hier: Hierarchy, b):
     """One V(ν₁,ν₂) cycle applied to b with zero initial guess → M⁻¹ b."""
     params = hier.params
@@ -77,6 +90,17 @@ def vcycle(hier: Hierarchy, b):
         if l == len(levels):
             return coarse_solve(hier, bl)
         lv = levels[l]
+        if _fused_v11_level(lv, params):
+            from ..ops.pallas_const import (
+                correct_jacobi_const, presmooth_residual_const,
+            )
+
+            omega = (params.omega if params.omega is not None
+                     else 4.0 / (3.0 * 1.1 * lv.lmax))
+            s = omega * lv.dinv[0]
+            r = presmooth_residual_const(lv.a, bl, s)
+            xc = descend(l + 1, spmv(lv.r, r))
+            return correct_jacobi_const(lv.a, bl, spmv(lv.p, xc), s)
         x = _smooth_zero(lv, params, bl, params.nu_pre)
         r = residual(lv.a, x, bl)
         xc = descend(l + 1, spmv(lv.r, r))

@@ -39,42 +39,69 @@ LANES = 128
 def _const_kernel(*refs, plan, pr, nb, ring, nz, mode="spmv"):
     """Body for y=Ax and its fused variants.
 
-    ``refs`` layout: x_hbm, masks_ref, [b_ref], [s_ref], o_ref, xbuf, sems.
-    ``mode``: "spmv" → o = A·x; "residual" → o = b − A·x;
-    "jacobi" → o = x + s·(b − A·x)  (weighted-Jacobi sweep, s = ω·D⁻¹
-    scalar — valid because a ConstDia diagonal is constant). The fused
-    epilogues stream b through the Pallas-managed pipeline (an extra
-    concurrent DMA stream) and eliminate the separate XLA triad pass of
-    the unfused smoother/residual (~2× level traffic).
+    ``refs`` layout: x_hbm, masks_ref, [p_hbm], [b_ref], [s_ref], o_ref,
+    xbuf, [pbuf], sems, [sems2].
+
+    Modes (s = ω·D⁻¹ scalar — valid because a ConstDia diagonal is
+    constant; b_ref is a Pallas-managed pipeline stream, x_hbm/p_hbm are
+    manually double-buffered halo streams):
+
+    - "spmv":     o = A·x
+    - "residual": o = b − A·x
+    - "jacobi":   o = x + s·(b − A·x)           (one weighted-Jacobi sweep)
+    - "zjr":      o = x − s·(A·x)   with x := b (zero-guess pre-smooth +
+                  residual of a V(1,1) level in ONE pass over b: the
+                  pre-smoothed iterate s·b never materializes)
+    - "cja":      o = u + s·(x − A·u), u = s·x + p, with x := b and
+                  p := prolonged coarse correction (coarse-grid correction
+                  + post-smooth in ONE pass; both x and p stream through
+                  halo rings since A·u taps need halos of u)
     """
     x_hbm, masks_ref = refs[0], refs[1]
     k = 2
-    b_ref = s_ref = None
+    p_hbm = b_ref = s_ref = None
+    if mode == "cja":
+        p_hbm = refs[k]
+        k += 1
     if mode in ("residual", "jacobi"):
         b_ref = refs[k]
         k += 1
-    if mode == "jacobi":
+    if mode in ("jacobi", "zjr", "cja"):
         s_ref = refs[k]
         k += 1
-    o_ref, xbuf, sems = refs[k], refs[k + 1], refs[k + 2]
+    o_ref, xbuf = refs[k], refs[k + 1]
+    k += 2
+    pbuf = None
+    if mode == "cja":
+        pbuf = refs[k]
+        k += 1
+    sems = refs[k]
+    sems2 = refs[k + 1] if mode == "cja" else None
     i = pl.program_id(0)          # block index
     nsteps = nz // nb
     brows = nb * pr
+    streams = [(x_hbm, xbuf, sems)]
+    if mode == "cja":
+        streams.append((p_hbm, pbuf, sems2))
 
     def dma(p):
         slot = jax.lax.rem(p + ring, ring)
-        pltpu.make_async_copy(x_hbm.at[pl.ds(p * brows, brows), :],
-                              xbuf.at[slot], sems.at[slot]).start()
+        for hbm, buf, sem in streams:
+            pltpu.make_async_copy(hbm.at[pl.ds(p * brows, brows), :],
+                                  buf.at[slot], sem.at[slot]).start()
 
     def wait(p):
         slot = jax.lax.rem(p + ring, ring)
-        pltpu.make_async_copy(x_hbm.at[pl.ds(p * brows, brows), :],
-                              xbuf.at[slot], sems.at[slot]).wait()
+        for hbm, buf, sem in streams:
+            pltpu.make_async_copy(hbm.at[pl.ds(p * brows, brows), :],
+                                  buf.at[slot], sem.at[slot]).wait()
 
     @pl.when(i == 0)
     def _():
         # finite-garbage guard for the never-DMA'd ghost blocks
         xbuf[...] = jnp.zeros_like(xbuf)
+        if pbuf is not None:
+            pbuf[...] = jnp.zeros_like(pbuf)
         dma(jnp.int32(0))
         if nsteps > 1:
             dma(jnp.int32(1))
@@ -99,30 +126,44 @@ def _const_kernel(*refs, plan, pr, nb, ring, nz, mode="spmv"):
     rows_cache = {}
     view_cache = {}
 
-    def rows(off):
-        """(pr, 128) x rows [off, off+pr) relative to this block's start."""
-        if off in rows_cache:
-            return rows_cache[off]
+    def _buf_rows(buf, off):
+        """(pr, 128) rows [off, off+pr) of a ring buffer, relative to this
+        block's start."""
+        if (id(buf), off) in rows_cache:
+            return rows_cache[(id(buf), off)]
         slot_cur = jax.lax.rem(i + ring, ring)
         if 0 <= off and off + pr <= brows:
-            out = xbuf[slot_cur, off : off + pr, :]
+            out = buf[slot_cur, off : off + pr, :]
         elif off < 0:
             slot_prev = jax.lax.rem(i - 1 + ring, ring)
             if off + pr <= 0:
-                out = xbuf[slot_prev, brows + off : brows + off + pr, :]
+                out = buf[slot_prev, brows + off : brows + off + pr, :]
             else:
-                head = xbuf[slot_prev, brows + off : brows, :]
-                tail = xbuf[slot_cur, 0 : pr + off, :]
+                head = buf[slot_prev, brows + off : brows, :]
+                tail = buf[slot_cur, 0 : pr + off, :]
                 out = jnp.concatenate([head, tail], axis=0)
         else:
             slot_next = jax.lax.rem(i + 1 + ring, ring)
             if off >= brows:
-                out = xbuf[slot_next, off - brows : off - brows + pr, :]
+                out = buf[slot_next, off - brows : off - brows + pr, :]
             else:
-                head = xbuf[slot_cur, off : brows, :]
-                tail = xbuf[slot_next, 0 : off + pr - brows, :]
+                head = buf[slot_cur, off : brows, :]
+                tail = buf[slot_next, 0 : off + pr - brows, :]
                 out = jnp.concatenate([head, tail], axis=0)
-        rows_cache[off] = out
+        rows_cache[(id(buf), off)] = out
+        return out
+
+    def rows(off):
+        """Rows of the vector A is applied to: x for spmv/residual/jacobi,
+        b for zjr, u = s·b + p for cja (combined once, cached)."""
+        if mode != "cja":
+            return _buf_rows(xbuf, off)
+        key = ("u", off)
+        if key in rows_cache:
+            return rows_cache[key]
+        s = s_ref[0, 0]
+        out = s * _buf_rows(xbuf, off) + _buf_rows(pbuf, off)
+        rows_cache[key] = out
         return out
 
     def masked_view(off, r, mk):
@@ -160,10 +201,19 @@ def _const_kernel(*refs, plan, pr, nb, ring, nz, mode="spmv"):
             o_ref[rows_j, :] = acc
         elif mode == "residual":
             o_ref[rows_j, :] = b_ref[rows_j, :] - acc
-        else:  # jacobi: x + s·(b − A x); x-block rows live at offset j·pr
+        elif mode == "jacobi":
             s = s_ref[0, 0]
             xv = rows(j * pr)
             o_ref[rows_j, :] = xv + s * (b_ref[rows_j, :] - acc)
+        elif mode == "zjr":
+            s = s_ref[0, 0]
+            bv = rows(j * pr)  # the x stream carries b here
+            o_ref[rows_j, :] = bv - s * acc
+        else:  # cja: u + s·(b − A·u)
+            s = s_ref[0, 0]
+            uv = rows(j * pr)
+            bv = _buf_rows(xbuf, j * pr)
+            o_ref[rows_j, :] = uv + s * (bv - acc)
 
 
 @functools.lru_cache(maxsize=64)
@@ -179,13 +229,21 @@ def _make_const_call(nz, pr, nb, plan, nmask, dtype_name, interpret=False,
         pl.BlockSpec((nmask, pr, LANES), lambda i: (0, 0, 0),
                      memory_space=pltpu.VMEM),  # masks: fetched once
     ]
+    if mode == "cja":
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # p: 2nd ring
     if mode in ("residual", "jacobi"):
         # b is halo-free → Pallas-managed pipeline (its own DMA stream)
         in_specs.append(pl.BlockSpec((nb * pr, LANES), lambda i: (i, 0),
                                      memory_space=pltpu.VMEM))
-    if mode == "jacobi":
+    if mode in ("jacobi", "zjr", "cja"):
         in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0),
                                      memory_space=pltpu.SMEM))
+    scratch = [pltpu.VMEM((ring, nb * pr, LANES), jnp.float32)]
+    if mode == "cja":
+        scratch.append(pltpu.VMEM((ring, nb * pr, LANES), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((ring,)))
+    if mode == "cja":
+        scratch.append(pltpu.SemaphoreType.DMA((ring,)))
     return pl.pallas_call(
         kernel,
         grid=(nsteps,),
@@ -193,10 +251,7 @@ def _make_const_call(nz, pr, nb, plan, nmask, dtype_name, interpret=False,
         out_specs=pl.BlockSpec((nb * pr, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nz * pr, LANES), dtype),
-        scratch_shapes=[
-            pltpu.VMEM((ring, nb * pr, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((ring,)),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )
 
@@ -241,6 +296,8 @@ def _pick_nb(nz: int, pr: int) -> int | None:
 
 
 def _resolve(a, nb, interpret, mode, dtype_name):
+    if not interpret and jax.default_backend() != "tpu":
+        return None  # callers fall back to the XLA composition
     nz, ny, nx = a.dims
     plane = ny * nx
     pr = plane // LANES
@@ -300,4 +357,46 @@ def jacobi_const(a, x: jax.Array, b: jax.Array, s,
     m = a.n_rows // LANES
     s_arr = jnp.asarray(s, jnp.float32).reshape(1, 1)
     return call(x.reshape(m, LANES), a.masks, b.reshape(m, LANES),
+                s_arr).reshape(-1)
+
+
+def presmooth_residual_const(a, b: jax.Array, s, interpret: bool = False,
+                             nb: int | None = None):
+    """r = b − s·(A·b): zero-guess pre-smooth + residual of a V(1,1) level
+    in ONE pass over b (128 MB of traffic at 256³ vs ~380 MB unfused).
+
+    Algebra: with x₀ = 0 and one Jacobi sweep, x₁ = s·b and
+    r = b − A·x₁ = b − s·(A·b) — the smoothed iterate never materializes;
+    the matching correction step is :func:`correct_jacobi_const`.
+    Accumulation reassociates s·Σ(c·b) vs Σ(c·(s·b)) → ≤1 ulp/tap vs the
+    unfused composition.
+    """
+    call = _resolve(a, nb, interpret, "zjr", jnp.dtype(b.dtype).name)
+    if call is None:
+        from .spmv import spmv_const_xla
+
+        return b - s * spmv_const_xla(a, b)
+    m = a.n_rows // LANES
+    s_arr = jnp.asarray(s, jnp.float32).reshape(1, 1)
+    return call(b.reshape(m, LANES), a.masks, s_arr).reshape(-1)
+
+
+def correct_jacobi_const(a, b: jax.Array, p: jax.Array, s,
+                         interpret: bool = False, nb: int | None = None):
+    """x' = u + s·(b − A·u) with u = s·b + p, in ONE pass.
+
+    The V(1,1) epilogue: apply the prolonged coarse correction ``p`` to the
+    (never-materialized) pre-smoothed iterate s·b, then one post-smoothing
+    Jacobi sweep. Both b and p stream through halo rings because the A·u
+    taps need halo rows of u.
+    """
+    call = _resolve(a, nb, interpret, "cja", jnp.dtype(b.dtype).name)
+    if call is None:
+        from .spmv import spmv_const_xla
+
+        u = s * b + p
+        return u + s * (b - spmv_const_xla(a, u))
+    m = a.n_rows // LANES
+    s_arr = jnp.asarray(s, jnp.float32).reshape(1, 1)
+    return call(b.reshape(m, LANES), a.masks, p.reshape(m, LANES),
                 s_arr).reshape(-1)

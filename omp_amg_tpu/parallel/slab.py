@@ -269,7 +269,10 @@ def slab_prolong(p: SlabProlong, xc: jax.Array) -> jax.Array:
     """x_fine_local = P @ x_coarse (coarse input local slab, or replicated
     full vector when ``slice_in``). z first (one coarse-plane halo), then the
     fully-local within-plane axes."""
-    from ..amg.structured import _prolong_axis
+    from ..amg.structured import (
+        _axis_mat_apply, _axis_restrict_mat, _prolong_axis,
+        _use_matmul_transfers,
+    )
 
     cs, fs, cz = p.coarse_shape, p.fine_shape, p.coarsened
     cplane = _prod(cs[1:])
@@ -309,7 +312,11 @@ def slab_prolong(p: SlabProlong, xc: jax.Array) -> jax.Array:
         x = v[:nzc_l] if p.slice_in else v
     for ax in range(1, len(fs)):
         if cz[ax]:
-            x = _prolong_axis(x, ax, fs[ax])
+            if _use_matmul_transfers(len(fs)):
+                m = jnp.asarray(_axis_restrict_mat(fs[ax], cs[ax]).T, x.dtype)
+                x = _axis_mat_apply(x, ax, m)
+            else:
+                x = _prolong_axis(x, ax, fs[ax])
     return x.reshape(-1)
 
 
@@ -318,7 +325,10 @@ def slab_restrict(r: SlabRestrict, xf: jax.Array) -> jax.Array:
     exchanged z-strip is already coarse-plane sized), then z with a left
     neighbor plane. ``gather_out`` returns the full replicated coarse
     vector (shard→replicated agglomeration transition)."""
-    from ..amg.structured import _restrict_axis
+    from ..amg.structured import (
+        _axis_mat_apply, _axis_restrict_mat, _restrict_axis,
+        _use_matmul_transfers,
+    )
 
     fs, cs, cz = r.fine_shape, r.coarse_shape, r.coarsened
     fplane = _prod(fs[1:])
@@ -327,7 +337,11 @@ def slab_restrict(r: SlabRestrict, xf: jax.Array) -> jax.Array:
     x = xf.reshape(nzf_l, *fs[1:])
     for ax in range(1, len(fs)):
         if cz[ax]:
-            x = _restrict_axis(x, ax, cs[ax])
+            if _use_matmul_transfers(len(fs)):
+                m = jnp.asarray(_axis_restrict_mat(fs[ax], cs[ax]), x.dtype)
+                x = _axis_mat_apply(x, ax, m)
+            else:
+                x = _restrict_axis(x, ax, cs[ax])
 
     if cz[0]:
         strip = x[-1].reshape(-1)

@@ -279,3 +279,28 @@ def test_matmul_transfers_match_slice_path():
                                        rtol=2e-6, atol=2e-6)
             np.testing.assert_allclose(np.asarray(got_p), np.asarray(ref_p),
                                        rtol=2e-6, atol=2e-6)
+
+
+def test_axis_mat_apply_matches_axis_ops():
+    """Slab-transfer helper: per-axis matmul == slice-based axis ops."""
+    import jax.numpy as jnp
+    import numpy as np
+    from omp_amg_tpu.amg.structured import (
+        _axis_mat_apply, _axis_restrict_mat, _prolong_axis, _restrict_axis,
+    )
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((6, 10, 12)), jnp.float32)
+    for ax, (nf, nc) in ((0, (6, 3)), (1, (10, 5)), (2, (12, 6))):
+        m = jnp.asarray(_axis_restrict_mat(nf, nc))
+        got = _axis_mat_apply(x, ax, m)
+        ref = _restrict_axis(x, ax, nc)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-6, atol=2e-6)
+        xc = jnp.asarray(rng.standard_normal(
+            tuple(nc if a == ax else s for a, s in enumerate(x.shape))),
+            jnp.float32)
+        got = _axis_mat_apply(xc, ax, m.T)
+        ref = _prolong_axis(xc, ax, nf)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-6, atol=2e-6)
