@@ -243,7 +243,14 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                     n_cols=nc)
         ac_sp = galerkin_product(host_ops[-1], p_sp)
         r = ell_from_scipy(p_sp.T.tocsr(), dtype=dtype)
-        if flavor == "device":
+        if params.smoother == "l1jacobi":
+            # l1 smoother: D = diag(Σ_j |a_ij|); host row sums (setup is
+            # host-orchestrated here and a_sp is already materialized)
+            dinv_np = 1.0 / np.asarray(np.abs(a_sp).sum(axis=1)).ravel()
+            dinv = jnp.asarray(dinv_np, dtype=dtype)
+            lmax = jnp.asarray(_estimate_lmax_host(a_sp, dinv_np),
+                               dtype=dtype)
+        elif flavor == "device":
             dinv = 1.0 / diagonal(a_dev)
             lmax = estimate_lmax(a_dev, dinv)
             dinv = dinv.astype(dtype)
@@ -381,8 +388,12 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
             data_c = np.asarray(dnext.data, np.float64)
 
         trace.mark(f"L{len(levels)} RAP")
-        diag = data[offsets.index(0)]
-        dinv_np = 1.0 / diag
+        if params.smoother == "l1jacobi":
+            # DIA invariant: out-of-range taps are stored as exact zeros,
+            # so the row l1 sum is a plane-wise |·| reduction
+            dinv_np = 1.0 / np.abs(data).sum(axis=0)
+        else:
+            dinv_np = 1.0 / data[offsets.index(0)]
         from .. import native
         lmax = _estimate_lmax_apply(
             lambda v: native.dia_apply(offsets, data, v), dinv_np, n)
@@ -486,8 +497,10 @@ def _amg_setup_structured_device(a_dev, dims, params: AMGParams, dtype):
         offs_c, data_c = cr.comb_rap_device(offsets, data, dims, coarse_dims,
                                             axes)
         trace.mark(f"L{len(levels)} RAP", sync=data_c)
-        diag = data[offsets.index(0)]
-        dinv = 1.0 / diag
+        if params.smoother == "l1jacobi":
+            dinv = 1.0 / jnp.sum(jnp.abs(data), axis=0)
+        else:
+            dinv = 1.0 / data[offsets.index(0)]
         cur = Dia(data=data, offsets=tuple(offsets), dims=dims)
         lmax = jax.jit(estimate_lmax)(cur, dinv).astype(dtype)
         trace.mark(f"L{len(levels)} lmax", sync=lmax)

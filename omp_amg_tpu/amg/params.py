@@ -13,7 +13,13 @@ from dataclasses import dataclass
 @dataclass(frozen=True)
 class AMGParams:
     theta: float = 0.25          # strength-of-connection threshold
-    smoother: str = "jacobi"     # "jacobi" | "chebyshev"
+    smoother: str = "jacobi"     # "jacobi" | "chebyshev" | "l1jacobi"
+                                 # (l1: D = diag of row-wise Σ|a_ij| —
+                                 # unconditionally convergent on SPD,
+                                 # BoomerAMG-style; ω default stays the
+                                 # per-level auto formula)
+    cycle: str = "v"             # "v" | "w" (γ=2) | "f" (F-cycle: one
+                                 # F-recursion + one V-recursion per level)
     omega: float | None = None   # weighted-Jacobi damping; None = per-level
                                  # auto 4/(3·1.1·λmax) (≈2/3 for Poisson,
                                  # correct for operators with λmax(D⁻¹A)>2)

@@ -15,10 +15,17 @@ from ..ops.spmv import spmv
 from .pmis import hash01
 
 
-def jacobi(a, dinv, x, b, omega: float, sweeps: int):
+def jacobi(a, dinv, x, b, omega: float, sweeps: int,
+           const_scalar: bool = True):
+    """Weighted-Jacobi sweeps x ← x + ω·dinv·(b − A x).
+
+    ``const_scalar=False`` disables the ConstDia scalar fast path — needed
+    when ``dinv`` is NOT constant even though the operator is (the l1-Jacobi
+    smoother: row l1 sums vary near the boundary)."""
     from ..sparse.formats import ConstDia
 
-    if isinstance(a, ConstDia) and jax.default_backend() == "tpu":
+    if (const_scalar and isinstance(a, ConstDia)
+            and jax.default_backend() == "tpu"):
         # constant diagonal → ω·D⁻¹ is one scalar; the whole sweep fuses
         # into a single Pallas pass (x, b in / x' out — bitwise-identical
         # to the unfused sweep, ~2× less level traffic)

@@ -20,10 +20,11 @@ from .smoothers import chebyshev, jacobi
 def _smooth(level: Level, params: AMGParams, x, b, sweeps: int):
     if sweeps == 0:
         return x
-    if params.smoother == "jacobi":
+    if params.smoother in ("jacobi", "l1jacobi"):
         omega = (params.omega if params.omega is not None
                  else 4.0 / (3.0 * 1.1 * level.lmax))
-        return jacobi(level.a, level.dinv, x, b, omega, sweeps)
+        return jacobi(level.a, level.dinv, x, b, omega, sweeps,
+                      const_scalar=params.smoother == "jacobi")
     if params.smoother == "chebyshev":
         for _ in range(sweeps):
             x = chebyshev(level.a, level.dinv, x, b, level.lmax,
@@ -42,11 +43,12 @@ def _smooth_zero(level: Level, params: AMGParams, b, sweeps: int):
     """
     if sweeps == 0:
         return jnp.zeros_like(b)
-    if params.smoother == "jacobi":
+    if params.smoother in ("jacobi", "l1jacobi"):
         omega = (params.omega if params.omega is not None
                  else 4.0 / (3.0 * 1.1 * level.lmax))
         x = omega * level.dinv * b  # == 0 + ω·D⁻¹·(b − A·0), same assoc
-        return jacobi(level.a, level.dinv, x, b, omega, sweeps - 1)
+        return jacobi(level.a, level.dinv, x, b, omega, sweeps - 1,
+                      const_scalar=params.smoother == "jacobi")
     if params.smoother == "chebyshev":
         x = chebyshev(level.a, level.dinv, None, b, level.lmax,
                       params.cheby_degree, params.cheby_ratio, x_is_zero=True)
@@ -82,11 +84,32 @@ def _fused_v11_level(lv: Level, params: AMGParams) -> bool:
 
 
 def vcycle(hier: Hierarchy, b):
-    """One V(ν₁,ν₂) cycle applied to b with zero initial guess → M⁻¹ b."""
+    """One μ-cycle applied to b with zero initial guess → M⁻¹ b.
+
+    ``params.cycle`` selects the recursion shape: "v" (one coarse visit per
+    level), "w" (two — the second refines the first's result on its
+    residual), "f" (an F-recursion followed by a V-recursion). All three
+    keep the symmetric-smoothing / zero-initial-guess structure, so M stays
+    a fixed SPD operator — the PCG preconditioner contract (§3.9).
+    """
     params = hier.params
     levels = hier.levels
 
-    def descend(l, bl):
+    def coarse_visit(l, bc, cyc):
+        """Solve the level-l problem per the cycle type (l ≥ 1)."""
+        if l == len(levels):
+            return coarse_solve(hier, bc)
+        # the cycle is Python-unrolled inside one jit: cap W-branching
+        # depth so the graph stays ≤ 2^8 coarse visits
+        if cyc == "v" or l > 8:
+            return descend(l, bc, "v")
+        x1 = descend(l, bc, cyc)
+        # second visit refines x1 on its residual (W: same cycle type;
+        # F: downgrade to V — the classical F-cycle recursion)
+        r2 = residual(levels[l].a, x1, bc)
+        return x1 + descend(l, r2, "v" if cyc == "f" else cyc)
+
+    def descend(l, bl, cyc):
         if l == len(levels):
             return coarse_solve(hier, bl)
         lv = levels[l]
@@ -99,15 +122,15 @@ def vcycle(hier: Hierarchy, b):
                      else 4.0 / (3.0 * 1.1 * lv.lmax))
             s = omega * lv.dinv[0]
             r = presmooth_residual_const(lv.a, bl, s)
-            xc = descend(l + 1, spmv(lv.r, r))
+            xc = coarse_visit(l + 1, spmv(lv.r, r), cyc)
             return correct_jacobi_const(lv.a, bl, spmv(lv.p, xc), s)
         x = _smooth_zero(lv, params, bl, params.nu_pre)
         r = residual(lv.a, x, bl)
-        xc = descend(l + 1, spmv(lv.r, r))
+        xc = coarse_visit(l + 1, spmv(lv.r, r), cyc)
         x = x + spmv(lv.p, xc)
         return _smooth(lv, params, x, bl, params.nu_post)
 
-    return descend(0, b)
+    return descend(0, b, params.cycle)
 
 
 def vcycle_apply(hier: Hierarchy, x, b):

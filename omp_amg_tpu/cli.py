@@ -34,7 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="auto = structured (all-banded, TPU fast path) for "
                         "generated grid problems, PMIS for general matrices")
     p.add_argument("--smoother", default="jacobi",
-                   choices=["jacobi", "chebyshev"])
+                   choices=["jacobi", "chebyshev", "l1jacobi"])
+    p.add_argument("--cycle", default="v", choices=["v", "w", "f"],
+                   help="multigrid cycle shape (V / W / F)")
     p.add_argument("--pcg", default="standard",
                    choices=["standard", "pipelined"],
                    help="PCG variant (pipelined = single-reduction CG)")
@@ -137,6 +139,7 @@ def main(argv=None) -> int:
                  jnp.float32))
 
     params = AMGParams(theta=args.theta, smoother=args.smoother,
+                       cycle=args.cycle,
                        omega=args.omega, nu_pre=args.nu, nu_post=args.nu,
                        cheby_degree=args.cheby_degree,
                        coarsening=args.coarsening, interp=args.interp,

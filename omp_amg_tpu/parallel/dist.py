@@ -221,7 +221,8 @@ def dist_specs(dh: DistHierarchy) -> DistHierarchy:
 def _smooth(lv: DistLevel, params, x, b, sweeps: int, x_is_zero=False):
     """``x_is_zero=True`` skips the first residual SpMV+halo exactly
     (A·0 ≡ 0) — the V-cycle pre-smoother path (see amg/vcycle._smooth_zero)."""
-    if params.smoother == "jacobi":
+    if params.smoother in ("jacobi", "l1jacobi"):
+        # l1jacobi differs only in what setup stored in dinv (1/Σ|a_ij|)
         omega = (params.omega if params.omega is not None
                  else 4.0 / (3.0 * 1.1 * lv.lmax))
         for s in range(sweeps):
@@ -259,7 +260,15 @@ def dist_vcycle(dh: DistHierarchy, b_local: jax.Array) -> jax.Array:
     params = dh.params
     levels = dh.levels
 
-    def descend(l, bl):
+    def coarse_visit(l, bc, cyc):
+        """Per-cycle-type coarse visits (mirrors amg/vcycle.coarse_visit)."""
+        if l == len(levels) or cyc == "v" or l > 8:
+            return descend(l, bc, "v")
+        x1 = descend(l, bc, cyc)
+        r2 = bc - dist_spmv(levels[l].a, x1)
+        return x1 + descend(l, r2, "v" if cyc == "f" else cyc)
+
+    def descend(l, bl, cyc):
         if l == len(levels):
             if getattr(params, "coarse_solver", "chol") == "inv":
                 return dh.coarse_chol @ bl  # precomputed inverse
@@ -274,14 +283,14 @@ def dist_vcycle(dh: DistHierarchy, b_local: jax.Array) -> jax.Array:
             bc = dist_spmv(lv.r, r)
         else:  # transition to replicated coarse level
             bc = restrict_to_replicated(lv.p, r, lv.n_next)
-        xc = descend(l + 1, bc)
+        xc = coarse_visit(l + 1, bc, cyc)
         if lv.r is not None:
             x = x + dist_spmv(lv.p, xc)
         else:
             x = x + prolong_from_replicated(lv.p, xc)
         return _smooth(lv, params, x, bl, params.nu_post)
 
-    return descend(0, b_local)
+    return descend(0, b_local, getattr(params, "cycle", "v"))
 
 
 def _dist_pcg_pipelined_local(dh: DistHierarchy, b, tol: float,

@@ -221,7 +221,10 @@ def dist_structured_setup(a: Dia, grid, mesh, params: AMGParams = AMGParams(),
         offs_c = [offs_c[k] for k in keep]
         data_c = jax.device_put(data_c[np.asarray(keep, np.int64)], sharding)
 
-        dinv = 1.0 / data[offsets.index(0)]
+        if params.smoother == "l1jacobi":
+            dinv = 1.0 / jnp.sum(jnp.abs(data), axis=0)
+        else:
+            dinv = 1.0 / data[offsets.index(0)]
         lmax_fn = jax.jit(jax.shard_map(
             _lmax_local, mesh=mesh,
             in_specs=(slab_op_spec(op), P(AXIS)),

@@ -352,3 +352,73 @@ def test_coarse_solver_inv_matches_chol():
     lhs = float(jnp.vdot(u, f(h_inv, v)))
     rhs = float(jnp.vdot(f(h_inv, u), v))
     assert abs(lhs - rhs) <= 1e-4 * max(abs(lhs), abs(rhs))
+
+
+def test_l1jacobi_smoother_converges():
+    """l1-Jacobi (D = Σ|a_ij|) converges on both coarsening paths with
+    iteration counts near plain weighted Jacobi."""
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.amg.hierarchy import amg_setup
+    from omp_amg_tpu.amg.params import AMGParams
+    from omp_amg_tpu.solvers.cg import amg_pcg
+
+    a = amg.poisson3d_7pt(24)
+    b = amg.default_rhs(a, "random", seed=0)
+    iters = {}
+    for sm in ("jacobi", "l1jacobi"):
+        for grid in ((24,) * 3, None):  # structured and PMIS paths
+            h = amg_setup(a, AMGParams(smoother=sm), grid=grid)
+            res = amg_pcg(a, b, h, tol=1e-8, maxiter=100)
+            assert float(res.rel_residual) <= 1e-8, (sm, grid)
+            iters[(sm, grid is None)] = int(res.iters)
+    # l1 damping is gentler but must stay in the same ballpark
+    assert iters[("l1jacobi", False)] <= iters[("jacobi", False)] + 6
+    assert iters[("l1jacobi", True)] <= iters[("jacobi", True)] + 6
+
+
+def test_w_and_f_cycles():
+    """W/F cycles converge in <= V-cycle PCG iterations (aniso stress)."""
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.amg.hierarchy import amg_setup
+    from omp_amg_tpu.amg.params import AMGParams
+    from omp_amg_tpu.solvers.cg import amg_pcg
+
+    a = amg.aniso2d_9pt(64)
+    b = amg.default_rhs(a, "random", seed=0)
+    iters = {}
+    for cyc in ("v", "w", "f"):
+        h = amg_setup(a, AMGParams(cycle=cyc), grid=(64, 64))
+        res = amg_pcg(a, b, h, tol=1e-8, maxiter=200)
+        assert float(res.rel_residual) <= 1e-8, cyc
+        iters[cyc] = int(res.iters)
+    assert iters["w"] <= iters["v"]
+    assert iters["f"] <= iters["v"]
+
+
+def test_dist_wcycle_matches_single_device():
+    import jax
+
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.amg.hierarchy import amg_setup
+    from omp_amg_tpu.amg.params import AMGParams
+    from omp_amg_tpu.parallel.dist import make_dist_solver
+    from omp_amg_tpu.parallel.partition import (
+        pad_vector, partition_hierarchy, place_hierarchy, unpad_vector,
+    )
+    from omp_amg_tpu.solvers.cg import amg_pcg
+
+    a = amg.poisson3d_7pt(16)
+    b = amg.default_rhs(a, "random", seed=0)
+    prm = AMGParams(cycle="w")
+    hier = amg_setup(a, prm, grid=(16,) * 3)
+    res = amg_pcg(a, b, hier, tol=1e-8, maxiter=100)
+    mesh = jax.make_mesh((4,), ("rows",))
+    dh = place_hierarchy(partition_hierarchy(hier, 4, agg_rows_per_dev=64),
+                         mesh)
+    solve = make_dist_solver(mesh, dh, tol=1e-8, maxiter=100)
+    bp = pad_vector(b, dh, 4)
+    x, it, rel = solve(dh, bp)
+    assert int(it) == int(res.iters)
+    assert float(rel) <= 1e-8
+    np.testing.assert_allclose(np.asarray(unpad_vector(x, a.n_rows)),
+                               np.asarray(res.x), rtol=2e-4, atol=2e-5)
