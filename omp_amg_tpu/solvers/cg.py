@@ -124,20 +124,22 @@ def pcg_pipelined(a, b, precond: Callable, tol: float = 1e-8,
                     history=hist)
 
 
-@partial(jax.jit, static_argnames=("tol", "maxiter", "variant"))
+@partial(jax.jit, static_argnames=("maxiter", "variant"))
 def amg_pcg(a, b, hier: Hierarchy, tol: float = 1e-8, maxiter: int = 500,
             x0=None, variant: str = "standard") -> CGResult:
     """PCG with M⁻¹ = one V-cycle of the given hierarchy (one jitted call).
 
     ``variant="pipelined"`` selects single-reduction CG (one scalar sync
     point per iteration instead of three — see :func:`pcg_pipelined`).
+    ``tol`` is a *traced* scalar: callers that sweep tolerances (the
+    adaptive IR outer loop) reuse one compiled graph.
     """
     fn = pcg_pipelined if variant == "pipelined" else pcg
     return fn(a, b, precond=lambda r: vcycle(hier, r), tol=tol,
               maxiter=maxiter, x0=x0)
 
 
-@partial(jax.jit, static_argnames=("tol", "maxiter"))
+@partial(jax.jit, static_argnames=("maxiter",))
 def cg(a, b, tol: float = 1e-8, maxiter: int = 500, x0=None) -> CGResult:
     """Unpreconditioned CG (baseline/comparison path)."""
     return pcg(a, b, precond=lambda r: r, tol=tol, maxiter=maxiter, x0=x0)

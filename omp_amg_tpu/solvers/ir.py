@@ -63,8 +63,13 @@ def solve_ir(a_host, b, a_dev, hier: Hierarchy, tol: float = 1e-8,
         if rel <= tol:
             return IRResult(x, outer, inner_iters, rel)
         scale = np.linalg.norm(r)
+        # adaptive inner tolerance: the defect only needs a relative
+        # reduction of tol/rel (×0.3 safety) — the mop-up outers stop in a
+        # handful of iterations instead of re-running to the f32 floor.
+        # tol is traced in amg_pcg, so varying it reuses one compile.
+        tau = max(inner_tol, 0.3 * tol / rel)
         res = amg_pcg(a_dev, jnp.asarray(r / scale, dtype=jnp.float32),
-                      hier, tol=inner_tol, maxiter=maxiter, variant=variant)
+                      hier, tol=tau, maxiter=maxiter, variant=variant)
         inner_iters.append(int(res.iters))
         x = x + scale * np.asarray(res.x, dtype=np.float64)
     r = b - a_apply(x)
@@ -120,7 +125,10 @@ def solve_ir_device(a_dev, b, hier: Hierarchy, tol: float = 1e-8,
         rel = float(rnorm) / bnorm
         if rel <= tol or outer == max_outer:
             break
-        res = amg_pcg(a_dev, r_unit, hier, tol=inner_tol, maxiter=maxiter,
+        # adaptive inner tolerance (see solve_ir): mop-up outers only need
+        # a tol/rel relative reduction on the defect
+        tau = max(inner_tol, 0.3 * tol / rel)
+        res = amg_pcg(a_dev, r_unit, hier, tol=tau, maxiter=maxiter,
                       variant=variant)
         inner_iters.append(int(res.iters))
         xh, xl = _accumulate_step(xh, xl, res.x, rnorm,
