@@ -342,7 +342,30 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
     # f64 host planes of the current level
     if isinstance(a_dev, Dia):
         offsets = list(a_dev.offsets)
-        data = np.asarray(a_dev.data, dtype=np.float64)
+        data = None
+        import os
+
+        synth_min = float(os.environ.get("OMP_AMG_CONST_SYNTH_MIN_MB",
+                                         "150")) * 1e6
+        if (params.const_stencil != "off"
+                and not isinstance(a_dev.data, np.ndarray)
+                and a_dev.data.size * a_dev.data.dtype.itemsize >= synth_min):
+            # large accelerator-resident fine operator: when it is a
+            # masked-constant stencil (the Poisson/BASELINE family), the
+            # host f64 planes are index math — synthesizing them skips the
+            # device→host pull of the whole operator (~13 MB/s through the
+            # axon relay). The on-device equality check costs one cold XLA
+            # compile (~30–60 s via the relay), so this only pays above a
+            # size threshold; below it the plain pull is cheaper.
+            from ..sparse.formats import _const_expected_masks, to_const_dia
+
+            cd = to_const_dia(a_dev)
+            if cd is not None:
+                masks = _const_expected_masks(np, None, cd.taps, a_dev.dims)
+                data = np.stack([np.where(m, np.float64(c), 0.0)
+                                 for c, m in zip(cd.coeffs, masks)])
+        if data is None:
+            data = np.asarray(a_dev.data, dtype=np.float64)
     else:
         d0 = dia_from_scipy(a_sp, dtype=jnp.float64)
         offsets, data = list(d0.offsets), np.asarray(d0.data, np.float64)

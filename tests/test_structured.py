@@ -304,3 +304,25 @@ def test_axis_mat_apply_matches_axis_ops():
         ref = _prolong_axis(xc, ax, nf)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-6, atol=2e-6)
+
+
+def test_const_synthesized_host_planes_match_pull(monkeypatch):
+    """Host setup on an accelerator-resident ConstDia-eligible operator
+    synthesizes its f64 planes from index math (no bulk pull) — the
+    hierarchy must be identical to the pull-based one."""
+    import numpy as np
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.amg.hierarchy import amg_setup
+
+    monkeypatch.setenv("OMP_AMG_CONST_SYNTH_MIN_MB", "0")  # force synthesis
+    a_dev = amg.poisson3d_27pt(16)                  # jnp-backed data
+    a_np = amg.poisson3d_27pt(16, backend="numpy")  # np-backed data
+    h1 = amg_setup(a_dev, grid=(16,) * 3)
+    h2 = amg_setup(a_np, grid=(16,) * 3)
+    assert len(h1.levels) == len(h2.levels)
+    np.testing.assert_array_equal(np.asarray(h1.coarse_a),
+                                  np.asarray(h2.coarse_a))
+    for l1, l2 in zip(h1.levels, h2.levels):
+        assert type(l1.a) is type(l2.a)
+        np.testing.assert_array_equal(np.asarray(l1.dinv),
+                                      np.asarray(l2.dinv))
