@@ -27,6 +27,33 @@ def read_matrix_market(path, dtype=jnp.float32):
     return ell_from_scipy(a, dtype=dtype), a
 
 
+def write_matrix_market(path, a, comment: str = "") -> None:
+    """Write any supported operator format as a MatrixMarket file
+    (the reference's mmio.c is read+write — SURVEY.md §2 #17)."""
+    import scipy.io
+
+    from ..sparse.formats import (
+        ConstDia, Csr, PlaneDia, const_to_dia, csr_to_scipy, dia_to_scipy,
+        ell_to_scipy, plane_to_dia,
+    )
+
+    if isinstance(a, ConstDia):
+        a = const_to_dia(a)
+    if isinstance(a, PlaneDia):
+        a = plane_to_dia(a)
+    if isinstance(a, Dia):
+        m = dia_to_scipy(a)
+    elif isinstance(a, Ell):
+        m = ell_to_scipy(a)
+    elif isinstance(a, Csr):
+        m = csr_to_scipy(a)
+    else:
+        import scipy.sparse as sp
+
+        m = sp.csr_matrix(a)  # scipy/dense passthrough
+    scipy.io.mmwrite(path, m, comment=comment)
+
+
 def _pack_op(prefix: str, op, out: dict, meta: dict):
     from ..amg.structured import GridProlong, GridRestrict
 

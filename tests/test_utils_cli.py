@@ -120,3 +120,23 @@ def test_routed_hierarchy_save_load_roundtrip(tmp_path):
     y1 = np.asarray(jax.jit(vcycle)(hier, b))
     y2 = np.asarray(jax.jit(vcycle)(h2, b))
     np.testing.assert_array_equal(y1, y2)
+
+
+def test_matrix_market_roundtrip(tmp_path):
+    """mmwrite of every operator format reads back equal (ref mmio parity)."""
+    import numpy as np
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.sparse.formats import dia_to_ell, to_const_dia
+    from omp_amg_tpu.utils.io import read_matrix_market, write_matrix_market
+
+    a = amg.poisson3d_7pt(8)
+    ref = amg.dia_to_scipy(a)
+    ops = {"dia": a, "ell": dia_to_ell(a)}
+    cd = to_const_dia(a)
+    if cd is not None:
+        ops["cdia"] = cd
+    for name, op in ops.items():
+        p = str(tmp_path / f"{name}.mtx")
+        write_matrix_market(p, op, comment=name)
+        _, back = read_matrix_market(p)
+        assert abs(back - ref).max() < 1e-6, name
