@@ -27,4 +27,4 @@ from .problems.poisson import (  # noqa: F401
     poisson3d_27pt, stencil_to_dia,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -335,7 +335,7 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
     scipy SpGEMM remains only as the fallback when the probe detects an
     operator outside the radius-1 contract.
     """
-    from ..sparse.formats import Dia, dia_from_scipy, dia_to_scipy
+    from ..sparse.formats import Dia, dia_planes_from_scipy, dia_to_scipy
     from . import comb_rap as cr
     from .structured import GridProlong, GridRestrict, strong_axes
 
@@ -367,8 +367,7 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
         if data is None:
             data = np.asarray(a_dev.data, dtype=np.float64)
     else:
-        d0 = dia_from_scipy(a_sp, dtype=jnp.float64)
-        offsets, data = list(d0.offsets), np.asarray(d0.data, np.float64)
+        offsets, data = dia_planes_from_scipy(a_sp)  # f64 numpy end-to-end
 
     levels = []
     host_ops = [a_sp] if keep_host else None
@@ -403,12 +402,9 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
             from ..ops.rap import galerkin_product
             from .structured import prolong_to_scipy
 
-            cur_sp = dia_to_scipy(Dia(data=jnp.asarray(data),
-                                      offsets=tuple(offsets)))
+            cur_sp = dia_to_scipy(Dia(data=data, offsets=tuple(offsets)))
             ac_sp = galerkin_product(cur_sp, prolong_to_scipy(p))
-            dnext = dia_from_scipy(ac_sp, dtype=jnp.float64)
-            offs_c = list(dnext.offsets)
-            data_c = np.asarray(dnext.data, np.float64)
+            offs_c, data_c = dia_planes_from_scipy(ac_sp)
 
         trace.mark(f"L{len(levels)} RAP")
         if params.smoother == "l1jacobi":
@@ -448,7 +444,7 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
         offsets, data, dims = offs_c, np.asarray(data_c), coarse_dims
         n = int(np.prod(dims))
         if keep_host:
-            host_ops.append(dia_to_scipy(Dia(data=jnp.asarray(data),
+            host_ops.append(dia_to_scipy(Dia(data=data,
                                              offsets=tuple(offsets))))
 
     # densify the coarsest level directly from its diagonals

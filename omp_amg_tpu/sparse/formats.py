@@ -482,8 +482,13 @@ def dia_to_scipy(a: Dia):
     return m
 
 
-def dia_from_scipy(a, dtype=jnp.float32) -> Dia:
-    """Convert a banded scipy matrix to DIA. Raises if too many diagonals."""
+def dia_planes_from_scipy(a):
+    """Host twin of :func:`dia_from_scipy`: (offsets, f64 numpy planes).
+
+    Setup-phase code that needs the full-precision planes uses this directly
+    — routing f64 data through ``jnp.asarray`` under default JAX config
+    (x64 disabled) silently truncates to f32 with a warning (VERDICT r1 #8).
+    """
     import scipy.sparse as sp
 
     d = sp.dia_matrix(a)
@@ -498,6 +503,12 @@ def dia_from_scipy(a, dtype=jnp.float32) -> Dia:
     for k, off in enumerate(offsets):
         i0, i1 = max(0, -off), min(n, n - off)
         out[k, i0:i1] = d.data[k, i0 + off : i1 + off]
+    return offsets, out
+
+
+def dia_from_scipy(a, dtype=jnp.float32) -> Dia:
+    """Convert a banded scipy matrix to DIA. Raises if too many diagonals."""
+    offsets, out = dia_planes_from_scipy(a)
     return Dia(data=jnp.asarray(out, dtype=dtype), offsets=tuple(offsets))
 
 

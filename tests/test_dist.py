@@ -133,3 +133,50 @@ def test_dist_structured_hierarchy(ndev):
         np.asarray(b, np.float64) - a_sp @ np.asarray(x, np.float64)
     ) / np.linalg.norm(np.asarray(b, np.float64))
     assert true_rel <= 5e-5
+
+
+@pytest.mark.parametrize("smoother", ["chebyshev", "l1jacobi"])
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_dist_smoothers_match_single_device(smoother, ndev):
+    """VERDICT r1 #7: distributed Chebyshev / l1-Jacobi parity with the
+    single-device solve (iteration count + solution)."""
+    a = amg.poisson3d_7pt(12)
+    a_sp = amg.dia_to_scipy(a)
+    prm = AMGParams(smoother=smoother, coarse_size=50)
+    hier = amg_setup(a, prm)
+    mesh = make_mesh(ndev)
+    dh = place_hierarchy(partition_hierarchy(hier, ndev, agg_rows_per_dev=64),
+                         mesh)
+    b = amg.default_rhs(a, "random", seed=0)
+    res = amg_pcg(a, b, hier, tol=1e-6, maxiter=100)
+    solve = make_dist_solver(mesh, dh, tol=1e-6, maxiter=100)
+    x, iters, rel = solve(dh, pad_vector(b, dh, ndev))
+    assert int(iters) == int(res.iters), (int(iters), int(res.iters))
+    x = unpad_vector(x, a.n_rows)
+    true_rel = np.linalg.norm(
+        np.asarray(b, np.float64) - a_sp @ np.asarray(x, np.float64)
+    ) / np.linalg.norm(np.asarray(b, np.float64))
+    assert true_rel <= 5e-5
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_dist_27pt_chebyshev(ndev):
+    """BASELINE config 4's stencil+smoother distributed (VERDICT r1 #7):
+    3D 27-point Poisson with the Chebyshev smoother, sharded solve parity."""
+    a = amg.poisson3d_27pt(16)
+    a_sp = amg.dia_to_scipy(a)
+    prm = AMGParams(smoother="chebyshev")
+    hier = amg_setup(a, prm, grid=(16, 16, 16))
+    mesh = make_mesh(ndev)
+    dh = place_hierarchy(partition_hierarchy(hier, ndev, agg_rows_per_dev=64),
+                         mesh)
+    b = amg.default_rhs(a, "random", seed=0)
+    res = amg_pcg(a, b, hier, tol=1e-6, maxiter=100)
+    solve = make_dist_solver(mesh, dh, tol=1e-6, maxiter=100)
+    x, iters, rel = solve(dh, pad_vector(b, dh, ndev))
+    assert int(iters) == int(res.iters), (int(iters), int(res.iters))
+    x = unpad_vector(x, a.n_rows)
+    true_rel = np.linalg.norm(
+        np.asarray(b, np.float64) - a_sp @ np.asarray(x, np.float64)
+    ) / np.linalg.norm(np.asarray(b, np.float64))
+    assert true_rel <= 5e-5

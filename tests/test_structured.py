@@ -326,3 +326,20 @@ def test_const_synthesized_host_planes_match_pull(monkeypatch):
         assert type(l1.a) is type(l2.a)
         np.testing.assert_array_equal(np.asarray(l1.dinv),
                                       np.asarray(l2.dinv))
+
+
+def test_structured_setup_warning_free_f64_planes():
+    """VERDICT r1 #8: the structured setup's host planes stay numpy f64
+    end-to-end — no silent f64→f32 truncation through jnp.asarray under
+    default JAX config (x64 off)."""
+    import warnings
+
+    a = amg.poisson3d_7pt(12)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", UserWarning)  # any truncation → fail
+        hier, host_ops = amg_setup(a, grid=(12, 12, 12), keep_host=True)
+    # host scipy operators carry full f64 precision
+    for op in host_ops:
+        assert op.dtype == np.float64, op.dtype
+    # device-facing arrays are f32 (the solve dtype)
+    assert hier.levels[0].dinv.dtype == jnp.float32
