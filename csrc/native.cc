@@ -9,6 +9,7 @@
 // Build: see csrc/Makefile (g++ -O3 -fopenmp -shared -fPIC).
 // Python binding: omp_amg_tpu/native.py via ctypes, with numpy fallback.
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <vector>
@@ -390,6 +391,197 @@ void rap_stencil_f64(int64_t d, const int64_t* dims, const int64_t* cdims,
 #pragma omp parallel for schedule(static)
     for (int64_t p = 0; p < pow3 * nc; ++p) data_c[p] += src[p];
   }
+}
+
+// ---------------------------------------------------------------------------
+// Extended+i interpolation (host setup hot spot; SURVEY.md §2 #8, the
+// formulas match omp_amg_tpu/amg/host_setup.py::extpi_interpolation_np —
+// the vectorized-numpy twin, which this kernel replaces for speed).
+//
+// Inputs are padded ELL planes (col==0/val==0 padding, cols sorted within
+// rows), the strength mask per slot, the PMIS state (0/1/2 = U/C/F), and
+// the fine→coarse map. Output is the padded P (n, max_elements) planes.
+// Deterministic: per-row computation, fixed accumulation order (slot order,
+// products before nothing — see below), stable truncation tie-break
+// (|w| desc, first-seen asc).
+// ---------------------------------------------------------------------------
+
+void extpi_interp_f64(int64_t n, int64_t k, int64_t n_coarse,
+                      const int32_t* col, const double* val,
+                      const uint8_t* mask, const int8_t* state,
+                      const int64_t* cmap, int64_t max_elements,
+                      int32_t* p_col, double* p_val) {
+  const int8_t C = 1, F = 2;
+  // pass 1: d_base[r] = sum of strong-C negative couplings per row
+  std::vector<double> d_base(n);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    double acc = 0.0;
+    const int32_t* ci = col + i * k;
+    const double* vi = val + i * k;
+    const uint8_t* mi = mask + i * k;
+    for (int64_t s = 0; s < k; ++s) {
+      int32_t c = ci[s];
+      double v = vi[s];
+      if (mi[s] && state[c] == C && v < 0.0 && c != (int32_t)i) acc += v;
+    }
+    d_base[i] = acc;
+  }
+
+#pragma omp parallel
+  {
+    // per-thread dense accumulator over coarse columns
+    std::vector<double> accum(n_coarse, 0.0);
+    std::vector<int64_t> marker(n_coarse, -1);
+    std::vector<int64_t> cols_seen;
+    std::vector<double> asc_part(n_coarse, 0.0);
+    struct Cand { double w; int64_t pos; int64_t cj; };
+    std::vector<Cand> cand;
+
+#pragma omp for schedule(dynamic, 256)
+    for (int64_t i = 0; i < n; ++i) {
+      int32_t* pc = p_col + i * max_elements;
+      double* pv = p_val + i * max_elements;
+      for (int64_t s = 0; s < max_elements; ++s) { pc[s] = 0; pv[s] = 0.0; }
+      if (state[i] == C) {
+        pc[0] = (int32_t)cmap[i];
+        pv[0] = 1.0;
+        continue;
+      }
+      const int32_t* ci = col + i * k;
+      const double* vi = val + i * k;
+      const uint8_t* mi = mask + i * k;
+      cols_seen.clear();
+      double diag = 0.0, weak_sum = 0.0, bki_sum = 0.0;
+      // products pass: N_prod = sum_k b_ik * Aneg_sC[k,:], asc kept apart
+      for (int64_t s = 0; s < k; ++s) {
+        int32_t c = ci[s];
+        double v = vi[s];
+        if (c == (int32_t)i) {
+          if (v != 0.0) diag += v;  // diag slot (multiple never occur)
+          continue;
+        }
+        if (v == 0.0) continue;  // padding
+        bool strong = mi[s] != 0;
+        if (strong && state[c] == C) {
+          int64_t j = cmap[c];
+          if (marker[j] != i) {
+            marker[j] = i;
+            accum[j] = 0.0;
+            asc_part[j] = 0.0;
+            cols_seen.push_back(j);
+          }
+          asc_part[j] += v;
+          continue;
+        }
+        if (strong && state[c] == F) {
+          // a_ki: negative coupling back from row c to i
+          double a_ki = 0.0;
+          const int32_t* cc = col + (int64_t)c * k;
+          const double* vc = val + (int64_t)c * k;
+          for (int64_t t = 0; t < k; ++t) {
+            if (cc[t] == (int32_t)i && vc[t] < 0.0) { a_ki = vc[t]; break; }
+          }
+          double d_ik = d_base[c] + a_ki;
+          if (d_ik == 0.0) { weak_sum += v; continue; }  // cannot distribute
+          double b = v / d_ik;
+          bki_sum += b * a_ki;
+          const uint8_t* mc = mask + (int64_t)c * k;
+          for (int64_t t = 0; t < k; ++t) {
+            int32_t cl = cc[t];
+            double vl = vc[t];
+            if (!mc[t] || state[cl] != C || vl >= 0.0 || cl == c) continue;
+            int64_t j = cmap[cl];
+            if (marker[j] != i) {
+              marker[j] = i;
+              accum[j] = 0.0;
+              asc_part[j] = 0.0;
+              cols_seen.push_back(j);
+            }
+            accum[j] += b * vl;
+          }
+          continue;
+        }
+        weak_sum += v;  // weak coupling lumped into the diagonal
+      }
+      double dtil = diag + weak_sum + bki_sum;
+      if (dtil == 0.0) dtil = 1.0;  // degenerate row: no interpolation
+      // weights; stable candidate order = first-seen (slot order)
+      cand.clear();
+      for (size_t t = 0; t < cols_seen.size(); ++t) {
+        int64_t j = cols_seen[t];
+        double nv = accum[j] + asc_part[j];
+        if (nv == 0.0) continue;
+        cand.push_back({-nv / dtil, (int64_t)t, j});
+      }
+      int64_t keep = (int64_t)cand.size();
+      if (keep > max_elements) {
+        std::sort(cand.begin(), cand.end(), [](const Cand& a, const Cand& b) {
+          double fa = a.w < 0 ? -a.w : a.w, fb = b.w < 0 ? -b.w : b.w;
+          if (fa != fb) return fa > fb;
+          return a.cj < b.cj;
+        });
+        // sign-class rescale: preserve per-sign row sums over kept entries
+        double full_p = 0.0, full_n = 0.0, kept_p = 0.0, kept_n = 0.0;
+        for (int64_t t = 0; t < (int64_t)cand.size(); ++t) {
+          double w = cand[t].w;
+          if (w > 0) full_p += w; else full_n += w;
+          if (t < max_elements) { if (w > 0) kept_p += w; else kept_n += w; }
+        }
+        double fac_p = kept_p != 0.0 ? full_p / kept_p : 1.0;
+        double fac_n = kept_n != 0.0 ? full_n / kept_n : 1.0;
+        for (int64_t t = 0; t < max_elements; ++t)
+          cand[t].w *= cand[t].w > 0 ? fac_p : fac_n;
+        keep = max_elements;
+      }
+      // deterministic column-sorted output (matches the numpy twin's
+      // CSR-ordered planes)
+      std::sort(cand.begin(), cand.begin() + keep,
+                [](const Cand& a, const Cand& b) { return a.cj < b.cj; });
+      for (int64_t t = 0; t < keep; ++t) {
+        pc[t] = (int32_t)cand[t].cj;
+        pv[t] = cand[t].w;
+      }
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Distance-2 greedy column coloring (for the colored-probing device RAP):
+// columns sharing any row get distinct colors. Sequential deterministic
+// greedy in ascending column order with per-row color bitmasks; supports up
+// to 64*MAXW colors. Returns the color count, or -1 if it would exceed the
+// cap (caller falls back). indptr/indices = CSR of the matrix whose columns
+// are being colored; cindptr/cindices = its CSC (column -> rows).
+// ---------------------------------------------------------------------------
+
+int64_t d2_color_greedy(int64_t n_rows, int64_t n_cols,
+                        const int64_t* indptr, const int32_t* indices,
+                        const int64_t* cindptr, const int32_t* cindices,
+                        int32_t* color_out) {
+  const int64_t MAXW = 4;  // 256 colors
+  std::vector<uint64_t> rowmask((size_t)n_rows * MAXW, 0);
+  int64_t ncolors = 0;
+  for (int64_t j = 0; j < n_cols; ++j) {
+    uint64_t forb[MAXW] = {0, 0, 0, 0};
+    for (int64_t p = cindptr[j]; p < cindptr[j + 1]; ++p) {
+      const uint64_t* rm = rowmask.data() + (size_t)cindices[p] * MAXW;
+      for (int64_t w = 0; w < MAXW; ++w) forb[w] |= rm[w];
+    }
+    int64_t c = -1;
+    for (int64_t w = 0; w < MAXW && c < 0; ++w) {
+      uint64_t free_bits = ~forb[w];
+      if (free_bits) c = w * 64 + __builtin_ctzll(free_bits);
+    }
+    if (c < 0) return -1;
+    color_out[j] = (int32_t)c;
+    if (c + 1 > ncolors) ncolors = c + 1;
+    uint64_t bit = 1ull << (c & 63);
+    int64_t w = c >> 6;
+    for (int64_t p = cindptr[j]; p < cindptr[j + 1]; ++p)
+      rowmask[(size_t)cindices[p] * MAXW + w] |= bit;
+  }
+  return ncolors;
 }
 
 int native_num_threads() {

@@ -232,7 +232,7 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                     col, val, mask, state, cmap, nc,
                     max_elements=params.interp_max_elements)
             elif params.interp == "extpi":
-                p_col, p_val = hs.extpi_interpolation_np(
+                p_col, p_val = hs.extpi_interpolation(
                     col, val, mask, state, cmap, nc,
                     max_elements=params.interp_max_elements)
             else:

@@ -209,7 +209,10 @@ def standard_interpolation_np(col, val, mask, state, cmap, n_coarse,
     ncol, nval, _ = _csr_to_padded(nmat, kmax)
     wmat = -nval / dtil[:, None]
     if kmax > max_elements:
-        order = np.argsort(-np.abs(wmat), axis=1)[:, :max_elements]
+        # stable: truncation ties keep the lowest column (matches the
+        # native kernel's deterministic tie-break)
+        order = np.argsort(-np.abs(wmat), axis=1,
+                           kind="stable")[:, :max_elements]
         sel_col = np.take_along_axis(ncol, order, axis=1)
         sel_w = np.take_along_axis(wmat, order, axis=1)
         # rescale kept entries to preserve each sign-class row sum
@@ -229,6 +232,23 @@ def standard_interpolation_np(col, val, mask, state, cmap, n_coarse,
     p_col[is_c_row, 0] = cmap[is_c_row]
     p_val[is_c_row, 0] = 1.0
     return p_col, p_val
+
+
+def extpi_interpolation(col, val, mask, state, cmap, n_coarse,
+                        max_elements: int = 6):
+    """Ext+i interpolation: native OpenMP kernel when built (csrc/native.cc
+    ``extpi_interp_f64`` — the setup-phase hot spot, ~20× the numpy twin),
+    numpy fallback otherwise. Same formulas; values agree to f64 rounding."""
+    from .. import native
+
+    out = native.extpi_interp(col, val, mask, state,
+                              np.asarray(cmap, np.int64), n_coarse,
+                              max_elements)
+    if out is not None:
+        p_col, p_val = out
+        return p_col, p_val.astype(np.asarray(val).dtype)
+    return extpi_interpolation_np(col, val, mask, state, cmap, n_coarse,
+                                  max_elements)
 
 
 def extpi_interpolation_np(col, val, mask, state, cmap, n_coarse,
@@ -295,7 +315,10 @@ def extpi_interpolation_np(col, val, mask, state, cmap, n_coarse,
     ncol, nval, _ = _csr_to_padded(nmat, kmax)
     wmat = -nval / dtil[:, None]
     if kmax > max_elements:
-        order = np.argsort(-np.abs(wmat), axis=1)[:, :max_elements]
+        # stable: truncation ties keep the lowest column (matches the
+        # native kernel's deterministic tie-break)
+        order = np.argsort(-np.abs(wmat), axis=1,
+                           kind="stable")[:, :max_elements]
         sel_col = np.take_along_axis(ncol, order, axis=1)
         sel_w = np.take_along_axis(wmat, order, axis=1)
         for sign in (1.0, -1.0):

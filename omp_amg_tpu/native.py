@@ -56,6 +56,14 @@ def _load():
         lib.spgemm_fill.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
                                     i32p, f64p, i64p, i32p, f64p, i64p, i32p,
                                     f64p]
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+        i8p = np.ctypeslib.ndpointer(np.int8, flags="C")
+        lib.extpi_interp_f64.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, f64p, u8p,
+            i8p, i64p, ctypes.c_int64, i32p, f64p]
+        lib.d2_color_greedy.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                        i32p, i64p, i32p, i32p]
+        lib.d2_color_greedy.restype = ctypes.c_int64
         lib.native_num_threads.restype = ctypes.c_int
         _lib = lib
     except Exception:
@@ -210,6 +218,57 @@ def rap_stencil(offsets, data: np.ndarray, dims, coarse_dims, coarsened):
     offs_c = [e[0] for e in entries]
     data_c = np.stack([e[1] for e in entries]) if entries else out[:0]
     return offs_c, data_c
+
+
+def extpi_interp(col, val, mask, state, cmap, n_coarse,
+                 max_elements: int = 6):
+    """Native OpenMP extended+i interpolation over padded ELL planes.
+
+    Returns (p_col i32, p_val f64) planes of width ``max_elements``, or
+    None when the native library is unavailable (caller falls back to
+    ``host_setup.extpi_interpolation_np``).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n, k = col.shape
+    p_col = np.zeros((n, max_elements), np.int32)
+    p_val = np.zeros((n, max_elements), np.float64)
+    lib.extpi_interp_f64(
+        n, k, int(n_coarse),
+        np.ascontiguousarray(col, np.int32),
+        np.ascontiguousarray(val, np.float64),
+        np.ascontiguousarray(mask, np.uint8),
+        np.ascontiguousarray(state, np.int8),
+        np.ascontiguousarray(cmap, np.int64),
+        int(max_elements), p_col, p_val)
+    return p_col, p_val
+
+
+def d2_color(m):
+    """Distance-2 greedy column coloring of a scipy sparse matrix.
+
+    Returns (colors i32 array over columns, n_colors), or None when the
+    native library is unavailable or >256 colors would be needed.
+    """
+    import scipy.sparse as sp
+
+    lib = _load()
+    if lib is None:
+        return None
+    csr = sp.csr_matrix(m)
+    csr.sort_indices()
+    csc = csr.tocsc()
+    colors = np.empty(csr.shape[1], np.int32)
+    nc = lib.d2_color_greedy(
+        csr.shape[0], csr.shape[1],
+        np.ascontiguousarray(csr.indptr, np.int64),
+        np.ascontiguousarray(csr.indices, np.int32),
+        np.ascontiguousarray(csc.indptr, np.int64),
+        np.ascontiguousarray(csc.indices, np.int32), colors)
+    if nc < 0:
+        return None
+    return colors, int(nc)
 
 
 def spgemm(a, b):

@@ -1,0 +1,229 @@
+"""Pallas TPU panel-SpMM kernel: U = A · X for X an (n, C) dense panel.
+
+Parity: the device numeric phase of the reference's SpGEMM layer
+(SURVEY.md §2 #3; BASELINE north-star "two-phase symbolic+numeric SpGEMM").
+The colored-probing RAP (ops/probe_rap.py) reduces the Galerkin triple
+product to exactly this primitive.
+
+Per grid step (one 128-row output block, see sparse/panels.py for the
+plan):
+
+- one contiguous span DMA from the chunk-major panel buffer
+  ``Xt[(base)*C : (base+S)*C, 128]`` (double-buffered ring);
+- per slot k: one (C, 128) window slice + a one-hot selection matmul
+
+      sel[m, l] = (lidx[k, l] == m)             # VPU compare, 0/1 exact
+      U_block += val[k] * (win_hi @ sel + win_lo @ sel)
+
+  The MXU performs the per-lane gather *and* the accumulation: the one-hot
+  matmul evaluates win[:, lidx[l]] for all C panel columns at once. Every
+  measured elementwise gather on this chip is orders of magnitude slower
+  (XLA gather 0.1 Gelem/s, XLA take_along_axis 0.04 Gelem/s, in-kernel
+  take_along ~19 G lane/s = C×-scaled cost); the one-hot matmul is the only
+  formulation whose per-slot cost does not scale with C on the VPU.
+
+Window precision: the panel is split into a bf16 (hi, lo) pair —
+``hi = bf16(x); lo = bf16(x - hi)`` — and the one-hot is exact 0/1 in
+bf16, so the two bf16 matmuls reconstruct the f32 gather to ~2⁻¹⁶ relative
+(the MXU's native bf16 rate is ~8× its f32 rate). An f32 single-matmul
+variant exists for full f32 precision (``precision='f32'``).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..sparse.panels import (
+    CHUNK_U, K_BLK, LANES, UNROLL_K, PanelPlan, pack_panels, unpack_panels,
+)
+
+RING = 2
+
+
+def _slot_accumulate(win_of, lidx_ref, val_ref, *, K, C, precision):
+    iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+
+    def slot(k, acc):
+        lrow = lidx_ref[pl.ds(k, 1)]            # (1, 128)
+        vrow = val_ref[pl.ds(k, 1)]             # (1, 128)
+        eq = iota == lrow
+        if precision == "f32":
+            (wref,) = win_of(k)
+            sel = jnp.where(eq, vrow, 0.0)
+            return acc + jnp.dot(wref, sel,
+                                 preferred_element_type=jnp.float32)
+        wh, wl = win_of(k)
+        selb = eq.astype(jnp.bfloat16)
+        g = (jnp.dot(wh, selb, preferred_element_type=jnp.float32)
+             + jnp.dot(wl, selb, preferred_element_type=jnp.float32))
+        return acc + vrow * g
+
+    acc = jnp.zeros((C, LANES), jnp.float32)
+    if K <= UNROLL_K:
+        for k in range(K):
+            acc = slot(k, acc)
+        return acc
+
+    def chunk(c, acc):
+        for u in range(CHUNK_U):
+            acc = slot(c * CHUNK_U + u, acc)
+        return acc
+
+    n_full = K // CHUNK_U
+    acc = jax.lax.fori_loop(0, n_full, chunk, acc)
+    for k in range(n_full * CHUNK_U, K):
+        acc = slot(k, acc)
+    return acc
+
+
+def _accumulate_out(o_ref, acc):
+    kb = pl.program_id(1)
+
+    @pl.when(kb == 0)
+    def _():
+        o_ref[:, :] = acc
+
+    @pl.when(kb != 0)
+    def _():
+        o_ref[:, :] = o_ref[:, :] + acc
+
+
+def _spmm_kernel(sbase_ref, soff_ref, lidx_ref, val_ref, *rest,
+                 kb_slots, S, C, nb, precision):
+    n_x = 1 if precision == "f32" else 2
+    x_hbms = rest[:n_x]
+    o_ref = rest[n_x]
+    spans = rest[n_x + 1:n_x + 1 + n_x]
+    sems = rest[n_x + 1 + n_x]
+
+    i = pl.program_id(0)
+    kb = pl.program_id(1)
+
+    def copy(p, which):
+        slot = jax.lax.rem(p, RING)
+        return pltpu.make_async_copy(
+            x_hbms[which].at[pl.ds(sbase_ref[0, p] * C, S * C), :],
+            spans[which].at[slot], sems.at[which, slot])
+
+    @pl.when(jnp.logical_and(i == 0, kb == 0))
+    def _():
+        for w in range(n_x):
+            copy(jnp.int32(0), w).start()
+
+    @pl.when(jnp.logical_and(kb == 0, i + 1 < nb))
+    def _():
+        for w in range(n_x):
+            copy(i + 1, w).start()
+
+    @pl.when(kb == 0)
+    def _():
+        for w in range(n_x):
+            copy(i, w).wait()
+
+    sl = jax.lax.rem(i, RING)
+
+    def win_of(k):
+        j = soff_ref[kb, k]
+        return tuple(spans[w][sl, pl.ds(j * C, C), :] for w in range(n_x))
+
+    _accumulate_out(
+        o_ref,
+        _slot_accumulate(win_of, lidx_ref, val_ref, K=kb_slots, C=C,
+                         precision=precision))
+
+
+@functools.lru_cache(maxsize=256)
+def _make_spmm_call(nb, K, S, P, nxp, C, precision, interpret=False):
+    kb_slots = min(K, K_BLK)
+    nkb = K // kb_slots
+    n_x = 1 if precision == "f32" else 2
+    xdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+    kernel = functools.partial(_spmm_kernel, kb_slots=kb_slots, S=S, C=C,
+                               nb=nb, precision=precision)
+    nbp = -(-nb // LANES) * LANES
+    return pl.pallas_call(
+        kernel,
+        grid=(nb, nkb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),            # sbase (1,nbp)
+            pl.BlockSpec((None, nkb, P), lambda i, kb: (i, 0, 0),
+                         memory_space=pltpu.SMEM),            # soff
+            pl.BlockSpec((None, kb_slots, LANES),
+                         lambda i, kb: (i, kb, 0),
+                         memory_space=pltpu.VMEM),            # lidx chunk
+            pl.BlockSpec((None, kb_slots, LANES),
+                         lambda i, kb: (i, kb, 0),
+                         memory_space=pltpu.VMEM),            # val chunk
+        ] + [pl.BlockSpec(memory_space=pl.ANY)] * n_x,        # Xt HBM
+        out_specs=pl.BlockSpec((C, LANES), lambda i, kb: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb * C, LANES), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((RING, S * C, LANES), xdt)
+                        for _ in range(n_x)]
+        + [pltpu.SemaphoreType.DMA((n_x, RING))],
+        interpret=interpret,
+    )
+
+
+def vmem_fit(S: int, C: int, K: int, precision: str = "bf16x2",
+             budget: int = 13 << 20) -> bool:
+    """Does the streamed window ring + plan pipeline fit VMEM?"""
+    n_x = 1 if precision == "f32" else 2
+    xbytes = 4 if precision == "f32" else 2
+    ring = RING * n_x * S * C * LANES * xbytes
+    kb = min(K, K_BLK)
+    plan = 2 * 2 * kb * LANES * 4          # lidx+val, double-buffered
+    out = C * LANES * 4
+    return ring + plan + out <= budget
+
+
+def spmm_panel(a: PanelPlan, xt: jax.Array, C: int,
+               precision: str = "bf16x2", interpret: bool = False):
+    """U = A @ X in chunk-major panel form.
+
+    ``xt`` is the packed panel (see ``pack_panels``): float32
+    ``(nxp*C, 128)`` for precision='f32', or a TUPLE (hi, lo) of bf16
+    arrays for the exact bf16-pair mode. Returns U in the same packed form
+    ``(nb*C, 128)`` float32 (directly consumable as the next SpMM's xt
+    after a dtype split).
+    """
+    nb, K = a.val.shape[:2]
+    call = _make_spmm_call(nb, K, a.span, a.soff.shape[2], a.nxp, C,
+                           precision, interpret)
+    if precision == "f32":
+        return call(a.sbase, a.soff, a.lidx, a.val, xt)
+    xh, xl = xt
+    return call(a.sbase, a.soff, a.lidx, a.val, xh, xl)
+
+
+def split_bf16(xt: jax.Array):
+    """f32 packed panel → exact (hi, lo) bf16 pair."""
+    hi = xt.astype(jnp.bfloat16)
+    lo = (xt - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def spmm_panel_xla(a: PanelPlan, x: jax.Array):
+    """XLA gather formulation over the same plan (CPU path / test oracle).
+
+    ``x`` is the plain (n_cols, C) panel; returns (n_rows, C) float32.
+    """
+    nb, K = a.val.shape[:2]
+    C = x.shape[1]
+    kb_slots = K // a.soff.shape[1]
+    n_pad = a.nxp * LANES
+    xp = jnp.concatenate(
+        [x.astype(jnp.float32),
+         jnp.zeros((n_pad - x.shape[0], C), jnp.float32)], axis=0)
+    k = jnp.arange(K)
+    soff2 = a.soff[:, k // kb_slots, k % kb_slots]      # (nb, K)
+    chunk = soff2 + a.sbase[0, :nb, None]               # absolute chunk
+    cols = chunk[:, :, None] * LANES + a.lidx           # (nb, K, 128)
+    g = jnp.take(xp, cols.reshape(-1), axis=0).reshape(nb, K, LANES, C)
+    u = jnp.sum(a.val.astype(jnp.float32)[..., None] * g, axis=1)
+    return u.reshape(nb * LANES, C)[: a.n_rows]

@@ -1,0 +1,103 @@
+"""Native (csrc) setup kernels vs their numpy twins.
+
+The native library is the default host-setup engine when built; these tests
+pin its results to the vectorized-numpy implementations (SURVEY.md §4 test
+strategy: scipy/numpy oracles per component).
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import omp_amg_tpu as amg
+from omp_amg_tpu import native
+from omp_amg_tpu.amg import host_setup as hs
+from omp_amg_tpu.sparse.formats import (
+    dia_to_scipy, ell_planes_from_scipy, ell_planes_to_scipy,
+)
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native library not built")
+
+
+def _setup_planes(a_sp, theta=0.25):
+    col, val, _ = ell_planes_from_scipy(a_sp, dtype=np.float32)
+    mask = hs.strength_mask_np(col, val, theta)
+    state = hs.pmis_np(col, mask)
+    is_c = state == hs.CPOINT
+    cmap = np.cumsum(is_c.astype(np.int64)) - 1
+    return col, val, mask, state, cmap, int(is_c.sum())
+
+
+@pytest.mark.parametrize("gen,n", [(amg.poisson3d_7pt, 20),
+                                   (amg.poisson2d_5pt, 48)])
+def test_extpi_native_matches_numpy(gen, n):
+    a_sp = sp.csr_matrix(dia_to_scipy(gen(n)))
+    col, val, mask, state, cmap, nc = _setup_planes(a_sp)
+    pc_np, pv_np = hs.extpi_interpolation_np(col, val, mask, state, cmap, nc)
+    out = native.extpi_interp(col, val, mask, state, cmap, nc)
+    assert out is not None
+    pc_n, pv_n = out
+    p_np = ell_planes_to_scipy(pc_np, pv_np.astype(np.float64), nc).tocsr()
+    p_n = ell_planes_to_scipy(pc_n, pv_n, nc).tocsr()
+    assert p_np.nnz == p_n.nnz
+    d = abs(p_np - p_n)
+    scale = max(abs(p_np).max(), 1e-30)
+    assert (d.max() if d.nnz else 0.0) / scale < 1e-6
+
+
+def test_extpi_native_27pt_sign_class_sums():
+    """27-pt has many |w| near-ties: f32(numpy) vs f64(native) rounding can
+    legitimately flip which tied entry truncation keeps. The sign-class
+    rescale preserves per-row positive/negative sums, so THOSE must agree
+    across flavors even when the selected columns differ."""
+    a_sp = sp.csr_matrix(dia_to_scipy(amg.poisson3d_27pt(12)))
+    col, val, mask, state, cmap, nc = _setup_planes(a_sp)
+    pc_np, pv_np = hs.extpi_interpolation_np(col, val, mask, state, cmap, nc)
+    out = native.extpi_interp(col, val, mask, state, cmap, nc)
+    assert out is not None
+    pc_n, pv_n = out
+    for sign in (1.0, -1.0):
+        s_np = (pv_np * (np.sign(pv_np) == sign)).sum(axis=1)
+        s_n = (pv_n * (np.sign(pv_n) == sign)).sum(axis=1)
+        np.testing.assert_allclose(s_np, s_n, rtol=0, atol=2e-5)
+    # row widths agree
+    np.testing.assert_array_equal((pv_np != 0).sum(axis=1),
+                                  (pv_n != 0).sum(axis=1))
+
+
+def test_extpi_dispatch_prefers_native():
+    a_sp = sp.csr_matrix(dia_to_scipy(amg.poisson2d_5pt(32)))
+    col, val, mask, state, cmap, nc = _setup_planes(a_sp)
+    pc, pv = hs.extpi_interpolation(col, val, mask, state, cmap, nc)
+    assert pv.dtype == val.dtype
+    # C rows identity
+    is_c = state == hs.CPOINT
+    np.testing.assert_array_equal(pc[is_c, 0], np.asarray(cmap)[is_c])
+    np.testing.assert_allclose(pv[is_c, 0], 1.0)
+
+
+@pytest.mark.parametrize("gen,n", [(amg.poisson2d_5pt, 32),
+                                   (amg.poisson3d_7pt, 12)])
+def test_d2_color_validity(gen, n):
+    """No row of A may contain two columns of the same color (that is what
+    makes column probing exact: each (row, color) pair hits ≤1 column)."""
+    a_sp = sp.csr_matrix(dia_to_scipy(gen(n)))
+    # color the coarse operator of a PMIS hierarchy level (the real use)
+    col, val, mask, state, cmap, nc = _setup_planes(a_sp)
+    pc, pv = hs.extpi_interpolation(col, val, mask, state, cmap, nc)
+    p_sp = ell_planes_to_scipy(pc, np.asarray(pv, np.float64), nc)
+    from omp_amg_tpu.ops.rap import galerkin_product
+
+    ac = galerkin_product(a_sp, p_sp)
+    out = native.d2_color(ac)
+    assert out is not None
+    colors, ncolors = out
+    assert ncolors >= 1
+    csr = sp.csr_matrix(ac)
+    for i in range(csr.shape[0]):
+        cc = colors[csr.indices[csr.indptr[i]:csr.indptr[i + 1]]]
+        assert len(np.unique(cc)) == len(cc), f"row {i} color clash"
+    # bound: greedy needs at most max conflict degree + 1 colors
+    deg = int(max((csr != 0).sum(axis=1).max(), 1))
+    assert ncolors <= deg * deg + 1
