@@ -39,7 +39,9 @@ class _SetupTrace:
     """Opt-in per-phase setup timing (OMP_AMG_SETUP_TIMERS=1): the analog of
     the reference's per-phase ``omp_get_wtime`` setup report. ``mark`` takes
     an optional device value to sync on (scalar-pull — the only true barrier
-    through the axon relay, see utils/timers)."""
+    through the axon relay, see utils/timers). The most recent enabled
+    trace is kept in ``last_setup_trace()`` so benchmark harnesses can
+    record the per-phase breakdown (bench_details.json)."""
 
     def __init__(self):
         import os
@@ -48,6 +50,9 @@ class _SetupTrace:
         if self.enabled:
             import time
 
+            global _LAST_TRACE
+            self.records = []
+            _LAST_TRACE = self.records
             self.t = time.perf_counter()
 
     def mark(self, label: str, sync=None):
@@ -61,9 +66,18 @@ class _SetupTrace:
 
             _sync(sync)
         now = time.perf_counter()
+        self.records.append((label, now - self.t))
         print(f"[setup] {label}: {now - self.t:.3f}s", file=sys.stderr,
               flush=True)
         self.t = now
+
+
+_LAST_TRACE: list = []
+
+
+def last_setup_trace():
+    """Per-phase (label, seconds) records of the most recent traced setup."""
+    return list(_LAST_TRACE)
 
 
 @jax.tree_util.register_dataclass
@@ -192,6 +206,7 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
 
     levels = []
     host_ops = [a_sp]
+    trace = _SetupTrace()
     cur_planes = None  # (col, val) reused between host-flavor iterations
     while (
         a_sp.shape[0] > params.coarse_size
@@ -241,7 +256,27 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             p_sp = ell_planes_to_scipy(p_col, p_val, nc)
             p = Ell(col=jnp.asarray(p_col), val=jnp.asarray(p_val, dtype=dtype),
                     n_cols=nc)
+        trace.mark(f"L{len(levels)} n={n} strength/pmis/interp")
         ac_sp = galerkin_product(host_ops[-1], p_sp)
+        if params.rap == "probe":
+            # TPU-resident numeric phase (BASELINE north-star "two-phase
+            # symbolic+numeric SpGEMM"): the coarse-operator VALUES come
+            # from the colored-probing device RAP (ops/probe_rap.py); the
+            # host product above provides the symbolic pattern (and the
+            # fallback when a plan cap is exceeded).
+            from ..ops.probe_rap import build_rap_probe, rap_probe_numeric
+
+            rap_probe, _ = build_rap_probe(host_ops[-1], p_sp, ac_sp=ac_sp)
+            if rap_probe is not None:
+                vals = np.asarray(rap_probe_numeric(rap_probe))
+                lengths = np.diff(ac_sp.indptr)
+                pos = np.arange(ac_sp.nnz) - np.repeat(
+                    ac_sp.indptr[:-1].astype(np.int64), lengths)
+                rr = np.repeat(np.arange(ac_sp.shape[0], dtype=np.int64),
+                               lengths)
+                ac_sp = ac_sp.copy()
+                ac_sp.data = vals[rr, pos].astype(np.float64)
+        trace.mark(f"L{len(levels)} RAP")
         r = ell_from_scipy(p_sp.T.tocsr(), dtype=dtype)
         if params.smoother == "l1jacobi":
             # l1 smoother: D = diag(Σ_j |a_ij|); host row sums (setup is
@@ -259,6 +294,7 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             dinv_np = 1.0 / a_sp.diagonal()
             lmax = jnp.asarray(_estimate_lmax_host(a_sp, dinv_np), dtype=dtype)
             dinv = jnp.asarray(dinv_np, dtype=dtype)
+        trace.mark(f"L{len(levels)} lmax")
         a_lvl, p_lvl, r_lvl = a_dev, p, r
         if isinstance(a_dev, Dia) and jax.default_backend() == "tpu":
             # banded fine operator: the plane-major DIA kernel is ~80× the
@@ -287,6 +323,7 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                         p_lvl = rt
                     else:
                         r_lvl = rt
+        trace.mark(f"L{len(levels)} operator form")
         levels.append(Level(a=a_lvl, dinv=dinv, p=p_lvl, r=r_lvl, lmax=lmax))
         a_sp = ac_sp
         if flavor == "device":

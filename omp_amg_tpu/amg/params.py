@@ -48,3 +48,13 @@ class AMGParams:
                                  # operator is a masked-constant stencil
                                  # (streams x/y only — ~2.8× the PlaneDia
                                  # SpMV ceiling): "auto" | "off"
+    rap: str = "host"            # PMIS-path Galerkin numeric engine:
+                                 # "host" (native OpenMP Gustavson, f64) |
+                                 # "probe" (colored-probing device RAP —
+                                 # ops/probe_rap.py: the solve-path level
+                                 # operators get device-computed values;
+                                 # host keeps f64 values for the symbolic
+                                 # chain). Host stays default because the
+                                 # axon relay makes plan uploads costly;
+                                 # on directly-attached TPUs "probe" moves
+                                 # the numeric phase fully on-chip.

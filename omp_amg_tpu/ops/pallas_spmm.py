@@ -57,10 +57,11 @@ def _slot_accumulate(win_of, lidx_ref, val_ref, *, K, C, precision):
             sel = jnp.where(eq, vrow, 0.0)
             return acc + jnp.dot(wref, sel,
                                  preferred_element_type=jnp.float32)
-        wh, wl = win_of(k)
+        wins = win_of(k)
         selb = eq.astype(jnp.bfloat16)
-        g = (jnp.dot(wh, selb, preferred_element_type=jnp.float32)
-             + jnp.dot(wl, selb, preferred_element_type=jnp.float32))
+        g = jnp.dot(wins[0], selb, preferred_element_type=jnp.float32)
+        for wref in wins[1:]:
+            g = g + jnp.dot(wref, selb, preferred_element_type=jnp.float32)
         return acc + vrow * g
 
     acc = jnp.zeros((C, LANES), jnp.float32)
@@ -93,9 +94,13 @@ def _accumulate_out(o_ref, acc):
         o_ref[:, :] = o_ref[:, :] + acc
 
 
+def _n_split(precision: str) -> int:
+    return {"f32": 1, "bf16x2": 2, "bf16x3": 3}[precision]
+
+
 def _spmm_kernel(sbase_ref, soff_ref, lidx_ref, val_ref, *rest,
                  kb_slots, S, C, nb, precision):
-    n_x = 1 if precision == "f32" else 2
+    n_x = _n_split(precision)
     x_hbms = rest[:n_x]
     o_ref = rest[n_x]
     spans = rest[n_x + 1:n_x + 1 + n_x]
@@ -141,7 +146,7 @@ def _spmm_kernel(sbase_ref, soff_ref, lidx_ref, val_ref, *rest,
 def _make_spmm_call(nb, K, S, P, nxp, C, precision, interpret=False):
     kb_slots = min(K, K_BLK)
     nkb = K // kb_slots
-    n_x = 1 if precision == "f32" else 2
+    n_x = _n_split(precision)
     xdt = jnp.float32 if precision == "f32" else jnp.bfloat16
     kernel = functools.partial(_spmm_kernel, kb_slots=kb_slots, S=S, C=C,
                                nb=nb, precision=precision)
@@ -173,7 +178,7 @@ def _make_spmm_call(nb, K, S, P, nxp, C, precision, interpret=False):
 def vmem_fit(S: int, C: int, K: int, precision: str = "bf16x2",
              budget: int = 13 << 20) -> bool:
     """Does the streamed window ring + plan pipeline fit VMEM?"""
-    n_x = 1 if precision == "f32" else 2
+    n_x = _n_split(precision)
     xbytes = 4 if precision == "f32" else 2
     ring = RING * n_x * S * C * LANES * xbytes
     kb = min(K, K_BLK)
@@ -187,25 +192,64 @@ def spmm_panel(a: PanelPlan, xt: jax.Array, C: int,
     """U = A @ X in chunk-major panel form.
 
     ``xt`` is the packed panel (see ``pack_panels``): float32
-    ``(nxp*C, 128)`` for precision='f32', or a TUPLE (hi, lo) of bf16
-    arrays for the exact bf16-pair mode. Returns U in the same packed form
-    ``(nb*C, 128)`` float32 (directly consumable as the next SpMM's xt
-    after a dtype split).
+    ``(nxp*C, 128)`` for precision='f32', or a TUPLE of 2 (bf16x2) or 3
+    (bf16x3 — f32-exact) bf16 split arrays. Returns U in the same packed
+    form ``(nb*C, 128)`` float32 (directly consumable as the next SpMM's
+    xt after a dtype split).
     """
     nb, K = a.val.shape[:2]
     call = _make_spmm_call(nb, K, a.span, a.soff.shape[2], a.nxp, C,
                            precision, interpret)
     if precision == "f32":
         return call(a.sbase, a.soff, a.lidx, a.val, xt)
-    xh, xl = xt
-    return call(a.sbase, a.soff, a.lidx, a.val, xh, xl)
+    return call(a.sbase, a.soff, a.lidx, a.val, *xt)
 
 
-def split_bf16(xt: jax.Array):
-    """f32 packed panel → exact (hi, lo) bf16 pair."""
-    hi = xt.astype(jnp.bfloat16)
-    lo = (xt - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-    return hi, lo
+def split_bf16(xt: jax.Array, n: int = 2):
+    """f32 packed panel → exact n-way bf16 split (n=3 recovers f32 fully:
+    8+8+8 mantissa bits cover f32's 24)."""
+    parts = []
+    rem = xt
+    for _ in range(n - 1):
+        hi = rem.astype(jnp.bfloat16)
+        parts.append(hi)
+        rem = rem - hi.astype(jnp.float32)
+    parts.append(rem.astype(jnp.bfloat16))
+    return tuple(parts)
+
+
+def _extract_kernel(w_ref, idx_ref, o_ref):
+    o_ref[:, :] = jnp.take_along_axis(w_ref[:, :], idx_ref[:, :], axis=1)
+
+
+@functools.lru_cache(maxsize=64)
+def _make_extract_call(nrb, njb, interpret=False):
+    return pl.pallas_call(
+        _extract_kernel,
+        grid=(nrb, njb),
+        in_specs=[
+            pl.BlockSpec((LANES, LANES), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((LANES, LANES), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((LANES, LANES), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nrb * LANES, njb * LANES),
+                                       jnp.float32),
+        interpret=interpret,
+    )
+
+
+def extract_lanes(w: jax.Array, idx: jax.Array, interpret: bool = False):
+    """out[i, s] = w[i, idx[i, s]] — the width-128 take-along form Mosaic
+    runs at VPU speed (XLA's own take_along_axis measured 0.04 Gelem/s on
+    this chip). ``w`` is (R, 128); idx (R, S·128) int32; R, S·128 both
+    multiples of 128."""
+    nrb = w.shape[0] // LANES
+    njb = idx.shape[1] // LANES
+    call = _make_extract_call(nrb, njb, interpret)
+    return call(w.astype(jnp.float32), idx)
 
 
 def spmm_panel_xla(a: PanelPlan, x: jax.Array):

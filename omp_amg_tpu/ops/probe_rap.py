@@ -1,0 +1,268 @@
+"""Colored-probing Galerkin RAP: TPU-resident numeric phase for general
+(PMIS) hierarchies.
+
+Parity: the reference's RAP SpGEMM (SURVEY.md §2 #3/#9, §3.4; BASELINE
+north-star "Galerkin RAP triple product via Pallas SpGEMM", "two-phase
+symbolic+numeric SpGEMM"). The *symbolic* phase runs once on the host
+(amortized, SURVEY §4.2); the *numeric* phase runs entirely on device.
+
+Design. Direct sparse×sparse×sparse evaluation is gather-bound on this
+chip from every angle that was measured (XLA gather ≈ 0.1 Gelem/s; a
+routed-ELL encoding of the flattened triple-product map reaches packing
+efficiency ≤ 0.03 because product terms cluster). Probing converts the
+triple product into sparse × dense-panel work instead:
+
+1. color the columns of A_c = PᵀAP so that no two columns sharing a row
+   get the same color (distance-2 greedy, csrc ``d2_color_greedy``);
+2. build the (n_c, C) one-hot indicator panel V of a 128-color group and
+   evaluate  W = Pᵀ · (A · (P · V))  with the one-hot-MXU panel-SpMM
+   kernel (ops/pallas_spmm.py) — all FLOPs ride the MXU;
+3. extract  A_c[i, slot] = W[i, color(col[i, slot])]  with a width-128
+   take-along kernel (each (row, color) pair hits at most one column, so
+   the extraction is exact — the same trick sparse Jacobian estimation
+   uses, Curtis–Powell–Reid).
+
+P·V needs no SpMM: PV[i, c] = Σ_k P.val[i,k] · (color(P.col[i,k]) == c)
+is a pure VPU compare-accumulate over the ELL planes of P.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sparse.panels import (
+    LANES, PanelPlan, pack_panels, panel_plan_from_scipy, unpack_panels,
+)
+from .pallas_spmm import spmm_panel, spmm_panel_xla
+
+MAX_COLORS = 256
+
+
+def _static(**kw):
+    return field(metadata=dict(static=True), **kw)
+
+
+def d2_color(ac) -> Optional[Tuple[np.ndarray, int]]:
+    """Distance-2 greedy column coloring (native; numpy fallback).
+
+    Both implement the identical algorithm (ascending columns, per-row
+    color bitmasks, lowest free bit) so the coloring is deterministic and
+    flavor-independent. Returns (colors, n_colors) or None above the cap.
+    """
+    from .. import native
+
+    out = native.d2_color(ac)
+    if out is not None:
+        return out
+    if native.available():
+        return None  # native ran and exceeded the color cap
+    return _d2_color_np(ac)
+
+
+def _d2_color_np(ac) -> Optional[Tuple[np.ndarray, int]]:
+    import scipy.sparse as sp
+
+    csr = sp.csr_matrix(ac)
+    csr.sort_indices()
+    csc = csr.tocsc()
+    n_rows, n_cols = csr.shape
+    words = MAX_COLORS // 64
+    rowmask = np.zeros((n_rows, words), np.uint64)
+    colors = np.empty(n_cols, np.int32)
+    ncolors = 0
+    indptr, indices = csc.indptr, csc.indices
+    for j in range(n_cols):
+        rows = indices[indptr[j]:indptr[j + 1]]
+        forb = np.bitwise_or.reduce(rowmask[rows], axis=0) if len(rows) \
+            else np.zeros(words, np.uint64)
+        c = -1
+        for w in range(words):
+            free = int(~forb[w]) & ((1 << 64) - 1)
+            if free:
+                c = w * 64 + ((free & -free).bit_length() - 1)
+                break
+        if c < 0:
+            return None
+        colors[j] = c
+        ncolors = max(ncolors, c + 1)
+        rowmask[rows, c >> 6] |= np.uint64(1) << np.uint64(c & 63)
+    return colors, ncolors
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class RapProbe:
+    """Host-built symbolic plan; ``rap_probe_numeric`` is the device phase.
+
+    The sparse operands (A, R=Pᵀ) are panel-SpMM plans; P enters as ELL
+    value/color planes for the VPU one-hot panel build; the extraction is
+    indexed by the color of each coarse slot's column.
+    """
+
+    a_plan: PanelPlan
+    r_plan: PanelPlan
+    p_val: jax.Array      # (n, kP) float32 — P values (ELL planes)
+    p_color: jax.Array    # (n, kP) int32 — color of P.col, -1 on padding
+    ac_cidx: jax.Array    # (nc, kcp) int32 — color of A_c col per slot
+    ac_mask: jax.Array    # (nc, kcp) float32 — 1 on real slots, 0 padding
+    n_colors: int = _static()
+    n_rows: int = _static()     # fine n
+    n_coarse: int = _static()
+    kc: int = _static()         # true A_c ELL width (kcp = padded)
+
+    @property
+    def nnz(self) -> int:
+        """nnz(A) — the conventional RAP-throughput denominator."""
+        return self.a_plan.nnz
+
+
+def build_rap_probe(a_sp, p_sp, ac_sp=None, dtype=jnp.float32):
+    """Host symbolic phase. ``ac_sp`` (pattern) is computed if not given.
+
+    Returns (RapProbe, ac_sp) or (None, ac_sp) when the operator exceeds a
+    format cap (caller keeps the host numeric result).
+    """
+    import scipy.sparse as sp
+
+    from ..sparse.formats import ell_planes_from_scipy
+    from .rap import galerkin_product
+
+    a_sp = sp.csr_matrix(a_sp)
+    p_sp = sp.csr_matrix(p_sp)
+    if ac_sp is None:
+        ac_sp = galerkin_product(a_sp, p_sp)
+    out = d2_color(ac_sp)
+    if out is None:
+        return None, ac_sp
+    colors, ncolors = out
+
+    a_plan = panel_plan_from_scipy(a_sp, dtype=dtype)
+    r_plan = panel_plan_from_scipy(p_sp.T.tocsr(), dtype=dtype)
+    if a_plan is None or r_plan is None:
+        return None, ac_sp
+
+    p_col, p_valh, _ = ell_planes_from_scipy(p_sp, dtype=np.float64)
+    p_color = np.where(p_valh != 0, colors[p_col], -1).astype(np.int32)
+
+    ac_col, ac_valh, _ = ell_planes_from_scipy(ac_sp, dtype=np.float64)
+    kc = ac_col.shape[1]
+    kcp = -(-kc // LANES) * LANES
+    nc = ac_sp.shape[0]
+    ncp = -(-nc // LANES) * LANES       # extractor wants 128-row blocks
+    ac_cidx = np.zeros((ncp, kcp), np.int32)
+    ac_mask = np.zeros((ncp, kcp), np.float32)
+    ac_cidx[:nc, :kc] = np.where(ac_valh != 0, colors[ac_col], 0)
+    ac_mask[:nc, :kc] = (ac_valh != 0)
+
+    probe = RapProbe(
+        a_plan=a_plan, r_plan=r_plan,
+        p_val=jnp.asarray(p_valh, dtype),
+        p_color=jnp.asarray(p_color),
+        ac_cidx=jnp.asarray(ac_cidx),
+        ac_mask=jnp.asarray(ac_mask),
+        n_colors=ncolors, n_rows=a_sp.shape[0], n_coarse=nc, kc=kc,
+    )
+    return probe, ac_sp
+
+
+def _panel_pv(probe: RapProbe, c0: int, C: int) -> jax.Array:
+    """(n, C) slice of P·V for colors [c0, c0+C) — VPU compare-accumulate."""
+    iota = c0 + jnp.arange(C, dtype=jnp.int32)[None, :]
+    kp = probe.p_val.shape[1]
+    pv = jnp.zeros((probe.p_val.shape[0], C), jnp.float32)
+    for k in range(kp):
+        hit = (probe.p_color[:, k:k + 1] == iota).astype(jnp.float32)
+        pv = pv + probe.p_val[:, k:k + 1].astype(jnp.float32) * hit
+    return pv
+
+
+def rap_probe_numeric(probe: RapProbe, engine: str = "auto",
+                      interpret: bool = False) -> jax.Array:
+    """Device numeric phase: A_c values as (nc, kc) ELL planes (float32).
+
+    ``engine='pallas'`` runs the one-hot-MXU kernels (TPU);
+    ``engine='xla'`` is the portable formulation (CPU path / oracle).
+    """
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    ncp = -(-probe.n_coarse // LANES) * LANES
+
+    # panel width: largest multiple of 8 ≤ 128 whose streamed window ring
+    # fits VMEM for BOTH SpMM operands (wider panels amortize plan traffic)
+    from .pallas_spmm import vmem_fit
+
+    c_cap = 128
+    if engine == "pallas":
+        while c_cap > 8 and not (
+                vmem_fit(probe.a_plan.span, c_cap,
+                         probe.a_plan.val.shape[1], "bf16x3")
+                and vmem_fit(probe.r_plan.span, c_cap,
+                             probe.r_plan.val.shape[1], "bf16x3")):
+            c_cap -= 8
+
+    def _probe_colors(c0: int, C: int) -> jax.Array:
+        """(ncp, C) block of W = Pᵀ A P V for colors [c0, c0+C)."""
+        pv = _panel_pv(probe, c0, C)
+        if engine == "pallas":
+            from .pallas_spmm import split_bf16
+
+            # exact bf16-triple windows: the one-hot is exact 0/1 and a
+            # 3-way hi/mid/lo split covers all 24 f32 mantissa bits, so
+            # the MXU gather is f32-exact. (A plain f32 jnp.dot lowers to
+            # reduced-precision MXU passes on TPU — measured 3.6e-3
+            # relative error on a real level; the 2-way split compounds
+            # to ~1e-5 over the chained A/R products.)
+            xt = pack_panels(pv, probe.a_plan.nxp)
+            ut = spmm_panel(probe.a_plan, split_bf16(xt, 3), C,
+                            precision="bf16x3", interpret=interpret)
+            # A's output blocks are exactly R's chunk-major input layout
+            nxp_r = probe.r_plan.nxp
+            nb_a = ut.shape[0] // C
+            if nxp_r > nb_a:
+                ut = jnp.concatenate(
+                    [ut, jnp.zeros(((nxp_r - nb_a) * C, LANES), ut.dtype)])
+            wt = spmm_panel(probe.r_plan, split_bf16(ut[: nxp_r * C], 3),
+                            C, precision="bf16x3", interpret=interpret)
+            w = unpack_panels(wt, probe.n_coarse, C)
+        else:
+            u = spmm_panel_xla(probe.a_plan, pv)
+            w = spmm_panel_xla(probe.r_plan, u)
+        return jnp.concatenate(
+            [w, jnp.zeros((ncp - w.shape[0], C), w.dtype)], axis=0)
+
+    # one extraction panel per 128-color group; VMEM-capped SpMM widths
+    # tile within the group
+    w_panels = []
+    for g0 in range(0, probe.n_colors, 128):
+        gend = min(g0 + 128, probe.n_colors)
+        parts, c0 = [], g0
+        while c0 < gend:
+            C = min(c_cap, -(-(gend - c0) // 8) * 8)
+            parts.append(_probe_colors(c0, C))
+            c0 += C
+        wg = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        if wg.shape[1] < LANES:
+            wg = jnp.concatenate(
+                [wg, jnp.zeros((ncp, LANES - wg.shape[1]), wg.dtype)],
+                axis=1)
+        w_panels.append(wg)
+
+    if engine == "pallas":
+        from .pallas_spmm import extract_lanes
+
+        lane = probe.ac_cidx % LANES
+        panel = probe.ac_cidx // LANES
+        g = jnp.zeros_like(probe.ac_mask)
+        for p, w in enumerate(w_panels):
+            gp = extract_lanes(w, lane, interpret=interpret)
+            g = g + gp * (panel == p)
+    else:
+        wall = jnp.concatenate(w_panels, axis=1)
+        g = jnp.take_along_axis(wall, probe.ac_cidx, axis=1)
+    return (g * probe.ac_mask)[: probe.n_coarse, : probe.kc]
