@@ -131,10 +131,15 @@ def main():
         t0 = time.time()
         setup_flavor = ("device" if os.environ.get("BENCH_DEVICE_SETUP") == "1"
                         else "host")
+        os.environ["OMP_AMG_SETUP_TIMERS"] = "1"
         hier = amg_setup(a2, grid=(ns, ns, ns), flavor=setup_flavor)
         details["setup_s"] = time.time() - t0
         details["setup_flavor"] = setup_flavor
         details["hierarchy"] = hierarchy_stats(hier)
+        from omp_amg_tpu.amg.hierarchy import last_setup_trace
+        details["setup_phases"] = [
+            {"phase": lbl, "s": round(dt, 4)} for lbl, dt in
+            last_setup_trace()]
 
         def _solve():
             r = amg_pcg(a2, b2, hier, tol=1e-6, maxiter=200)
@@ -156,6 +161,17 @@ def main():
         log(f"AMG 7pt {ns}^3 (structured): setup {details['setup_s']:.1f}s, "
             f"solve {details['solve_s']:.2f}s, iters {int(res.iters)}, "
             f"vcycle {vsec*1e3:.2f} ms")
+
+        # quantitative weak-scaling evidence (BASELINE north-star "≥80%
+        # at ≥2 hosts" — unmeasurable on 1 chip, so the per-level
+        # comm/flop model, calibrated to the measured V-cycle, carries
+        # the prediction; parallel/scaling_model.py states the model)
+        from omp_amg_tpu.parallel.scaling_model import scaling_report
+        details["scaling"] = scaling_report(
+            hier, grid=(ns, ns, ns), measured_t_cycle_ms=vsec * 1e3)
+        eff = {k: v["weak_efficiency"]
+               for k, v in details["scaling"]["predicted"].items()}
+        log(f"weak-scaling model (calibrated): efficiency {eff}")
 
     # ---- BASELINE.json convergence configs 1-4 (end-to-end to 1e-8) ----
     if os.environ.get("BENCH_CONFIGS", "1") == "1" \
@@ -198,6 +214,88 @@ def main():
                 f"f64 rel {res_c.rel_residual:.2e}")
             assert res_c.rel_residual <= 1e-8, (name, res_c.rel_residual)
         details["configs"] = confs
+
+    # ---- PMIS (general-sparsity) path: routed SpMV + device probe RAP ----
+    if os.environ.get("BENCH_PMIS", "1") == "1" \
+            and os.environ.get("BENCH_SKIP_SOLVE") != "1":
+        import dataclasses
+
+        import scipy.sparse as sp
+
+        from omp_amg_tpu.amg.hierarchy import amg_setup
+        from omp_amg_tpu.amg.params import AMGParams
+        from omp_amg_tpu.ops.probe_rap import (
+            build_rap_probe, rap_probe_numeric,
+        )
+        from omp_amg_tpu.sparse.routed import RoutedEll, routed_to_scipy
+        from omp_amg_tpu.sparse.formats import ell_to_scipy
+
+        np_ = int(os.environ.get("BENCH_PMIS_N", "64"))
+        a_p = amg.poisson3d_7pt(np_)
+        b_p = amg.default_rhs(a_p, "random", seed=0)
+        pmis_d = {}
+        t0 = time.time()
+        hier_p, hops_p = amg_setup(
+            a_p, AMGParams(coarsening="pmis", interp="extpi"),
+            keep_host=True)
+        pmis_d["setup_s"] = time.time() - t0
+
+        # routed-ELL SpMV on a real PMIS level operator (VERDICT #6:
+        # first-class general-sparsity SpMV metric next to const/plane)
+        lv1 = hier_p.levels[1].a if len(hier_p.levels) > 1 else None
+        if isinstance(lv1, RoutedEll):
+            x1 = jnp.ones((lv1.shape[1],), jnp.float32)
+            s1 = timeit_fused(spmv, lv1, x1, iters=20)
+            pmis_d["spmv_routed_gnnz_per_s"] = lv1.nnz / s1 / 1e9
+            details["spmv_routed_gnnz_per_s"] = lv1.nnz / s1 / 1e9
+            log(f"SpMV routed (PMIS A[1], nnz={lv1.nnz:.2e}): "
+                f"{s1*1e3:.3f} ms = {lv1.nnz/s1/1e9:.2f} Gnnz/s")
+
+        # device probe RAP rate on L0 (north-star: TPU-resident numeric
+        # SpGEMM phase; host Gustavson is the comparison)
+        if dev.platform == "tpu":
+            a0 = sp.csr_matrix(hops_p[0])
+            pop = hier_p.levels[0].p
+            p0 = (routed_to_scipy(pop) if isinstance(pop, RoutedEll)
+                  else ell_to_scipy(pop))
+            probe, _ = build_rap_probe(a0, sp.csr_matrix(p0))
+            if probe is not None:
+                def _rap_step(pr, y):
+                    pr2 = dataclasses.replace(
+                        pr, p_val=pr.p_val + y[0, 0] * 1e-30)
+                    return rap_probe_numeric(pr2, engine="pallas")
+
+                y0 = jnp.zeros((probe.n_coarse, probe.kc), jnp.float32)
+                s_rap = timeit_fused(_rap_step, probe, y0, iters=5)
+                t0 = time.time()
+                from omp_amg_tpu.ops.rap import galerkin_product
+                galerkin_product(a0, p0)
+                host_rap = time.time() - t0
+                pmis_d["rap_probe_s"] = s_rap
+                pmis_d["rap_probe_gnnz_per_s"] = a0.nnz / s_rap / 1e9
+                pmis_d["rap_host_gnnz_per_s"] = a0.nnz / host_rap / 1e9
+                details["rap_probe_gnnz_per_s"] = a0.nnz / s_rap / 1e9
+                log(f"RAP probe (PMIS L0, nnzA={a0.nnz:.2e}): "
+                    f"{s_rap*1e3:.1f} ms = {a0.nnz/s_rap/1e9:.3f} Gnnz/s "
+                    f"(host Gustavson {host_rap*1e3:.0f} ms = "
+                    f"{a0.nnz/host_rap/1e9:.4f})")
+
+        # PMIS-path solve latency (VERDICT #9 tracking)
+        from omp_amg_tpu.amg.vcycle import vcycle
+        vs_p = timeit(jax.jit(vcycle), hier_p, b_p, warmup=2, iters=10)
+        pmis_d["vcycle_s"] = vs_p
+        from omp_amg_tpu.solvers.cg import amg_pcg
+        r_p = amg_pcg(a_p, b_p, hier_p, tol=1e-6, maxiter=100)
+        float(jnp.sum(r_p.x[:1]))
+        t0 = time.time()
+        r_p = amg_pcg(a_p, b_p, hier_p, tol=1e-6, maxiter=100)
+        float(jnp.sum(r_p.x[:1]))
+        pmis_d["solve_s"] = time.time() - t0
+        pmis_d["pcg_iters"] = int(r_p.iters)
+        log(f"PMIS 7pt {np_}^3: setup {pmis_d['setup_s']:.1f}s, vcycle "
+            f"{vs_p*1e3:.2f} ms, solve {pmis_d['solve_s']:.3f}s, "
+            f"iters {int(r_p.iters)}")
+        details["pmis"] = pmis_d
 
     details["total_s"] = time.time() - t_start
     with open("bench_details.json", "w") as fh:
