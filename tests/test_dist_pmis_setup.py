@@ -1,0 +1,96 @@
+"""Distributed PMIS setup: bit-identity across shard counts + solve parity.
+
+SURVEY.md §2 #22 contract: the per-shard setup (ghost-row semantics) must
+produce the same hierarchy at every shard count — that is what the
+deterministic hash01 PMIS weights buy — and the sharded solve must match.
+"""
+
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+import jax
+import jax.numpy as jnp
+
+import omp_amg_tpu as amg
+from omp_amg_tpu.amg.hierarchy import amg_setup
+from omp_amg_tpu.amg.params import AMGParams
+from omp_amg_tpu.parallel.dist import make_dist_solver
+from omp_amg_tpu.parallel.dist_pmis_setup import dist_pmis_setup
+from omp_amg_tpu.parallel.partition import pad_vector, unpad_vector
+
+
+def _hier_arrays(hier):
+    out = []
+    for lv in hier.levels:
+        out.append(("a.col", np.asarray(lv.a.col)))
+        out.append(("a.val", np.asarray(lv.a.val)))
+        out.append(("p.col", np.asarray(lv.p.col)))
+        out.append(("p.val", np.asarray(lv.p.val)))
+        out.append(("dinv", np.asarray(lv.dinv)))
+        out.append(("lmax", np.asarray(lv.lmax)))
+    out.append(("coarse", np.asarray(hier.coarse_a)))
+    return out
+
+
+@pytest.mark.parametrize("gen,n", [(amg.poisson3d_7pt, 20),
+                                   (amg.poisson2d_5pt, 48)])
+def test_bit_identical_across_shard_counts(gen, n):
+    a = gen(n)
+    results = {}
+    for ndev in (1, 2, 8):
+        _, hier, hops = dist_pmis_setup(a, ndev, keep_host=True)
+        results[ndev] = (_hier_arrays(hier), hops)
+    base_arrays, base_ops = results[1]
+    for ndev in (2, 8):
+        arrays, hops = results[ndev]
+        assert len(arrays) == len(base_arrays)
+        for (name, ref), (_, got) in zip(base_arrays, arrays):
+            np.testing.assert_array_equal(ref, got, err_msg=f"{ndev} {name}")
+        for l, (h1, h2) in enumerate(zip(base_ops, hops)):
+            assert (h1 != h2).nnz == 0, f"level {l} operator differs"
+            np.testing.assert_array_equal(h1.data, h2.data)
+
+
+def test_matches_serial_setup():
+    """The per-shard hierarchy must match the serial amg_setup result:
+    same C/F split, same patterns, values within f64 lmax reduction-order
+    tolerance (the only non-bit-equal piece vs serial is the canonical
+    lmax reduction)."""
+    a = amg.poisson3d_7pt(20)
+    prm = AMGParams(coarsening="pmis", interp="extpi")
+    _, hier_d, hops_d = dist_pmis_setup(a, 4, prm, keep_host=True)
+    hier_s, hops_s = amg_setup(a, prm, keep_host=True)
+    assert len(hops_d) == len(hops_s)
+    for l, (hd, hs_) in enumerate(zip(hops_d, hops_s)):
+        hd = sp.csr_matrix(hd)
+        hs_ = sp.csr_matrix(hs_)
+        assert hd.shape == hs_.shape, l
+        d = abs(hd - hs_)
+        scale = abs(hs_).max()
+        assert (d.max() if d.nnz else 0.0) <= 1e-12 * scale, l
+    for lv_d, lv_s in zip(hier_d.levels, hier_s.levels):
+        np.testing.assert_allclose(np.asarray(lv_d.lmax),
+                                   np.asarray(lv_s.lmax), rtol=1e-5)
+
+
+@pytest.mark.parametrize("ndev", [2, 8])
+def test_sharded_solve_parity(ndev):
+    """Solve through the distributed-setup hierarchy: same iteration count
+    at every shard count and vs the 1-shard mesh."""
+    a = amg.poisson3d_7pt(20)
+    b = amg.default_rhs(a, "random", seed=0)
+    a_sp = amg.dia_to_scipy(a)
+
+    iters_by = {}
+    for nd in (1, ndev):
+        mesh = jax.make_mesh((nd,), ("rows",))
+        dh = dist_pmis_setup(a, nd, mesh=mesh, agg_rows_per_dev=512)
+        solve = make_dist_solver(mesh, dh, tol=1e-6, maxiter=60)
+        xp, iters, rel = solve(dh, pad_vector(b, dh, nd))
+        x = unpad_vector(xp, a.n_rows)
+        r = np.asarray(b, np.float64) - a_sp @ np.asarray(x, np.float64)
+        true_rel = np.linalg.norm(r) / np.linalg.norm(np.asarray(b))
+        assert true_rel < 1e-5
+        iters_by[nd] = int(iters)
+    assert iters_by[1] == iters_by[ndev]
