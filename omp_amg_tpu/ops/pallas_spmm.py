@@ -31,6 +31,7 @@ variant exists for full f32 precision (``precision='f32'``).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -216,6 +217,235 @@ def split_bf16(xt: jax.Array, n: int = 2):
         rem = rem - hi.astype(jnp.float32)
     parts.append(rem.astype(jnp.bfloat16))
     return tuple(parts)
+
+
+# ---------------------------------------------------------------------------
+# v2: multi-group shared windows + per-block K early exit.
+#
+# The v1 kernel re-DMAs its span window for every 128-row block; on real
+# PMIS levels that was ~50 GB per RAP sweep (measured: the entire cost).
+# v2 processes R_g consecutive blocks per grid step over ONE shared
+# element window whose start comes from a scalar-prefetched schedule, so
+# window traffic drops to ~(S_win / (R_g·step)) × the panel size. A
+# per-block slot count (kact) skips K-chunks that are pure padding (the
+# R operands pack at eff ~0.1, so most K-chunks are empty for most
+# blocks).
+# ---------------------------------------------------------------------------
+
+
+def _static(**kw):
+    import dataclasses
+
+    return dataclasses.field(metadata=dict(static=True), **kw)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PanelPlanV2:
+    """Scheduled panel-SpMM operand (multi-group shared windows)."""
+
+    val: jax.Array     # (nsteps*R_g, K, 128) f32
+    lidx: jax.Array    # (nsteps*R_g, K, 128) int32
+    soff: jax.Array    # (nsteps*R_g, nkb, P) int32 — span-relative chunks
+    sbases: jax.Array  # (nsteps, R_g) int32 — per-block base chunk
+    kact: jax.Array    # (nsteps, R_g) int32 — actual slots per block
+    starts: jax.Array  # (nsteps,) int32 — window start chunk per step
+    n_rows: int = _static()
+    n_cols: int = _static()
+    s_win: int = _static()   # shared window chunks per step
+    nxp: int = _static()     # padded panel length in chunks
+    nnz: int = _static()
+    r_g: int = _static()
+    c_panel: int = _static()
+
+
+def build_plan_v2(m, C: int, precision: str = "bf16x3",
+                  budget: int = 12 << 20):
+    """Plan + schedule for the v2 kernel. None if nothing fits."""
+    from ..sparse.panels import plan_panel_spmm
+
+    plan = plan_panel_spmm(m)
+    if plan is None:
+        return None
+    return schedule_plan_v2(plan, C, precision, budget)
+
+
+def schedule_plan_v2(plan: dict, C: int, precision: str = "bf16x3",
+                     budget: int = 12 << 20):
+    """Schedule an existing ``plan_panel_spmm`` dict for the v2 kernel."""
+    import numpy as np
+
+    nb = plan["val"].shape[0]
+    K = plan["K"]
+    kb_slots = min(K, K_BLK)
+    sbase = plan["sbase"][0, :nb].astype(np.int64)
+    hi = np.maximum(plan["block_hi"], sbase + 1)
+    n_x = _n_split(precision)
+    xbytes = 4 if precision == "f32" else 2
+
+    chosen = None
+    for r_g in (128, 96, 64, 48, 32, 24, 16, 8):
+        nsteps = -(-nb // r_g)
+        starts = np.empty(nsteps, np.int64)
+        s_win = 0
+        for i in range(nsteps):
+            lo = int(sbase[i * r_g:(i + 1) * r_g].min())
+            hh = int(hi[i * r_g:(i + 1) * r_g].max())
+            starts[i] = lo
+            s_win = max(s_win, hh - lo)
+        s_win = -(-s_win // 8) * 8
+        win = s_win * C * LANES * xbytes * n_x * 2      # double-buffered
+        plans = r_g * kb_slots * LANES * 8 * 2
+        out = r_g * C * LANES * 4
+        if win + plans + out <= budget:
+            chosen = (r_g, nsteps, starts, s_win)
+            break
+    if chosen is None:
+        return None
+    r_g, nsteps, starts, s_win = chosen
+    # window must stay in-bounds: extend the panel padding so st+S_win
+    # never overhangs (padding is zeros — exact under val=0 slots)
+    nxp = max(int(plan["nxp"]), int(starts.max()) + s_win)
+
+    def pad_blocks(a):
+        import numpy as np
+
+        if a.shape[0] == nsteps * r_g:
+            return a
+        pad = np.zeros((nsteps * r_g - a.shape[0],) + a.shape[1:], a.dtype)
+        return np.concatenate([a, pad])
+
+    kact = pad_blocks(plan["block_kact"].astype(np.int32))
+    sb = pad_blocks(plan["sbase"][0, :nb].astype(np.int32))
+    import jax.numpy as jnp
+
+    return PanelPlanV2(
+        val=jnp.asarray(pad_blocks(plan["val"]), jnp.float32),
+        lidx=jnp.asarray(pad_blocks(plan["lidx"])),
+        soff=jnp.asarray(pad_blocks(plan["soff"])),
+        sbases=jnp.asarray(sb.reshape(nsteps, r_g)),
+        kact=jnp.asarray(kact.reshape(nsteps, r_g)),
+        starts=jnp.asarray(starts.astype(np.int32)),
+        n_rows=plan["n_rows"], n_cols=plan["n_cols"],
+        s_win=int(s_win), nxp=int(nxp), nnz=plan["nnz"],
+        r_g=int(r_g), c_panel=int(C),
+    )
+
+
+def _spmm_v2_kernel(starts_ref, sbase_ref, kact_ref, soff_ref, lidx_ref,
+                    val_ref, *rest, r_g, kb_slots, C, precision):
+    n_x = _n_split(precision)
+    win_refs = rest[:n_x]
+    o_ref = rest[n_x]
+    kb = pl.program_id(1)
+    start = starts_ref[pl.program_id(0)]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+
+    def group(g, carry):
+        ka = kact_ref[g]
+        off = sbase_ref[g] - start
+
+        def compute(_):
+            def slot(k, acc):
+                j = (soff_ref[g, kb, k] + off) * C
+                lrow = lidx_ref[g, pl.ds(k, 1)]
+                vrow = val_ref[g, pl.ds(k, 1)]
+                eq = iota == lrow
+                if precision == "f32":
+                    sel = jnp.where(eq, vrow, 0.0)
+                    w = win_refs[0][pl.ds(j, C), :]
+                    return acc + jnp.dot(w, sel,
+                                         preferred_element_type=jnp.float32)
+                selb = eq.astype(jnp.bfloat16)
+                gsum = jnp.zeros((C, LANES), jnp.float32)
+                for wref in win_refs:
+                    gsum = gsum + jnp.dot(wref[pl.ds(j, C), :], selb,
+                                          preferred_element_type=jnp.float32)
+                return acc + vrow * gsum
+
+            acc = jnp.zeros((C, LANES), jnp.float32)
+            return jax.lax.fori_loop(0, kb_slots,
+                                     lambda k, a: slot(k, a), acc)
+
+        acc = jax.lax.cond(kb * kb_slots < ka, compute,
+                           lambda _: jnp.zeros((C, LANES), jnp.float32),
+                           0)
+
+        @pl.when(kb == 0)
+        def _():
+            o_ref[pl.ds(g * C, C), :] = acc
+
+        @pl.when(kb != 0)
+        def _():
+            o_ref[pl.ds(g * C, C), :] = o_ref[pl.ds(g * C, C), :] + acc
+
+        return carry
+
+    jax.lax.fori_loop(0, r_g, group, 0)
+
+
+@functools.lru_cache(maxsize=256)
+def _make_spmm_v2_call(nsteps, r_g, K, P, s_win, nxp, C, precision,
+                       interpret=False):
+    kb_slots = min(K, K_BLK)
+    nkb = K // kb_slots
+    n_x = _n_split(precision)
+    xdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+    kernel = functools.partial(_spmm_v2_kernel, r_g=r_g, kb_slots=kb_slots,
+                               C=C, precision=precision)
+    grid = (nsteps, nkb)
+    win_spec = pl.BlockSpec(
+        (pl.Element(s_win * C), pl.Element(LANES)),
+        lambda i, kb, st: (pl.multiple_of(st[i] * C, 8), 0),
+        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((None, r_g), lambda i, kb, st: (i, 0),
+                             memory_space=pltpu.SMEM),     # sbases
+                pl.BlockSpec((None, r_g), lambda i, kb, st: (i, 0),
+                             memory_space=pltpu.SMEM),     # kact
+                pl.BlockSpec((r_g, nkb, P), lambda i, kb, st: (i, 0, 0),
+                             memory_space=pltpu.SMEM),     # soff
+                pl.BlockSpec((r_g, kb_slots, LANES),
+                             lambda i, kb, st: (i, kb, 0),
+                             memory_space=pltpu.VMEM),     # lidx
+                pl.BlockSpec((r_g, kb_slots, LANES),
+                             lambda i, kb, st: (i, kb, 0),
+                             memory_space=pltpu.VMEM),     # val
+            ] + [win_spec] * n_x,
+            out_specs=pl.BlockSpec((r_g * C, LANES),
+                                   lambda i, kb, st: (i, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+        out_shape=jax.ShapeDtypeStruct((nsteps * r_g * C, LANES),
+                                       jnp.float32),
+        interpret=interpret,
+    )
+
+
+def spmm_panel_v2(a: PanelPlanV2, xt, precision: str = "bf16x3",
+                  interpret: bool = False):
+    """U = A @ X with the scheduled multi-group kernel.
+
+    ``xt``: packed panel(s) as in :func:`spmm_panel`. Output is in packed
+    form ``(nb*C, 128)`` float32 where nb = ceil(n_rows/128) blocks come
+    from the first nb of the padded step grid.
+    """
+    nsteps = a.sbases.shape[0]
+    C = a.c_panel
+    K = a.val.shape[1]
+    call = _make_spmm_v2_call(nsteps, a.r_g, K, a.soff.shape[2], a.s_win,
+                              a.nxp, C, precision, interpret)
+    if precision == "f32":
+        out = call(a.starts, a.sbases, a.kact, a.soff, a.lidx, a.val, xt)
+    else:
+        out = call(a.starts, a.sbases, a.kact, a.soff, a.lidx, a.val, *xt)
+    nb = -(-a.n_rows // LANES)
+    return out[: nb * C]
 
 
 def _extract_kernel(w_ref, idx_ref, o_ref):

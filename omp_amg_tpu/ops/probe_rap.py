@@ -115,6 +115,9 @@ class RapProbe:
     n_rows: int = _static()     # fine n
     n_coarse: int = _static()
     kc: int = _static()         # true A_c ELL width (kcp = padded)
+    c_panel: int = _static(default=0)   # v2 panel width (0 = v1 only)
+    a_v2: object = None       # PanelPlanV2 | None — scheduled kernel plans
+    r_v2: object = None
 
     @property
     def nnz(self) -> int:
@@ -142,10 +145,27 @@ def build_rap_probe(a_sp, p_sp, ac_sp=None, dtype=jnp.float32):
         return None, ac_sp
     colors, ncolors = out
 
-    a_plan = panel_plan_from_scipy(a_sp, dtype=dtype)
-    r_plan = panel_plan_from_scipy(p_sp.T.tocsr(), dtype=dtype)
-    if a_plan is None or r_plan is None:
+    from ..sparse.panels import panel_plan_from_dict, plan_panel_spmm
+    from .pallas_spmm import schedule_plan_v2
+
+    a_dict = plan_panel_spmm(a_sp, dtype=np.float64)
+    r_dict = plan_panel_spmm(p_sp.T.tocsr(), dtype=np.float64)
+    if a_dict is None or r_dict is None:
         return None, ac_sp
+    a_plan = panel_plan_from_dict(a_dict, dtype)
+    r_plan = panel_plan_from_dict(r_dict, dtype)
+    # v2 schedules: the widest panel for which both operands' shared
+    # windows fit VMEM (per-slot cost is ~C-independent, so wide panels
+    # minimize total slots — measured scripts/probe notes in BASELINE.md)
+    a_v2 = r_v2 = None
+    c_panel = 0
+    c_want = min(128, -(-ncolors // 8) * 8)
+    for C in range(c_want, 7, -8):
+        a2 = schedule_plan_v2(a_dict, C)
+        r2 = schedule_plan_v2(r_dict, C)
+        if a2 is not None and r2 is not None:
+            a_v2, r_v2, c_panel = a2, r2, C
+            break
 
     p_col, p_valh, _ = ell_planes_from_scipy(p_sp, dtype=np.float64)
     p_color = np.where(p_valh != 0, colors[p_col], -1).astype(np.int32)
@@ -161,12 +181,13 @@ def build_rap_probe(a_sp, p_sp, ac_sp=None, dtype=jnp.float32):
     ac_mask[:nc, :kc] = (ac_valh != 0)
 
     probe = RapProbe(
-        a_plan=a_plan, r_plan=r_plan,
+        a_plan=a_plan, r_plan=r_plan, a_v2=a_v2, r_v2=r_v2,
         p_val=jnp.asarray(p_valh, dtype),
         p_color=jnp.asarray(p_color),
         ac_cidx=jnp.asarray(ac_cidx),
         ac_mask=jnp.asarray(ac_mask),
         n_colors=ncolors, n_rows=a_sp.shape[0], n_coarse=nc, kc=kc,
+        c_panel=c_panel,
     )
     return probe, ac_sp
 
@@ -197,39 +218,67 @@ def rap_probe_numeric(probe: RapProbe, engine: str = "auto",
     # fits VMEM for BOTH SpMM operands (wider panels amortize plan traffic)
     from .pallas_spmm import vmem_fit
 
-    c_cap = 128
-    if engine == "pallas":
-        while c_cap > 8 and not (
-                vmem_fit(probe.a_plan.span, c_cap,
-                         probe.a_plan.val.shape[1], "bf16x3")
-                and vmem_fit(probe.r_plan.span, c_cap,
-                             probe.r_plan.val.shape[1], "bf16x3")):
-            c_cap -= 8
+    use_v2 = engine == "pallas" and probe.a_v2 is not None \
+        and probe.r_v2 is not None
+    if use_v2:
+        c_cap = probe.c_panel
+    else:
+        c_cap = 128
+        if engine == "pallas":
+            while c_cap > 8 and not (
+                    vmem_fit(probe.a_plan.span, c_cap,
+                             probe.a_plan.val.shape[1], "bf16x3")
+                    and vmem_fit(probe.r_plan.span, c_cap,
+                                 probe.r_plan.val.shape[1], "bf16x3")):
+                c_cap -= 8
 
     def _probe_colors(c0: int, C: int) -> jax.Array:
         """(ncp, C) block of W = Pᵀ A P V for colors [c0, c0+C)."""
         pv = _panel_pv(probe, c0, C)
         if engine == "pallas":
-            from .pallas_spmm import split_bf16
-
             # exact bf16-triple windows: the one-hot is exact 0/1 and a
             # 3-way hi/mid/lo split covers all 24 f32 mantissa bits, so
             # the MXU gather is f32-exact. (A plain f32 jnp.dot lowers to
             # reduced-precision MXU passes on TPU — measured 3.6e-3
             # relative error on a real level; the 2-way split compounds
             # to ~1e-5 over the chained A/R products.)
-            xt = pack_panels(pv, probe.a_plan.nxp)
-            ut = spmm_panel(probe.a_plan, split_bf16(xt, 3), C,
-                            precision="bf16x3", interpret=interpret)
-            # A's output blocks are exactly R's chunk-major input layout
-            nxp_r = probe.r_plan.nxp
-            nb_a = ut.shape[0] // C
-            if nxp_r > nb_a:
-                ut = jnp.concatenate(
-                    [ut, jnp.zeros(((nxp_r - nb_a) * C, LANES), ut.dtype)])
-            wt = spmm_panel(probe.r_plan, split_bf16(ut[: nxp_r * C], 3),
-                            C, precision="bf16x3", interpret=interpret)
-            w = unpack_panels(wt, probe.n_coarse, C)
+            from .pallas_spmm import spmm_panel_v2, split_bf16
+
+            if use_v2:
+                a2, r2 = probe.a_v2, probe.r_v2
+                cp = probe.c_panel        # v2 kernels have static width
+                if C < cp:
+                    pv = jnp.concatenate(
+                        [pv, jnp.zeros((pv.shape[0], cp - C), pv.dtype)],
+                        axis=1)
+                xt = pack_panels(pv, a2.nxp)
+                ut = spmm_panel_v2(a2, split_bf16(xt, 3),
+                                   precision="bf16x3", interpret=interpret)
+                nxp_r = r2.nxp
+                nb_a = ut.shape[0] // cp
+                if nxp_r > nb_a:
+                    ut = jnp.concatenate(
+                        [ut,
+                         jnp.zeros(((nxp_r - nb_a) * cp, LANES), ut.dtype)])
+                wt = spmm_panel_v2(r2, split_bf16(ut[: nxp_r * cp], 3),
+                                   precision="bf16x3", interpret=interpret)
+                w = unpack_panels(wt, probe.n_coarse, cp)[:, :C]
+            else:
+                xt = pack_panels(pv, probe.a_plan.nxp)
+                ut = spmm_panel(probe.a_plan, split_bf16(xt, 3), C,
+                                precision="bf16x3", interpret=interpret)
+                # A's output blocks are exactly R's chunk-major input
+                # layout
+                nxp_r = probe.r_plan.nxp
+                nb_a = ut.shape[0] // C
+                if nxp_r > nb_a:
+                    ut = jnp.concatenate(
+                        [ut,
+                         jnp.zeros(((nxp_r - nb_a) * C, LANES), ut.dtype)])
+                wt = spmm_panel(probe.r_plan,
+                                split_bf16(ut[: nxp_r * C], 3),
+                                C, precision="bf16x3", interpret=interpret)
+                w = unpack_panels(wt, probe.n_coarse, C)
         else:
             u = spmm_panel_xla(probe.a_plan, pv)
             w = spmm_panel_xla(probe.r_plan, u)

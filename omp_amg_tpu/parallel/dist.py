@@ -62,6 +62,18 @@ class DistOp:
     # ppermute strips are in flight (BASELINE "overlapped halo exchange").
     bnd_lo: int = _static(default=0)
     bnd_hi: int = _static(default=0)
+    # routed-ELL plan over the shard's local window (halo mode): per-shard
+    # plans padded to common (K, span) and stacked on the sharded leading
+    # axis, so the local slice inside shard_map IS a RoutedEll — the PMIS
+    # path's sharded SpMV then runs the Pallas kernel instead of the
+    # gather formulation (XLA gather ≈ 0.1 Gelem/s on chip).
+    rt_val4: jax.Array | None = None    # (ndev*nb, K, 8, 128)
+    rt_lidx4: jax.Array | None = None   # (ndev*nb, K, 8, 128) int32
+    rt_soff: jax.Array | None = None    # (ndev*nb, nkb, P) int32
+    rt_sbase: jax.Array | None = None   # (ndev, NBP) int32
+    rt_span: int = _static(default=0)
+    rt_nxp: int = _static(default=0)
+    rt_resident: bool = _static(default=False)
 
 
 def halo_exchange(x_local: jax.Array, h: int) -> jax.Array:
@@ -102,6 +114,25 @@ def dist_spmv(op, x_local: jax.Array) -> jax.Array:
     if isinstance(op, GridRestrict):
         return apply_restrict(op, x_local)
     if op.mode == "halo":
+        if op.rt_val4 is not None:
+            # routed-ELL local-window kernel: the sharded general-sparsity
+            # fast path (plans were built per shard over [left strip |
+            # block | right strip] columns)
+            from ..sparse.routed import RoutedEll
+            from ..ops.pallas_routed import spmv_routed, spmv_routed_xla
+
+            xw = halo_exchange(x_local, op.halo)
+            m_out = op.col.shape[0]   # local rows (shard_map local view)
+            rt = RoutedEll(
+                val4=op.rt_val4, lidx4=op.rt_lidx4, soff=op.rt_soff,
+                sbase=op.rt_sbase.reshape(1, -1),
+                n_rows=m_out,
+                n_cols=x_local.shape[0] + 2 * op.halo,
+                span=op.rt_span, nxp=op.rt_nxp,
+                nnz=0, resident=op.rt_resident)
+            fn = (spmv_routed if jax.default_backend() == "tpu"
+                  else spmv_routed_xla)
+            return fn(rt, xw)
         lo, hi = op.bnd_lo, op.bnd_hi
         xw = halo_exchange(x_local, op.halo)
         if lo or hi:
@@ -189,9 +220,14 @@ def _op_spec(op, sharded_rows: bool):
     if isinstance(op, (SlabProlong, SlabRestrict, GridProlong, GridRestrict)):
         return op  # no array leaves
     s = P(AXIS) if sharded_rows else P(None)
+    rt = {}
+    if op.rt_val4 is not None:
+        rt = dict(rt_val4=s, rt_lidx4=s, rt_soff=s, rt_sbase=s,
+                  rt_span=op.rt_span, rt_nxp=op.rt_nxp,
+                  rt_resident=op.rt_resident)
     return DistOp(col=s, val=s, mode=op.mode, halo=op.halo, m_in=op.m_in,
                   n_in=op.n_in, n_in_real=op.n_in_real,
-                  bnd_lo=op.bnd_lo, bnd_hi=op.bnd_hi)
+                  bnd_lo=op.bnd_lo, bnd_hi=op.bnd_hi, **rt)
 
 
 def dist_specs(dh: DistHierarchy) -> DistHierarchy:

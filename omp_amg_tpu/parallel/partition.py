@@ -64,9 +64,65 @@ def _pad_rows(arr: np.ndarray, n_to: int, fill=0):
     return np.concatenate([arr, pad], axis=0)
 
 
+def _routed_dist_plans(local, valp, ndev, m_in, h):
+    """Per-shard routed-ELL plans over the local halo windows, padded to a
+    common static layout and stacked on the sharded leading axis.
+
+    Returns the extra DistOp fields, or None when any shard's window
+    exceeds the routed caps (caller keeps the gather formulation)."""
+    import scipy.sparse as sp
+
+    from ..sparse.routed import _resident, plan_routed
+
+    n_tot, k = local.shape
+    m_out = n_tot // ndev
+    ncols = m_in + 2 * h
+    mats = []
+    for s in range(ndev):
+        c = local[s * m_out:(s + 1) * m_out].astype(np.int64)
+        v = valp[s * m_out:(s + 1) * m_out]
+        rows = np.repeat(np.arange(m_out, dtype=np.int64), k)
+        valid = (v != 0).ravel()
+        mats.append(sp.csr_matrix(
+            (np.asarray(v, np.float64).ravel()[valid],
+             (rows[valid], c.ravel()[valid])), shape=(m_out, ncols)))
+    probe = [plan_routed(m) for m in mats]
+    if any(p is None for p in probe):
+        return None
+    k_t = max(p["K"] for p in probe)
+    s_t = max(p["span"] for p in probe)
+    plans = [plan_routed(m, k_min=k_t, s_min=s_t) for m in mats]
+    if any(p is None for p in plans):
+        return None
+    nxp = max(p["nxp"] for p in plans)
+    resident = _resident(nxp, k_t)
+    val4, lidx4, soff, sbase = [], [], [], []
+    for p in plans:
+        so = p["soff"]
+        if resident:
+            nb = p["val4"].shape[0]
+            so = so + p["sbase"][0, :nb, None, None]
+        val4.append(p["val4"])
+        lidx4.append(p["lidx4"])
+        soff.append(so)
+        sbase.append(p["sbase"])
+    return dict(
+        rt_val4=jnp.asarray(np.concatenate(val4), jnp.float32),
+        rt_lidx4=jnp.asarray(np.concatenate(lidx4)),
+        rt_soff=jnp.asarray(np.concatenate(soff)),
+        rt_sbase=jnp.asarray(np.concatenate(sbase)),
+        rt_span=int(plans[0]["span"]), rt_nxp=int(nxp),
+        rt_resident=bool(resident),
+    )
+
+
 def _make_dist_op(col, val, *, ndev, out_sharded, in_sharded, m_in,
-                  n_in_real, transition=False) -> DistOp:
-    """Build a DistOp from global ELL planes (host numpy)."""
+                  n_in_real, transition=False, routed=None) -> DistOp:
+    """Build a DistOp from global ELL planes (host numpy).
+
+    ``routed`` controls building the per-shard routed-ELL window plans
+    (halo mode); default: on for the TPU backend (where the gather
+    formulation is unusable), off on CPU meshes (tests opt in)."""
     n_out, k = col.shape
     if not out_sharded:
         return DistOp(col=jnp.asarray(col), val=jnp.asarray(val),
@@ -121,10 +177,14 @@ def _make_dist_op(col, val, *, ndev, out_sharded, in_sharded, m_in,
                 bnd_hi = max(bnd_hi, m_out - int(hi_idx.min()))
         if bnd_lo + bnd_hi >= m_out:
             bnd_lo = bnd_hi = 0  # no interior worth splitting
+    if routed is None:
+        routed = jax.default_backend() == "tpu"
+    rt = (_routed_dist_plans(local, valp, ndev, m_in, h) or {}) if routed \
+        else {}
     return DistOp(col=jnp.asarray(local), val=jnp.asarray(valp),
                   mode="halo", halo=int(h), m_in=int(m_in),
                   n_in=int(ndev * m_in), n_in_real=int(n_in_real),
-                  bnd_lo=int(bnd_lo), bnd_hi=int(bnd_hi))
+                  bnd_lo=int(bnd_lo), bnd_hi=int(bnd_hi), **rt)
 
 
 def _structured_dias(hier: Hierarchy):
@@ -205,7 +265,8 @@ def _partition_structured(hier: Hierarchy, ndev: int,
 
 def partition_hierarchy(hier: Hierarchy, ndev: int,
                         agg_rows_per_dev: int = 2048,
-                        transport: str = "ppermute") -> DistHierarchy:
+                        transport: str = "ppermute",
+                        routed=None) -> DistHierarchy:
     dh = _partition_structured(hier, ndev, agg_rows_per_dev, transport)
     if dh is not None:
         return dh
@@ -238,17 +299,19 @@ def partition_hierarchy(hier: Hierarchy, ndev: int,
         r_col, r_val, _ = _ell_np(lv.r)
 
         a_op = _make_dist_op(a_col, a_val, ndev=ndev, out_sharded=sharded[l],
-                             in_sharded=sharded[l], m_in=m[l], n_in_real=n_l)
+                             in_sharded=sharded[l], m_in=m[l], n_in_real=n_l,
+                             routed=routed)
         transition = sharded[l] and not sharded[l + 1]
         p_op = _make_dist_op(p_col, p_val, ndev=ndev, out_sharded=sharded[l],
                              in_sharded=sharded[l + 1], m_in=m[l + 1],
-                             n_in_real=n_c, transition=transition)
+                             n_in_real=n_c, transition=transition,
+                             routed=routed)
         r_op = None
         if not transition:
             r_op = _make_dist_op(r_col, r_val, ndev=ndev,
                                  out_sharded=sharded[l + 1],
                                  in_sharded=sharded[l], m_in=m[l],
-                                 n_in_real=n_l)
+                                 n_in_real=n_l, routed=routed)
 
         dinv = np.asarray(lv.dinv)
         if sharded[l]:

@@ -178,10 +178,19 @@ def plan_panel_spmm(m, dtype=np.float32):
     sbase[0, :nb] = base
     nxp = max(int(base.max()) + S, nc2)
 
+    # per-block actual chunk extent + slot count (multi-group scheduling
+    # and K-chunk early exit in the v2 kernel)
+    hi = np.zeros(nb, np.int64)
+    np.maximum.at(hi, b, chunk + 1)
+    kact = np.zeros(nb, np.int64)
+    g_ids = np.flatnonzero(new_g)
+    kact[b_o[gj_starts[g_ids]]] = k_per_g
+
     return dict(
         val=val, lidx=lidx, soff=soff, sbase=sbase,
         n_rows=n_rows, n_cols=n_cols, span=S, nxp=nxp, nnz=nnz,
         K=K, eff=nnz / (nb * K * LANES),
+        block_hi=hi, block_kact=kact,
     )
 
 
@@ -190,6 +199,10 @@ def panel_plan_from_scipy(m, dtype=jnp.float32):
     plan = plan_panel_spmm(m, dtype=np.float64)
     if plan is None:
         return None
+    return panel_plan_from_dict(plan, dtype)
+
+
+def panel_plan_from_dict(plan: dict, dtype=jnp.float32):
     return PanelPlan(
         val=jnp.asarray(plan["val"], dtype=dtype),
         lidx=jnp.asarray(plan["lidx"]),

@@ -125,11 +125,12 @@ def _pad_to(x: int, q: int) -> int:
     return -(-x // q) * q
 
 
-def plan_routed(m, dtype=np.float32):
+def plan_routed(m, dtype=np.float32, k_min: int = 0, s_min: int = 0):
     """Build routed-ELL plan arrays (numpy) from a scipy sparse matrix.
 
     Returns a dict of plan arrays + stats, or None if the operator exceeds
-    the format caps.
+    the format caps. ``k_min``/``s_min`` force minimum K/span so multiple
+    plans (e.g. per-shard local windows) can share one static layout.
     """
     import scipy.sparse as sp
 
@@ -168,7 +169,7 @@ def plan_routed(m, dtype=np.float32):
     np.minimum.at(base, b, chunk)
     base[base == np.iinfo(np.int64).max] = 0
     j = chunk - base[b]
-    S = _pad_to(int(j.max()) + 1, 8)
+    S = _pad_to(max(int(j.max()) + 1, s_min), 8)
     if S > S_CAP:
         return None
 
@@ -199,7 +200,7 @@ def plan_routed(m, dtype=np.float32):
     g_offset = slot_base[np.flatnonzero(new_g)][g_grp]
     slot_base -= g_offset
     k_per_g = (csum - g_offset)[np.r_[np.flatnonzero(new_g)[1:] - 1, n_gj - 1]]
-    K = int(k_per_g.max())
+    K = max(int(k_per_g.max()), int(k_min))
     if K > UNROLL_K:
         K = _pad_to(K, CHUNK_U)
     if K > K_BLK:

@@ -73,6 +73,26 @@ def test_pallas_kernel_interpret(precision):
     np.testing.assert_allclose(u, ref, rtol=0, atol=tol * abs(ref).max())
 
 
+@pytest.mark.parametrize("n,m,k,C", [(900, 700, 5, 64),
+                                     (300, 4096, 40, 32)])
+def test_v2_kernel_interpret(n, m, k, C):
+    """v2: multi-group shared windows + kact early exit (scipy oracle)."""
+    from omp_amg_tpu.ops.pallas_spmm import build_plan_v2, spmm_panel_v2
+
+    rng = np.random.default_rng(7)
+    a = _rand_sparse(rng, n, m, k, banded=max(60, m // 4))
+    plan = build_plan_v2(a, C)
+    assert plan is not None
+    x = rng.standard_normal((m, C)).astype(np.float32)
+    xt = pack_panels(jnp.asarray(x), plan.nxp)
+    ut = spmm_panel_v2(plan, split_bf16(xt, 3), precision="bf16x3",
+                       interpret=True)
+    nb = -(-n // 128)
+    u = np.asarray(unpack_panels(ut[: nb * C], n, C))
+    ref = np.asarray(a @ x.astype(np.float64))
+    np.testing.assert_allclose(u, ref, rtol=0, atol=3e-6 * abs(ref).max())
+
+
 def test_pallas_kernel_kchunked_interpret():
     """K > K_BLK exercises the K-chunk grid dimension."""
     rng = np.random.default_rng(3)
