@@ -254,8 +254,7 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                 p_col, p_val = hs.direct_interpolation_np(col, val, mask,
                                                           state, cmap, nc)
             p_sp = ell_planes_to_scipy(p_col, p_val, nc)
-            p = Ell(col=jnp.asarray(p_col), val=jnp.asarray(p_val, dtype=dtype),
-                    n_cols=nc)
+            p = None   # host flavor: device P form chosen at level build
         trace.mark(f"L{len(levels)} n={n} strength/pmis/interp")
         ac_sp = galerkin_product(host_ops[-1], p_sp)
         if params.rap == "probe":
@@ -277,7 +276,8 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                 ac_sp = ac_sp.copy()
                 ac_sp.data = vals[rr, pos].astype(np.float64)
         trace.mark(f"L{len(levels)} RAP")
-        r = ell_from_scipy(p_sp.T.tocsr(), dtype=dtype)
+        pt_sp = p_sp.T.tocsr()
+        r = ell_from_scipy(pt_sp, dtype=dtype) if flavor == "device" else None
         if params.smoother == "l1jacobi":
             # l1 smoother: D = diag(Σ_j |a_ij|); host row sums (setup is
             # host-orchestrated here and a_sp is already materialized)
@@ -295,7 +295,11 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             lmax = jnp.asarray(_estimate_lmax_host(a_sp, dinv_np), dtype=dtype)
             dinv = jnp.asarray(dinv_np, dtype=dtype)
         trace.mark(f"L{len(levels)} lmax")
-        a_lvl, p_lvl, r_lvl = a_dev, p, r
+        # operator forms: decide BEFORE any device upload so every array
+        # crosses the (slow) host→device boundary exactly once
+        use_routed = params.routed == "force" or (
+            params.routed == "auto" and jax.default_backend() == "tpu")
+        a_lvl = a_dev
         if isinstance(a_dev, Dia) and jax.default_backend() == "tpu":
             # banded fine operator: the plane-major DIA kernel is ~80× the
             # routed format on stencils — never trade it away
@@ -304,37 +308,42 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             a_pm = to_plane_dia(a_dev, dtype="auto")
             if a_pm is not None:
                 a_lvl = a_pm
-        if params.routed == "force" or (
-                params.routed == "auto" and jax.default_backend() == "tpu"):
+        p_lvl, r_lvl = p, r
+        if use_routed:
             # routed-ELL views: the TPU-fast general-sparsity SpMV format
             # (XLA gather ≈ 0.1 Gelem/s on chip — see sparse/routed.py).
             # Only replaces ELL (gather-path) operators; DIA stays banded.
             from ..sparse.routed import routed_from_scipy
 
-            targets = [("p", p_sp), ("r", p_sp.T.tocsr())]
-            if isinstance(a_lvl, Ell):
-                targets.append(("a", a_sp))
-            for attr, mat in targets:
-                rt = routed_from_scipy(mat, dtype=dtype)
+            if a_lvl is None or isinstance(a_lvl, Ell):
+                rt = routed_from_scipy(a_sp, dtype=dtype)
                 if rt is not None:
-                    if attr == "a":
-                        a_lvl = rt
-                    elif attr == "p":
-                        p_lvl = rt
-                    else:
-                        r_lvl = rt
+                    a_lvl = rt
+            rt = routed_from_scipy(p_sp, dtype=dtype)
+            if rt is not None:
+                p_lvl = rt
+            rt = routed_from_scipy(pt_sp, dtype=dtype)
+            if rt is not None:
+                r_lvl = rt
+        if a_lvl is None:  # deferred host-flavor ELL upload (no routed)
+            a_lvl = Ell(col=jnp.asarray(cur_planes[0]),
+                        val=jnp.asarray(cur_planes[1], dtype=dtype),
+                        n_cols=n)
+        if p_lvl is None:
+            p_lvl = Ell(col=jnp.asarray(p_col),
+                        val=jnp.asarray(p_val, dtype=dtype), n_cols=nc)
+        if r_lvl is None:
+            r_lvl = ell_from_scipy(pt_sp, dtype=dtype)
         trace.mark(f"L{len(levels)} operator form")
         levels.append(Level(a=a_lvl, dinv=dinv, p=p_lvl, r=r_lvl, lmax=lmax))
         a_sp = ac_sp
         if flavor == "device":
             a_dev = ell_from_scipy(ac_sp, dtype=dtype)
         else:
-            nc_col, nc_val, nc_ncols = ell_planes_from_scipy(
-                ac_sp, dtype=np.float32)
-            cur_planes = (nc_col, nc_val)
-            a_dev = Ell(col=jnp.asarray(nc_col),
-                        val=jnp.asarray(nc_val, dtype=dtype),
-                        n_cols=nc_ncols)
+            # next level's device form is chosen (routed vs ELL) at ITS
+            # level build — keep host planes only, upload nothing here
+            cur_planes = ell_planes_from_scipy(ac_sp, dtype=np.float32)[:2]
+            a_dev = None
         host_ops.append(a_sp)
 
     dense = np.asarray(a_sp.toarray(), dtype=np.float64)
