@@ -40,6 +40,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pcg", default="standard",
                    choices=["standard", "pipelined"],
                    help="PCG variant (pipelined = single-reduction CG)")
+    p.add_argument("--rap", default="host", choices=["host", "probe"],
+                   help="PMIS Galerkin numeric engine: host OpenMP "
+                        "Gustavson or the colored-probing device RAP")
     p.add_argument("--interp", default="extpi",
                    choices=["direct", "standard", "extpi"],
                    help="PMIS-path interpolation variant")
@@ -144,7 +147,7 @@ def main(argv=None) -> int:
                        cheby_degree=args.cheby_degree,
                        coarsening=args.coarsening, interp=args.interp,
                        coarse_size=args.coarse_size,
-                       max_levels=args.max_levels)
+                       max_levels=args.max_levels, rap=args.rap)
 
     host_ops = None
     # per-level scipy only when cheap; device flavor keeps no host operators

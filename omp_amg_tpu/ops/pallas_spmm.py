@@ -247,8 +247,8 @@ class PanelPlanV2:
     val: jax.Array     # (nsteps*R_g, K, 128) f32
     lidx: jax.Array    # (nsteps*R_g, K, 128) int32
     soff: jax.Array    # (nsteps*R_g, nkb, P) int32 — span-relative chunks
-    sbases: jax.Array  # (nsteps, R_g) int32 — per-block base chunk
-    kact: jax.Array    # (nsteps, R_g) int32 — actual slots per block
+    sbases: jax.Array  # (nsteps, 1, R_g) int32 — per-block base chunk
+    kact: jax.Array    # (nsteps, 1, R_g) int32 — actual slots per block
     starts: jax.Array  # (nsteps,) int32 — window start chunk per step
     n_rows: int = _static()
     n_cols: int = _static()
@@ -286,13 +286,9 @@ def schedule_plan_v2(plan: dict, C: int, precision: str = "bf16x3",
     chosen = None
     for r_g in (128, 96, 64, 48, 32, 24, 16, 8):
         nsteps = -(-nb // r_g)
-        starts = np.empty(nsteps, np.int64)
-        s_win = 0
-        for i in range(nsteps):
-            lo = int(sbase[i * r_g:(i + 1) * r_g].min())
-            hh = int(hi[i * r_g:(i + 1) * r_g].max())
-            starts[i] = lo
-            s_win = max(s_win, hh - lo)
+        cuts = np.arange(0, nb, r_g)
+        starts = np.minimum.reduceat(sbase, cuts)
+        s_win = int((np.maximum.reduceat(hi, cuts) - starts).max())
         s_win = -(-s_win // 8) * 8
         win = s_win * C * LANES * xbytes * n_x * 2      # double-buffered
         plans = r_g * kb_slots * LANES * 8 * 2
@@ -323,8 +319,8 @@ def schedule_plan_v2(plan: dict, C: int, precision: str = "bf16x3",
         val=jnp.asarray(pad_blocks(plan["val"]), jnp.float32),
         lidx=jnp.asarray(pad_blocks(plan["lidx"])),
         soff=jnp.asarray(pad_blocks(plan["soff"])),
-        sbases=jnp.asarray(sb.reshape(nsteps, r_g)),
-        kact=jnp.asarray(kact.reshape(nsteps, r_g)),
+        sbases=jnp.asarray(sb.reshape(nsteps, 1, r_g)),
+        kact=jnp.asarray(kact.reshape(nsteps, 1, r_g)),
         starts=jnp.asarray(starts.astype(np.int32)),
         n_rows=plan["n_rows"], n_cols=plan["n_cols"],
         s_win=int(s_win), nxp=int(nxp), nnz=plan["nnz"],
@@ -342,8 +338,8 @@ def _spmm_v2_kernel(starts_ref, sbase_ref, kact_ref, soff_ref, lidx_ref,
     iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
 
     def group(g, carry):
-        ka = kact_ref[g]
-        off = sbase_ref[g] - start
+        ka = kact_ref[0, g]
+        off = sbase_ref[0, g] - start
 
         def compute(_):
             def slot(k, acc):
@@ -404,9 +400,9 @@ def _make_spmm_v2_call(nsteps, r_g, K, P, s_win, nxp, C, precision,
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((None, r_g), lambda i, kb, st: (i, 0),
+                pl.BlockSpec((None, 1, r_g), lambda i, kb, st: (i, 0, 0),
                              memory_space=pltpu.SMEM),     # sbases
-                pl.BlockSpec((None, r_g), lambda i, kb, st: (i, 0),
+                pl.BlockSpec((None, 1, r_g), lambda i, kb, st: (i, 0, 0),
                              memory_space=pltpu.SMEM),     # kact
                 pl.BlockSpec((r_g, nkb, P), lambda i, kb, st: (i, 0, 0),
                              memory_space=pltpu.SMEM),     # soff

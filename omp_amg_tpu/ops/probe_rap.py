@@ -209,9 +209,20 @@ def rap_probe_numeric(probe: RapProbe, engine: str = "auto",
 
     ``engine='pallas'`` runs the one-hot-MXU kernels (TPU);
     ``engine='xla'`` is the portable formulation (CPU path / oracle).
+    One jitted computation per hierarchy-level shape (the whole phase is
+    static given the probe's plan shapes).
     """
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    return _rap_probe_numeric_jit(probe, engine, interpret)
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("engine", "interpret"))
+def _rap_probe_numeric_jit(probe: RapProbe, engine: str,
+                           interpret: bool) -> jax.Array:
     ncp = -(-probe.n_coarse // LANES) * LANES
 
     # panel width: largest multiple of 8 ≤ 128 whose streamed window ring

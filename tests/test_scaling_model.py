@@ -1,0 +1,36 @@
+"""Weak-scaling model sanity (SURVEY §2 #22 / north-star ≥80% gate)."""
+
+import numpy as np
+
+import omp_amg_tpu as amg
+from omp_amg_tpu.amg.hierarchy import amg_setup
+from omp_amg_tpu.parallel.scaling_model import MachineModel, scaling_report
+
+
+def test_scaling_report_structure_and_monotonicity():
+    N = 32
+    hier = amg_setup(amg.poisson3d_7pt(N), grid=(N, N, N))
+    rep = scaling_report(hier, grid=(N, N, N), agg_rows_per_dev=2048,
+                         measured_t_cycle_ms=3.0)
+    assert rep["model"]["hbm_gbps"] > 0
+    assert len(rep["levels"]) == len(hier.levels)
+    for lv in rep["levels"]:
+        assert lv["bytes_per_cycle"] > 0
+        assert lv["halo_bytes_per_exchange"] > 0
+    eff = [rep["predicted"][nd]["weak_efficiency"]
+           for nd in sorted(rep["predicted"])]
+    # efficiency starts at 1 and decays monotonically with device count
+    assert eff[0] == 1.0
+    assert all(a >= b - 1e-9 for a, b in zip(eff, eff[1:]))
+    assert eff[-1] > 0.3    # the model must not predict collapse
+    # calibration anchors the single-chip cycle
+    assert abs(rep["predicted"][1]["t_cycle_ms"] - 3.0) < 1e-6
+
+
+def test_scaling_report_two_host_gate():
+    """The north-star gate is ≥80% at 2 hosts: the model, fed by a real
+    hierarchy, must predict the slab path clears it."""
+    N = 64
+    hier = amg_setup(amg.poisson3d_7pt(N), grid=(N, N, N))
+    rep = scaling_report(hier, grid=(N, N, N))
+    assert rep["predicted"][2]["weak_efficiency"] >= 0.8
