@@ -35,6 +35,17 @@ def jacobi(a, dinv, x, b, omega: float, sweeps: int,
         for _ in range(sweeps):
             x = jacobi_const(a, x, b, s)
         return x
+    from ..sparse.routed import RoutedEll
+
+    if isinstance(a, RoutedEll) and jax.default_backend() == "tpu":
+        # fused sweep: one routed pass per sweep (PMIS-path analog of the
+        # ConstDia fusion — halves the per-level stage count)
+        from ..ops.pallas_routed import jacobi_routed
+
+        sv = omega * dinv
+        for _ in range(sweeps):
+            x = jacobi_routed(a, x, b, sv)
+        return x
     for _ in range(sweeps):
         x = x + omega * dinv * (b - spmv(a, x))
     return x

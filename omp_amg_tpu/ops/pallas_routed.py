@@ -70,22 +70,45 @@ def _slot_accumulate(win_of, lidx_ref, val_ref, *, K):
     return acc
 
 
-def _accumulate_out(o_ref, acc):
+def _accumulate_out(o_ref, acc, *, nkb=None, epi=None):
     """Output blocks are revisited across the K-chunk grid dim (kb is the
-    innermost grid dimension, so the block stays VMEM-resident)."""
+    innermost grid dimension, so the block stays VMEM-resident). ``epi``
+    (fused epilogue — residual/Jacobi) is applied once the block's last
+    K-chunk has accumulated."""
     kb = pl.program_id(1)
+    if epi is None:
+        @pl.when(kb == 0)
+        def _():
+            o_ref[:, :] = acc
+
+        @pl.when(kb != 0)
+        def _():
+            o_ref[:, :] = o_ref[:, :] + acc
+        return
+    if nkb == 1:
+        o_ref[:, :] = epi(acc)
+        return
 
     @pl.when(kb == 0)
     def _():
         o_ref[:, :] = acc
 
-    @pl.when(kb != 0)
+    @pl.when(jnp.logical_and(kb != 0, kb != nkb - 1))
     def _():
         o_ref[:, :] = o_ref[:, :] + acc
 
+    @pl.when(jnp.logical_and(kb != 0, kb == nkb - 1))
+    def _():
+        o_ref[:, :] = epi(o_ref[:, :] + acc)
 
-def _routed_kernel(sbase_ref, soff_ref, lidx_ref, val_ref, x_hbm, o_ref,
-                   span, sems, *, kb_slots, S, nb):
+
+def _routed_kernel(sbase_ref, soff_ref, lidx_ref, val_ref, x_hbm, *rest,
+                   kb_slots, S, nb, nkb, mode):
+    n_vec = {"spmv": 0, "residual": 1, "jacobi": 3}[mode]
+    vec_refs = rest[:n_vec]
+    o_ref = rest[n_vec]
+    span = rest[n_vec + 1]
+    sems = rest[n_vec + 2]
     i = pl.program_id(0)
     kb = pl.program_id(1)
 
@@ -115,14 +138,20 @@ def _routed_kernel(sbase_ref, soff_ref, lidx_ref, val_ref, x_hbm, o_ref,
             axis=0)
 
     _accumulate_out(
-        o_ref, _slot_accumulate(win_of, lidx_ref, val_ref, K=kb_slots))
+        o_ref, _slot_accumulate(win_of, lidx_ref, val_ref, K=kb_slots),
+        nkb=nkb, epi=_make_epilogue(mode, vec_refs))
 
 
 @functools.lru_cache(maxsize=256)
-def _make_routed_call(nb, K, S, P, nbp, nxp, dtype_name, interpret=False):
+def _make_routed_call(nb, K, S, P, nbp, nxp, dtype_name, interpret=False,
+                      mode="spmv"):
     kb_slots = min(K, K_BLK)
     nkb = K // kb_slots
-    kernel = functools.partial(_routed_kernel, kb_slots=kb_slots, S=S, nb=nb)
+    n_vec = {"spmv": 0, "residual": 1, "jacobi": 3}[mode]
+    kernel = functools.partial(_routed_kernel, kb_slots=kb_slots, S=S,
+                               nb=nb, nkb=nkb, mode=mode)
+    vec_spec = pl.BlockSpec((8, LANES), lambda i, kb: (i, 0),
+                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(nb, nkb),
@@ -140,7 +169,7 @@ def _make_routed_call(nb, K, S, P, nbp, nxp, dtype_name, interpret=False):
                          lambda i, kb: (i, kb, 0, 0),
                          memory_space=pltpu.VMEM),            # val4 chunk
             pl.BlockSpec(memory_space=pl.ANY),                # x2 (nxp,128) HBM
-        ],
+        ] + [vec_spec] * n_vec,
         out_specs=pl.BlockSpec((8, LANES), lambda i, kb: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb * 8, LANES), jnp.float32),
@@ -152,8 +181,23 @@ def _make_routed_call(nb, K, S, P, nbp, nxp, dtype_name, interpret=False):
     )
 
 
-def _routed_resident_kernel(soff_ref, lidx_ref, val_ref, x_ref, o_ref, *,
-                            kb_slots):
+def _make_epilogue(mode, vec_refs):
+    """Fused level-stage epilogues (the ConstDia fusion pattern applied to
+    the routed kernel): residual r = b − Ax; Jacobi x' = x + s·(b − Ax)."""
+    if mode == "spmv":
+        return None
+    if mode == "residual":
+        (b_ref,) = vec_refs
+        return lambda y: b_ref[:, :] - y
+    x_ref, b_ref, s_ref = vec_refs
+    return lambda y: x_ref[:, :] + s_ref[:, :] * (b_ref[:, :] - y)
+
+
+def _routed_resident_kernel(soff_ref, lidx_ref, val_ref, x_ref, *rest,
+                            kb_slots, nkb, mode):
+    n_vec = {"spmv": 0, "residual": 1, "jacobi": 3}[mode]
+    vec_refs = rest[:n_vec]
+    o_ref = rest[n_vec]
     kb = pl.program_id(1)
 
     def win_of(k):
@@ -162,14 +206,20 @@ def _routed_resident_kernel(soff_ref, lidx_ref, val_ref, x_ref, o_ref, *,
             axis=0)
 
     _accumulate_out(
-        o_ref, _slot_accumulate(win_of, lidx_ref, val_ref, K=kb_slots))
+        o_ref, _slot_accumulate(win_of, lidx_ref, val_ref, K=kb_slots),
+        nkb=nkb, epi=_make_epilogue(mode, vec_refs))
 
 
 @functools.lru_cache(maxsize=256)
-def _make_resident_call(nb, K, P, nxp, dtype_name, interpret=False):
+def _make_resident_call(nb, K, P, nxp, dtype_name, interpret=False,
+                        mode="spmv"):
     kb_slots = min(K, K_BLK)
     nkb = K // kb_slots
-    kernel = functools.partial(_routed_resident_kernel, kb_slots=kb_slots)
+    n_vec = {"spmv": 0, "residual": 1, "jacobi": 3}[mode]
+    kernel = functools.partial(_routed_resident_kernel, kb_slots=kb_slots,
+                               nkb=nkb, mode=mode)
+    vec_spec = pl.BlockSpec((8, LANES), lambda i, kb: (i, 0),
+                            memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
         grid=(nb, nkb),
@@ -184,7 +234,7 @@ def _make_resident_call(nb, K, P, nxp, dtype_name, interpret=False):
                          memory_space=pltpu.VMEM),            # val4 chunk
             pl.BlockSpec((nxp, LANES), lambda i, kb: (0, 0),
                          memory_space=pltpu.VMEM),            # x2, whole
-        ],
+        ] + [vec_spec] * n_vec,
         out_specs=pl.BlockSpec((8, LANES), lambda i, kb: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nb * 8, LANES), jnp.float32),
@@ -198,19 +248,48 @@ def _pad_x(a: RoutedEll, x: jax.Array) -> jax.Array:
     return xp.reshape(a.nxp, LANES)
 
 
-def spmv_routed(a: RoutedEll, x: jax.Array, interpret: bool = False):
-    """y = A @ x via the routed-ELL Pallas kernel."""
+def _pad_vec(a: RoutedEll, v: jax.Array) -> jax.Array:
+    nb = a.val4.shape[0]
+    pad = nb * BLOCK_ROWS - a.n_rows
+    vp = jnp.concatenate([v.astype(jnp.float32),
+                          jnp.zeros((pad,), jnp.float32)])
+    return vp.reshape(nb * 8, LANES)
+
+
+def _routed_call(a: RoutedEll, x: jax.Array, vecs, mode: str,
+                 interpret: bool):
     nb, K = a.val4.shape[:2]
     dt = jnp.dtype(a.val4.dtype).name
+    vps = tuple(_pad_vec(a, v) for v in vecs)
     if a.resident:
         call = _make_resident_call(nb, K, a.soff.shape[2], a.nxp, dt,
-                                   interpret)
-        y = call(a.soff, a.lidx4, a.val4, _pad_x(a, x))
+                                   interpret, mode)
+        y = call(a.soff, a.lidx4, a.val4, _pad_x(a, x), *vps)
     else:
         call = _make_routed_call(nb, K, a.span, a.soff.shape[2],
-                                 a.sbase.shape[1], a.nxp, dt, interpret)
-        y = call(a.sbase, a.soff, a.lidx4, a.val4, _pad_x(a, x))
+                                 a.sbase.shape[1], a.nxp, dt, interpret,
+                                 mode)
+        y = call(a.sbase, a.soff, a.lidx4, a.val4, _pad_x(a, x), *vps)
     return y.reshape(-1)[: a.n_rows].astype(x.dtype)
+
+
+def spmv_routed(a: RoutedEll, x: jax.Array, interpret: bool = False):
+    """y = A @ x via the routed-ELL Pallas kernel."""
+    return _routed_call(a, x, (), "spmv", interpret)
+
+
+def residual_routed(a: RoutedEll, x: jax.Array, b: jax.Array,
+                    interpret: bool = False):
+    """r = b − A·x, subtraction fused into the kernel's last K-chunk
+    (one pass over the level instead of SpMV + XLA axpy stages — the
+    ConstDia fusion pattern for general sparsity)."""
+    return _routed_call(a, x, (b,), "residual", interpret)
+
+
+def jacobi_routed(a: RoutedEll, x: jax.Array, b: jax.Array, s: jax.Array,
+                  interpret: bool = False):
+    """x' = x + s·(b − A·x) in one fused pass (s = ω·D⁻¹ per row)."""
+    return _routed_call(a, x, (x, b, s), "jacobi", interpret)
 
 
 def spmv_routed_xla(a: RoutedEll, x: jax.Array):

@@ -121,11 +121,16 @@ def residual(a, x: jax.Array, b: jax.Array) -> jax.Array:
     the subtraction into the SpMV epilogue everywhere else). Bitwise-equal
     to ``b - spmv(a, x)``."""
     from ..sparse.formats import ConstDia
+    from ..sparse.routed import RoutedEll
 
     if isinstance(a, ConstDia) and jax.default_backend() == "tpu":
         from .pallas_const import residual_const
 
         return residual_const(a, x, b)
+    if isinstance(a, RoutedEll) and jax.default_backend() == "tpu":
+        from .pallas_routed import residual_routed
+
+        return residual_routed(a, x, b)
     return b - spmv(a, x)
 
 

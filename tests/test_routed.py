@@ -163,3 +163,36 @@ def test_pmis_solve_routed_matches_ell(prob):
     assert int(res1.iters) <= int(res0.iters) + 2
     r1 = b - a_sp @ np.asarray(res1.x, np.float64)
     assert np.linalg.norm(r1) / np.linalg.norm(b) < 5e-6
+
+
+def test_fused_residual_jacobi_interpret():
+    """Fused routed epilogues == unfused math (interpret mode)."""
+    import scipy.sparse as sp
+
+    import jax.numpy as jnp
+
+    from omp_amg_tpu.ops.pallas_routed import (
+        jacobi_routed, residual_routed, spmv_routed,
+    )
+    from omp_amg_tpu.sparse.routed import routed_from_scipy
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    rows = np.repeat(np.arange(n), 6)
+    cols = np.clip(rows + rng.integers(-400, 400, len(rows)), 0, n - 1)
+    a_sp = sp.csr_matrix((rng.standard_normal(len(rows)), (rows, cols)),
+                         shape=(n, n))
+    a_sp.sum_duplicates()
+    rt = routed_from_scipy(a_sp)
+    assert rt is not None
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    s = jnp.asarray(rng.uniform(0.1, 1.0, n).astype(np.float32))
+    y = spmv_routed(rt, x, interpret=True)
+    r = residual_routed(rt, x, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(b - y),
+                               rtol=0, atol=1e-5)
+    xj = jacobi_routed(rt, x, b, s, interpret=True)
+    np.testing.assert_allclose(np.asarray(xj),
+                               np.asarray(x + s * (b - y)),
+                               rtol=0, atol=1e-5)
