@@ -47,26 +47,35 @@ RING = 2
 
 
 def _slot_accumulate(win_of, lidx_ref, val_ref, *, K):
-    """acc = Σ_k val[k] * win_of(k)[lidx[k]] with bounded program size."""
-    def slot(k, acc):
-        g = jnp.take_along_axis(win_of(k), lidx_ref[pl.ds(k, 1)][0], axis=1)
+    """acc = Σ_k val[k] * win_of(k)[lidx[k]] with bounded program size.
+
+    ``lidx_ref`` holds 4 slots' 7-bit lane indices per int32 word
+    (sparse/routed.pack_lidx4) — the unpack shift/mask runs on the VPU and
+    buys a 5/8 plan-stream reduction in the bandwidth-bound hot loop. The
+    sub-word position is static under both loop shapes (CHUNK_U is a
+    multiple of 4), so the shift amounts are immediates."""
+    def slot(k, kw, sub, acc):
+        word = lidx_ref[pl.ds(kw, 1)][0]
+        lane = jnp.right_shift(word, 8 * sub) & 0x7F
+        g = jnp.take_along_axis(win_of(k), lane, axis=1)
         return acc + val_ref[pl.ds(k, 1)][0].astype(jnp.float32) * g
 
     acc = jnp.zeros((8, LANES), jnp.float32)
     if K <= UNROLL_K:
         for k in range(K):
-            acc = slot(k, acc)
+            acc = slot(k, k // 4, k % 4, acc)
         return acc
 
     def chunk(c, acc):
         for u in range(CHUNK_U):  # Mosaic supports only unroll=1/full, so
-            acc = slot(c * CHUNK_U + u, acc)  # unroll by hand inside the body
+            acc = slot(c * CHUNK_U + u, c * (CHUNK_U // 4) + u // 4,
+                       u % 4, acc)  # unroll by hand inside the body
         return acc
 
     n_full = K // CHUNK_U
     acc = jax.lax.fori_loop(0, n_full, chunk, acc)
     for k in range(n_full * CHUNK_U, K):  # remainder (planner pads K away)
-        acc = slot(k, acc)
+        acc = slot(k, k // 4, k % 4, acc)
     return acc
 
 
@@ -162,9 +171,9 @@ def _make_routed_call(nb, K, S, P, nbp, nxp, dtype_name, interpret=False,
             # 8-divisible); the kernel indexes chunk kb directly
             pl.BlockSpec((None, nkb, P), lambda i, kb: (i, 0, 0),
                          memory_space=pltpu.SMEM),            # soff
-            pl.BlockSpec((None, kb_slots, 8, LANES),
+            pl.BlockSpec((None, kb_slots // 4, 8, LANES),
                          lambda i, kb: (i, kb, 0, 0),
-                         memory_space=pltpu.VMEM),            # lidx4 chunk
+                         memory_space=pltpu.VMEM),            # lidx4 (packed)
             pl.BlockSpec((None, kb_slots, 8, LANES),
                          lambda i, kb: (i, kb, 0, 0),
                          memory_space=pltpu.VMEM),            # val4 chunk
@@ -226,9 +235,9 @@ def _make_resident_call(nb, K, P, nxp, dtype_name, interpret=False,
         in_specs=[
             pl.BlockSpec((None, nkb, P), lambda i, kb: (i, 0, 0),
                          memory_space=pltpu.SMEM),            # soff (absolute)
-            pl.BlockSpec((None, kb_slots, 8, LANES),
+            pl.BlockSpec((None, kb_slots // 4, 8, LANES),
                          lambda i, kb: (i, kb, 0, 0),
-                         memory_space=pltpu.VMEM),            # lidx4 chunk
+                         memory_space=pltpu.VMEM),            # lidx4 (packed)
             pl.BlockSpec((None, kb_slots, 8, LANES),
                          lambda i, kb: (i, kb, 0, 0),
                          memory_space=pltpu.VMEM),            # val4 chunk
@@ -303,6 +312,9 @@ def spmv_routed_xla(a: RoutedEll, x: jax.Array):
     rowidx = soff3 if a.resident else (
         a.sbase[0, :nb, None, None] + soff3)              # (nb, K, 8)
     win = jnp.take(x2, rowidx.reshape(-1), axis=0).reshape(nb, K, 8, LANES)
-    g = jnp.take_along_axis(win, a.lidx4, axis=3)
+    sub = jnp.arange(K) % 4
+    lidx = (jnp.right_shift(a.lidx4[:, jnp.arange(K) // 4],
+                            (8 * sub)[None, :, None, None]) & 0x7F)
+    g = jnp.take_along_axis(win, lidx, axis=3)
     y = jnp.sum(a.val4.astype(jnp.float32) * g, axis=1)   # (nb, 8, 128)
     return y.reshape(-1)[: a.n_rows].astype(x.dtype)

@@ -72,7 +72,7 @@ def _routed_dist_plans(local, valp, ndev, m_in, h):
     exceeds the routed caps (caller keeps the gather formulation)."""
     import scipy.sparse as sp
 
-    from ..sparse.routed import _resident, plan_routed
+    from ..sparse.routed import _resident, pack_lidx4, plan_routed
 
     n_tot, k = local.shape
     m_out = n_tot // ndev
@@ -108,7 +108,7 @@ def _routed_dist_plans(local, valp, ndev, m_in, h):
         sbase.append(p["sbase"])
     return dict(
         rt_val4=jnp.asarray(np.concatenate(val4), jnp.float32),
-        rt_lidx4=jnp.asarray(np.concatenate(lidx4)),
+        rt_lidx4=jnp.asarray(pack_lidx4(np.concatenate(lidx4))),
         rt_soff=jnp.asarray(np.concatenate(soff)),
         rt_sbase=jnp.asarray(np.concatenate(sbase)),
         rt_span=int(plans[0]["span"]), rt_nxp=int(nxp),

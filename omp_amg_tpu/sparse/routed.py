@@ -95,7 +95,8 @@ class RoutedEll:
     """
 
     val4: jax.Array   # (nb, K, 8, 128) float
-    lidx4: jax.Array  # (nb, K, 8, 128) int32 — lane within the span row
+    lidx4: jax.Array  # (nb, K//4, 8, 128) int32 — 4 slots' lanes packed
+                      # per word (see pack_lidx4)
     soff: jax.Array   # (nb, nkb, P) int32 — span row per (slot, sublane),
                       # laid out per K-chunk of kb_slots = K // nkb: slot k
                       # lives at [b, k // kb_slots, (k % kb_slots)*8 + s];
@@ -149,7 +150,7 @@ def plan_routed(m, dtype=np.float32, k_min: int = 0, s_min: int = 0):
     nc2 = max(1, -(-n_cols // LANES))
 
     if nnz == 0:
-        K, S = 1, 8
+        K, S = 4, 8
         return dict(
             val4=np.zeros((nb, K, 8, LANES), dtype),
             lidx4=np.zeros((nb, K, 8, LANES), np.int32),
@@ -201,6 +202,7 @@ def plan_routed(m, dtype=np.float32, k_min: int = 0, s_min: int = 0):
     slot_base -= g_offset
     k_per_g = (csum - g_offset)[np.r_[np.flatnonzero(new_g)[1:] - 1, n_gj - 1]]
     K = max(int(k_per_g.max()), int(k_min))
+    K = _pad_to(K, 4)   # lidx4 lane indices pack 4-per-int32 word
     if K > UNROLL_K:
         K = _pad_to(K, CHUNK_U)
     if K > K_BLK:
@@ -240,6 +242,32 @@ def plan_routed(m, dtype=np.float32, k_min: int = 0, s_min: int = 0):
     )
 
 
+def pack_lidx4(lidx4: np.ndarray) -> np.ndarray:
+    """(nb, K, 8, 128) int32 lane indices → (nb, K//4, 8, 128) int32 with
+    4 slots' 7-bit lanes packed per word (5/8 the plan bytes: less relay
+    upload AND less HBM streaming in the kernel's hot loop)."""
+    nb, K = lidx4.shape[:2]
+    if K % 4:
+        pad = np.zeros((nb, 4 - K % 4, 8, LANES), lidx4.dtype)
+        lidx4 = np.concatenate([lidx4, pad], axis=1)
+        K = lidx4.shape[1]
+    l = lidx4.reshape(nb, K // 4, 4, 8, LANES).astype(np.uint32)
+    packed = (l[:, :, 0] | (l[:, :, 1] << np.uint32(8))
+              | (l[:, :, 2] << np.uint32(16))
+              | (l[:, :, 3] << np.uint32(24)))
+    return packed.astype(np.int32)
+
+
+def unpack_lidx4(packed: np.ndarray, K: int) -> np.ndarray:
+    nb = packed.shape[0]
+    p = packed.view(np.uint32) if packed.dtype == np.int32         else packed.astype(np.uint32)
+    out = np.empty((nb, K, 8, LANES), np.int32)
+    for j in range(4):
+        out[:, j::4] = ((p >> np.uint32(8 * j)) & np.uint32(0x7F)
+                        ).astype(np.int32)
+    return out
+
+
 def routed_from_scipy(m, dtype=jnp.float32):
     """scipy sparse → RoutedEll device operator (None if uneconomical)."""
     plan = plan_routed(m, dtype=np.float64)
@@ -254,7 +282,7 @@ def routed_from_scipy(m, dtype=jnp.float32):
         soff = soff + plan["sbase"][0, :nb, None, None]
     return RoutedEll(
         val4=jnp.asarray(plan["val4"], dtype=dtype),
-        lidx4=jnp.asarray(plan["lidx4"]),
+        lidx4=jnp.asarray(pack_lidx4(plan["lidx4"])),
         soff=jnp.asarray(soff),
         sbase=jnp.asarray(plan["sbase"]),
         n_rows=plan["n_rows"], n_cols=plan["n_cols"],
@@ -268,7 +296,7 @@ def routed_to_scipy(a: RoutedEll):
     import scipy.sparse as sp
 
     val4 = np.asarray(a.val4, np.float64)
-    lidx4 = np.asarray(a.lidx4, np.int64)
+    lidx4 = unpack_lidx4(np.asarray(a.lidx4), val4.shape[1]).astype(np.int64)
     soff = np.asarray(a.soff)
     sbase = np.asarray(a.sbase)
     nb, K = val4.shape[:2]

@@ -19,7 +19,7 @@ from omp_amg_tpu.problems.poisson import poisson2d_5pt, poisson3d_7pt
 from omp_amg_tpu.solvers.cg import amg_pcg
 from omp_amg_tpu.sparse.formats import dia_to_scipy
 from omp_amg_tpu.sparse.routed import (
-    RoutedEll, plan_routed, routed_from_scipy, routed_to_scipy,
+    RoutedEll, pack_lidx4, plan_routed, routed_from_scipy, routed_to_scipy,
 )
 
 
@@ -55,7 +55,8 @@ def test_plan_roundtrip_exact(i):
     m = CASES[i]
     plan = plan_routed(m, dtype=np.float64)
     assert plan is not None
-    a = RoutedEll(val4=plan["val4"], lidx4=plan["lidx4"], soff=plan["soff"],
+    a = RoutedEll(val4=plan["val4"], lidx4=pack_lidx4(plan["lidx4"]),
+                  soff=plan["soff"],
                   sbase=plan["sbase"], n_rows=plan["n_rows"],
                   n_cols=plan["n_cols"], span=plan["span"], nxp=plan["nxp"],
                   nnz=plan["nnz"])
@@ -108,7 +109,8 @@ def test_resident_roundtrip_exact(i):
     plan = plan_routed(m, dtype=np.float64)
     nb = plan["val4"].shape[0]
     soff_abs = plan["soff"] + plan["sbase"][0, :nb, None, None]
-    a = RoutedEll(val4=plan["val4"], lidx4=plan["lidx4"], soff=soff_abs,
+    a = RoutedEll(val4=plan["val4"], lidx4=pack_lidx4(plan["lidx4"]),
+                  soff=soff_abs,
                   sbase=plan["sbase"], n_rows=plan["n_rows"],
                   n_cols=plan["n_cols"], span=plan["span"], nxp=plan["nxp"],
                   nnz=plan["nnz"], resident=True)
