@@ -208,11 +208,16 @@ def spmm_panel(a: PanelPlan, xt: jax.Array, C: int,
 
 def split_bf16(xt: jax.Array, n: int = 2):
     """f32 packed panel → exact n-way bf16 split (n=3 recovers f32 fully:
-    8+8+8 mantissa bits cover f32's 24)."""
+    8+8+8 mantissa bits cover f32's 24).
+
+    The optimization barrier is load-bearing: under jit, XLA folds the
+    f32→bf16→f32 convert round-trip as a no-op, which silently zeroes the
+    residual splits (measured: 3e-3 relative error on chip — exactly the
+    hi-only signature — while the eager computation was exact)."""
     parts = []
     rem = xt
     for _ in range(n - 1):
-        hi = rem.astype(jnp.bfloat16)
+        hi = jax.lax.optimization_barrier(rem.astype(jnp.bfloat16))
         parts.append(hi)
         rem = rem - hi.astype(jnp.float32)
     parts.append(rem.astype(jnp.bfloat16))

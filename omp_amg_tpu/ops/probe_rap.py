@@ -154,18 +154,41 @@ def build_rap_probe(a_sp, p_sp, ac_sp=None, dtype=jnp.float32):
         return None, ac_sp
     a_plan = panel_plan_from_dict(a_dict, dtype)
     r_plan = panel_plan_from_dict(r_dict, dtype)
-    # v2 schedules: the widest panel for which both operands' shared
-    # windows fit VMEM (per-slot cost is ~C-independent, so wide panels
-    # minimize total slots — measured scripts/probe notes in BASELINE.md)
+    # v2 schedules: estimated-cost selection over panel widths. Window
+    # traffic dominates on real levels (3D operator spans are O(n^{2/3})
+    # chunks in any row ordering), so pick the width minimizing
+    # per-color window bytes; v2 shares one window across R_g blocks,
+    # v1 re-streams its span per 128-row block.
     a_v2 = r_v2 = None
     c_panel = 0
     c_want = min(128, -(-ncolors // 8) * 8)
+    best = None
     for C in range(c_want, 7, -8):
         a2 = schedule_plan_v2(a_dict, C)
         r2 = schedule_plan_v2(r_dict, C)
-        if a2 is not None and r2 is not None:
-            a_v2, r_v2, c_panel = a2, r2, C
-            break
+        if a2 is None or r2 is None:
+            continue
+        bytes_win = 0
+        for sch in (a2, r2):
+            bytes_win += sch.sbases.shape[0] * sch.s_win * C * 128 * 6
+        panels = -(-ncolors // C)
+        cost = bytes_win * panels
+        if best is None or cost < best[0]:
+            best = (cost, C, a2, r2)
+    # v1 (per-block streamed spans) comparison at its own best width
+    from .pallas_spmm import vmem_fit
+
+    c1 = 128
+    while c1 > 8 and not (
+            vmem_fit(a_dict["span"], c1, a_dict["K"], "bf16x3")
+            and vmem_fit(r_dict["span"], c1, r_dict["K"], "bf16x3")):
+        c1 -= 8
+    nb_a = a_dict["val"].shape[0]
+    nb_r = r_dict["val"].shape[0]
+    v1_cost = ((nb_a * a_dict["span"] + nb_r * r_dict["span"])
+               * c1 * 128 * 6 * -(-ncolors // c1))
+    if best is not None and best[0] < v1_cost:
+        _, c_panel, a_v2, r_v2 = best
 
     p_col, p_valh, _ = ell_planes_from_scipy(p_sp, dtype=np.float64)
     p_color = np.where(p_valh != 0, colors[p_col], -1).astype(np.int32)
