@@ -55,7 +55,7 @@ def _op_bytes_per_nnz(op) -> float:
     if name == "PlaneDia":
         import jax.numpy as jnp
 
-        return 2.1 if op.data.dtype == jnp.bfloat16 else 4.1
+        return 2.1 if op.data4.dtype == jnp.bfloat16 else 4.1
     if name == "Dia":
         return 4.1
     if name == "RoutedEll":
@@ -73,6 +73,11 @@ def _nnz_of(op) -> int:
         return int(np.prod(op.val.shape))
     if hasattr(op, "data"):
         return int(np.prod(op.data.shape))
+    if hasattr(op, "offsets"):
+        # banded forms without stored planes (ConstDia) or with plane-major
+        # storage (PlaneDia): band length per diagonal
+        n = int(op.shape[0])
+        return sum(n - abs(int(o)) for o in op.offsets)
     return 0
 
 

@@ -34,3 +34,35 @@ def test_scaling_report_two_host_gate():
     hier = amg_setup(amg.poisson3d_7pt(N), grid=(N, N, N))
     rep = scaling_report(hier, grid=(N, N, N))
     assert rep["predicted"][2]["weak_efficiency"] >= 0.8
+
+
+def test_scaling_report_tpu_operator_forms():
+    """On chip, levels hold PlaneDia/ConstDia forms — the model must
+    account them (regression: PlaneDia has data4, not data; ConstDia has
+    no stored planes at all — both used to crash or count nnz=0)."""
+    import dataclasses
+
+    from omp_amg_tpu.parallel.scaling_model import _nnz_of, _op_bytes_per_nnz
+    from omp_amg_tpu.sparse.formats import to_const_dia, to_plane_dia
+
+    N = 16
+    hier = amg_setup(amg.poisson3d_7pt(N), grid=(N, N, N))
+    lv0 = hier.levels[0]
+    cd = to_const_dia(lv0.a) if not type(lv0.a).__name__ == "ConstDia" \
+        else lv0.a
+    pd = to_plane_dia(amg.poisson3d_7pt(N), dtype="auto")
+    n = N ** 3
+    band = sum(n - abs(o) for o in amg.poisson3d_7pt(N).offsets)
+    for op in (cd, pd):
+        if op is None:
+            continue
+        assert _op_bytes_per_nnz(op) >= 0.0
+        assert _nnz_of(op) == band
+    # a hierarchy whose L0 was swapped for the TPU forms must not crash
+    for op in (cd, pd):
+        if op is None:
+            continue
+        lv = dataclasses.replace(lv0, a=op)
+        h2 = dataclasses.replace(hier, levels=(lv,) + hier.levels[1:])
+        rep = scaling_report(h2, grid=(N, N, N))
+        assert rep["levels"][0]["nnz"] == band
