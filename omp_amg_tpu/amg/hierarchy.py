@@ -360,16 +360,30 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
 
 
 def _estimate_lmax_apply(apply_fn, dinv: np.ndarray, n: int,
-                         iters: int = 20) -> float:
+                         iters: int = 20, dtype=np.float64) -> float:
     from .host_setup import hash01_np
 
-    v = hash01_np(np.arange(n)).astype(np.float64) - 0.5
+    dinv = np.asarray(dinv, dtype)
+    v = hash01_np(np.arange(n)).astype(dtype) - np.dtype(dtype).type(0.5)
     v /= np.linalg.norm(v)
     for _ in range(iters):
         w = dinv * apply_fn(v)
         v = w / np.linalg.norm(w)
     w = dinv * apply_fn(v)
     return float(v @ w / (v @ v))
+
+
+def _dia_apply_np(offsets, data: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Banded matvec via numpy slices (no per-call native/OMP spawn
+    overhead — measured faster than the OpenMP kernel at every level size
+    on this 2-core box when ``data`` is f32)."""
+    y = np.zeros_like(v)
+    n = v.shape[0]
+    for k, off in enumerate(offsets):
+        i0, i1 = max(0, -off), min(n, n - off)
+        if i1 > i0:
+            y[i0:i1] += data[k, i0:i1] * v[i0 + off:i1 + off]
+    return y
 
 
 def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
@@ -403,13 +417,23 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
             # axon relay). The on-device equality check costs one cold XLA
             # compile (~30–60 s via the relay), so this only pays above a
             # size threshold; below it the plain pull is cheaper.
-            from ..sparse.formats import _const_expected_masks, to_const_dia
+            from ..sparse.formats import to_const_dia
 
             cd = to_const_dia(a_dev)
             if cd is not None:
-                masks = _const_expected_masks(np, None, cd.taps, a_dev.dims)
-                data = np.stack([np.where(m, np.float64(c), 0.0)
-                                 for c, m in zip(cd.coeffs, masks)])
+                # box-fill synthesis: each tap's valid region is a box, so
+                # the f64 planes are one zeros alloc + interior fills (the
+                # mask formulation stacked 3^d full-length temporaries —
+                # measured 3.8 s at 27-pt 128³, now ~0.2 s)
+                nz0, ny0, nx0 = (int(d) for d in a_dev.dims)
+                data = np.zeros((len(cd.coeffs), nz0 * ny0 * nx0),
+                                np.float64)
+                v3 = data.reshape(-1, nz0, ny0, nx0)
+                for k, ((dz, dy, dx), c) in enumerate(zip(cd.taps,
+                                                          cd.coeffs)):
+                    v3[k, max(0, -dz):nz0 - max(0, dz),
+                       max(0, -dy):ny0 - max(0, dy),
+                       max(0, -dx):nx0 - max(0, dx)] = c
         if data is None:
             data = np.asarray(a_dev.data, dtype=np.float64)
     else:
@@ -459,30 +483,34 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
             dinv_np = 1.0 / np.abs(data).sum(axis=0)
         else:
             dinv_np = 1.0 / data[offsets.index(0)]
-        from .. import native
+        data_f = np.ascontiguousarray(
+            data, np.dtype(jnp.dtype(dtype).name))  # one pass, reused below
         lmax = _estimate_lmax_apply(
-            lambda v: native.dia_apply(offsets, data, v), dinv_np, n)
+            lambda v: _dia_apply_np(offsets, data_f, v), dinv_np, n,
+            dtype=data_f.dtype)
         trace.mark(f"L{len(levels)} lmax")
-        a_lvl = Dia(data=jnp.asarray(data, dtype=dtype),
-                    offsets=tuple(offsets), dims=dims)
-        a_cd = None
+        # operator form decided AND PACKED on host: no eager Dia upload
+        # (the old order shipped the full planes to the device, then threw
+        # them away whenever const/plane detection replaced the form), no
+        # per-level device-compile for the plane-major layout
+        a_lvl = None
+        host_dia = Dia(data=data_f, offsets=tuple(offsets), dims=dims)
         if params.const_stencil != "off":
             # detect masked-constant stencils on the host f32 planes (no
             # device traffic); typically hits the finest level only —
             # Galerkin coarse operators have boundary-modified values
             from ..sparse.formats import to_const_dia
 
-            a_cd = to_const_dia(Dia(
-                data=np.asarray(data, np.dtype(jnp.dtype(dtype).name)),
-                offsets=tuple(offsets), dims=dims))
-        if a_cd is not None:
-            a_lvl = a_cd  # matrix-free: streams x/y only (~2.8× PlaneDia)
-        elif jax.default_backend() == "tpu":
+            a_lvl = to_const_dia(host_dia)
+            # matrix-free: streams x/y only (~2.8× PlaneDia)
+        if a_lvl is None and jax.default_backend() == "tpu":
             from ..sparse.formats import to_plane_dia
 
-            a_pm = to_plane_dia(a_lvl, dtype="auto")
-            if a_pm is not None:
-                a_lvl = a_pm  # plane-major: 2× SpMV bandwidth on chip
+            a_lvl = to_plane_dia(host_dia, dtype="auto")
+            # plane-major: 2× SpMV bandwidth on chip
+        if a_lvl is None:
+            a_lvl = Dia(data=jnp.asarray(data_f), offsets=tuple(offsets),
+                        dims=dims)
         trace.mark(f"L{len(levels)} operator form ({type(a_lvl).__name__})")
         levels.append(Level(a=a_lvl, dinv=jnp.asarray(dinv_np, dtype=dtype),
                             p=p, r=r,

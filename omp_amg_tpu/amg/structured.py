@@ -288,9 +288,18 @@ def strong_axes(a_sp, dims: Tuple[int, ...], theta: float) -> Tuple[bool, ...]:
         data = np.asarray(d.data)
         offsets = list(d.offsets)
     n = data.shape[1]
-    interior = np.abs(data).min(axis=0) > 0  # rows where every tap is active
+    # sample rows: translation-invariant interiors (every operator in the
+    # Galerkin chain of a constant stencil) have identical interior values
+    # per plane, so a strided sample's median equals the full median — and
+    # the full scan was the hottest setup phase at 128³ (2.6 s → 35 ms)
+    stride = max(1, n // 65536)
+    sub = np.ascontiguousarray(data[:, ::stride]) if stride > 1 else data
+    interior = np.abs(sub).min(axis=0) > 0  # rows where every tap is active
+    if not interior.any() and stride > 1:
+        sub = data
+        interior = np.abs(sub).min(axis=0) > 0
     if not interior.any():
-        interior = np.ones(n, bool)
-    med = np.array([float(np.median(data[k][interior]))
+        interior = np.ones(sub.shape[1], bool)
+    med = np.array([float(np.median(sub[k][interior]))
                     for k in range(len(offsets))])
     return strong_axes_from_values(offsets, med, dims, theta)

@@ -176,6 +176,25 @@ def to_plane_dia(a: Dia, dtype=None):
         return None
     pr = plane // 128
     ndiag = len(a.offsets)
+    if isinstance(a.data, np.ndarray):
+        # host planes: pack + (lossless) compress in numpy, upload the
+        # final layout exactly once — the device formulation costs one XLA
+        # compile per level shape, which dominates fresh-process setup
+        # through the axon relay (measured 4 s at 128³ L1)
+        import ml_dtypes
+
+        d4 = np.ascontiguousarray(
+            a.data.reshape(ndiag, nz, pr, 128).transpose(1, 0, 2, 3))
+        if d4.dtype == np.float64:
+            d4 = d4.astype(np.float32)
+        if dtype == "auto":
+            cast = d4.astype(ml_dtypes.bfloat16)
+            if np.array_equal(cast.astype(d4.dtype), d4):
+                d4 = cast
+        elif dtype is not None:
+            d4 = d4.astype(jnp.dtype(dtype))
+        return PlaneDia(data4=jnp.asarray(d4), offsets=a.offsets,
+                        dims=a.dims)
     data4 = jnp.transpose(a.data.reshape(ndiag, nz, pr, 128), (1, 0, 2, 3))
     if dtype == "auto":
         # compress to bf16 only when the cast is verifiably LOSSLESS
@@ -337,11 +356,20 @@ def to_const_dia(a: Dia):
     mid = (zm * ny + ym) * nx + xm
     if isinstance(a.data, np.ndarray):
         coeffs = tuple(float(v) for v in a.data[:, mid])
-        masks_np = _const_expected_masks(np, a.data, taps, dims)
-        for k, m in enumerate(masks_np):
-            if not np.array_equal(a.data[k],
-                                  np.where(m, a.data.dtype.type(coeffs[k]),
-                                           a.data.dtype.type(0))):
+        # slice-based exact check: the valid region of tap (dz,dy,dx) is a
+        # box, so "plane == c on the box and 0 off it" is one contiguous
+        # interior compare + one nonzero count — no mask temporaries (the
+        # mask formulation was the single hottest phase of 27-pt setup)
+        for k, ((dz, dy, dx), c) in enumerate(zip(taps, coeffs)):
+            v = a.data[k].reshape(nz, ny, nx)
+            c = a.data.dtype.type(c)
+            box = v[max(0, -dz):nz - max(0, dz),
+                    max(0, -dy):ny - max(0, dy),
+                    max(0, -dx):nx - max(0, dx)]
+            if not np.all(box == c):
+                return None
+            nnz_k = np.count_nonzero(v)
+            if nnz_k != (box.size if c != 0 else 0):
                 return None
     else:
         coeffs = tuple(float(v) for v in np.asarray(a.data[:, mid]))
