@@ -34,6 +34,23 @@ void dia_apply_f64(int64_t n, int64_t ndiag, const int64_t* offsets,
   }
 }
 
+// f32 variant: half the operator stream — used by the setup-phase λmax
+// power iteration, whose 20 sweeps over the finest level dominate setup
+// wall-clock once RAP is surrogate-based (λmax only feeds smoother bounds,
+// so f32 is ample).
+void dia_apply_f32(int64_t n, int64_t ndiag, const int64_t* offsets,
+                   const float* data, const float* x, float* y) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    float acc = 0.0f;
+    for (int64_t k = 0; k < ndiag; ++k) {
+      int64_t j = i + offsets[k];
+      if (j >= 0 && j < n) acc += data[k * n + i] * x[j];
+    }
+    y[i] = acc;
+  }
+}
+
 // Linear interpolation along the LAST (fastest) axis of a (rows, nc) view:
 // out (rows, nf): out[.., 2j] = x[.., j]; out[.., 2j+1] = (x[..,j]+x[..,j+1])/2.
 void prolong_last_f64(int64_t rows, int64_t nc, int64_t nf, const double* x,

@@ -378,12 +378,156 @@ def comb_rap_device(offsets, data_f32, dims, coarse_dims, coarsened,
     return offs_c, data_c
 
 
-def structured_rap(offsets, data, dims, coarse_dims, coarsened):
-    """Preferred host entry: fused native RAP, probe-validated; numpy
-    direct convolution as first fallback (4× faster than comb on host);
-    lattice-comb (numpy) as the last-resort oracle."""
+def _balanced_deltas(offsets, dims):
+    """Flat offsets → per-axis delta vectors (balanced rounding; valid for
+    non-wrapping taps). None if some offset is not decomposable."""
+    d = len(dims)
+    strides = [1] * d
+    for k in range(d - 2, -1, -1):
+        strides[k] = strides[k + 1] * dims[k + 1]
+    deltas = np.zeros((len(offsets), d), np.int64)
+    for ki, off in enumerate(offsets):
+        rem = int(off)
+        for ax in range(d):
+            q = int(round(rem / strides[ax]))
+            deltas[ki, ax] = q
+            rem -= q * strides[ax]
+        if rem != 0:
+            return None
+    return deltas
+
+
+def _const_stencil_of(offsets, data, dims):
+    """(deltas, coeffs) when ``data`` is a masked-constant radius-1 stencil
+    on ``dims`` (exact slice-based check), else None."""
+    d = len(dims)
+    deltas = _balanced_deltas(offsets, dims)
+    if deltas is None or np.abs(deltas).max(initial=0) > 1:
+        return None
+    mid_idx = tuple(dim // 2 for dim in dims)
+    if any(not (0 <= mid_idx[ax] + dl < dims[ax])
+           for row in deltas for ax, dl in enumerate(row)):
+        return None
+    mid = 0
+    for ax in range(d):
+        mid = mid * dims[ax] + mid_idx[ax]
+    coeffs = np.asarray(data[:, mid], np.float64)
+    for k in range(len(offsets)):
+        v = np.asarray(data[k]).reshape(dims)
+        box = v[tuple(slice(max(0, -int(dl)), dims[ax] - max(0, int(dl)))
+                      for ax, dl in enumerate(deltas[k]))]
+        c = v.dtype.type(coeffs[k])
+        if not np.all(box == c):
+            return None
+        if np.count_nonzero(v) != (box.size if c != 0 else 0):
+            return None
+    return deltas, coeffs
+
+
+def _const_rap_surrogate(deltas, coeffs, dims, coarse_dims, coarsened):
+    """Exact RAP of a masked-constant stencil via a tiny same-parity
+    surrogate grid.
+
+    Every coarse value depends only on the per-axis boundary distance of
+    its index, clamped at 2 (transfer window ±1 around 2I, stencil radius
+    1 ⇒ fine support [2I−2, 2I+2]; Dirichlet masks only modify rows within
+    distance 1 of a face), and — on the high side — on the fine-extent
+    parity. A surrogate with matching parity and coarse extent ≥ 5 per
+    axis therefore realizes every distance pattern; the full coarse planes
+    are an outer-product index-map gather of the surrogate's. The caller's
+    random-probe validation remains the runtime safety net.
+    """
+    d = len(dims)
+    dims_s, maps = [], []
+    for ax in range(d):
+        dim, cdim = int(dims[ax]), int(coarse_dims[ax])
+        if coarsened[ax]:
+            if cdim != (dim + 1) // 2:
+                return None
+            fs = 11 if dim % 2 == 1 else 12
+        else:
+            if cdim != dim:
+                return None
+            fs = 6 if dim % 2 == 0 else 7
+        cs = (fs + 1) // 2 if coarsened[ax] else fs
+        if dim <= fs or cdim < 5:
+            dims_s.append(dim)
+            maps.append(np.arange(cdim, dtype=np.int64))
+            continue
+        dims_s.append(fs)
+        m = np.full(cdim, 2, np.int64)
+        m[0], m[1] = 0, 1
+        m[-2], m[-1] = cs - 2, cs - 1
+        maps.append(m)
+    dims_s = tuple(dims_s)
+    cdims_s = tuple((ds + 1) // 2 if c else ds
+                    for ds, c in zip(dims_s, coarsened))
+
+    # surrogate planes: box-fill of the same (delta, coeff) stencil
+    ns = int(np.prod(dims_s))
+    strides_s = [1] * d
+    for k in range(d - 2, -1, -1):
+        strides_s[k] = strides_s[k + 1] * dims_s[k + 1]
+    offs_s = [int(sum(dl * st for dl, st in zip(row, strides_s)))
+              for row in deltas]
+    data_s = np.zeros((len(offs_s), ns), np.float64)
+    v3 = data_s.reshape((-1,) + dims_s)
+    for k, row in enumerate(deltas):
+        v3[(k,) + tuple(slice(max(0, -int(dl)),
+                              dims_s[ax] - max(0, int(dl)))
+                        for ax, dl in enumerate(row))] = coeffs[k]
+
     from .. import native
 
+    res = (native.rap_stencil(offs_s, data_s, dims_s, cdims_s, coarsened)
+           if native.available() else None)
+    if res is None:
+        res = comb_rap(offs_s, data_s, dims_s, cdims_s, coarsened, xp=np)
+    offs_cs, data_cs = res
+
+    cdeltas = _balanced_deltas(offs_cs, cdims_s)
+    if cdeltas is None or np.abs(cdeltas).max(initial=0) > 1:
+        return None
+    cstrides = [1] * d
+    for k in range(d - 2, -1, -1):
+        cstrides[k] = cstrides[k + 1] * coarse_dims[k + 1]
+    nc = int(np.prod(coarse_dims))
+    offs_c, rows = [], []
+    for k, row in enumerate(cdeltas):
+        offs_c.append(int(sum(dl * st for dl, st in zip(row, cstrides))))
+        s3 = np.asarray(data_cs[k]).reshape(cdims_s)
+        rows.append(s3[np.ix_(*maps)].reshape(nc))
+    order = np.argsort(offs_c, kind="stable")
+    return [offs_c[i] for i in order], np.stack([rows[i] for i in order])
+
+
+def structured_rap(offsets, data, dims, coarse_dims, coarsened):
+    """Preferred host entry: surrogate-grid RAP for masked-constant
+    stencils (O(1) in grid size), then fused native RAP, numpy direct
+    convolution, lattice-comb oracle — each probe-validated before use."""
+    from .. import native
+
+    cd = _const_stencil_of(offsets, data, dims)
+    if cd is not None:
+        res = _const_rap_surrogate(cd[0], cd[1], dims, coarse_dims,
+                                   coarsened)
+        if res is not None:
+            offs_c, data_c = res
+            rng = np.random.default_rng(0)
+            nc = int(np.prod(coarse_dims))
+            x = rng.standard_normal(nc)
+            y1 = dia_apply(offs_c, data_c, x, np)
+            y2 = restrict(dia_apply(offsets, data,
+                                    prolong(x, dims, coarse_dims,
+                                            coarsened)),
+                          dims, coarse_dims, coarsened)
+            err = float(np.max(np.abs(y1 - y2)))
+            scale = float(np.max(np.abs(y2))) + 1e-30
+            if err <= 1e-8 * scale:
+                keep = [k for k in range(len(offs_c))
+                        if float(np.max(np.abs(data_c[k]))) > 0.0]
+                return ([offs_c[k] for k in keep],
+                        data_c[keep] if keep else data_c[:0])
     if native.available():
         res = native.rap_stencil(offsets, data, dims, coarse_dims, coarsened)
         if res is not None:

@@ -185,6 +185,12 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
         a_dev = ell_from_scipy(a_sp)
 
     dtype = a_dev.dtype
+    if jnp.dtype(dtype) == np.float64 and not jax.config.jax_enable_x64:
+        # device arrays are f32 under default JAX config; setup accuracy is
+        # carried by the numpy f64 host planes regardless. Make the device
+        # dtype explicit instead of letting jnp.asarray truncate with a
+        # warning per level (VERDICT r1 #8).
+        dtype = jnp.float32
 
     structured = (
         params.coarsening == "structured"
@@ -485,9 +491,15 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
             dinv_np = 1.0 / data[offsets.index(0)]
         data_f = np.ascontiguousarray(
             data, np.dtype(jnp.dtype(dtype).name))  # one pass, reused below
-        lmax = _estimate_lmax_apply(
-            lambda v: _dia_apply_np(offsets, data_f, v), dinv_np, n,
-            dtype=data_f.dtype)
+        from .. import native
+
+        if data_f.dtype == np.float32 and n >= (1 << 18) \
+                and native.available():
+            apply_fn = lambda v: native.dia_apply(offsets, data_f, v)
+        else:   # small levels: per-call OMP spawn outweighs the kernel
+            apply_fn = lambda v: _dia_apply_np(offsets, data_f, v)
+        lmax = _estimate_lmax_apply(apply_fn, dinv_np, n,
+                                    dtype=data_f.dtype)
         trace.mark(f"L{len(levels)} lmax")
         # operator form decided AND PACKED on host: no eager Dia upload
         # (the old order shipped the full planes to the device, then threw

@@ -40,6 +40,9 @@ def _load():
         f64p = np.ctypeslib.ndpointer(np.float64, flags="C")
         lib.dia_apply_f64.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
                                       f64p, f64p, f64p]
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C")
+        lib.dia_apply_f32.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                      f32p, f32p, f32p]
         lib.prolong_last_f64.argtypes = [ctypes.c_int64] * 3 + [f64p, f64p]
         lib.restrict_last_f64.argtypes = [ctypes.c_int64] * 3 + [f64p, f64p]
         lib.transpose2d_f64.argtypes = [ctypes.c_int64, ctypes.c_int64, f64p,
@@ -76,15 +79,22 @@ def available() -> bool:
 
 
 def dia_apply(offsets, data: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Banded matvec; f32 operands stay f32 (half the operator stream)."""
     lib = _load()
     n = x.shape[0]
     if lib is None:
         from .amg.comb_rap import dia_apply as np_apply
 
         return np_apply(list(offsets), data, x, np)
-    y = np.empty_like(x)
-    lib.dia_apply_f64(n, len(offsets),
-                      np.ascontiguousarray(offsets, np.int64),
+    offs = np.ascontiguousarray(offsets, np.int64)
+    if data.dtype == np.float32:
+        y = np.empty(n, np.float32)
+        lib.dia_apply_f32(n, len(offsets), offs,
+                          np.ascontiguousarray(data, np.float32),
+                          np.ascontiguousarray(x, np.float32), y)
+        return y
+    y = np.empty(n, np.float64)
+    lib.dia_apply_f64(n, len(offsets), offs,
                       np.ascontiguousarray(data, np.float64),
                       np.ascontiguousarray(x, np.float64), y)
     return y
