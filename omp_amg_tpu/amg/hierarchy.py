@@ -210,6 +210,10 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
     if a_sp is None:
         a_sp = _to_scipy(a_dev)
 
+    from ..utils.pack import DeferredUpload
+
+    batch = DeferredUpload()   # one relay transfer per dtype for ALL level
+    np_dt = np.dtype(jnp.dtype(dtype).name)  # arrays (see utils/pack.py)
     levels = []
     host_ops = [a_sp]
     trace = _SetupTrace()
@@ -288,9 +292,9 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             # l1 smoother: D = diag(Σ_j |a_ij|); host row sums (setup is
             # host-orchestrated here and a_sp is already materialized)
             dinv_np = 1.0 / np.asarray(np.abs(a_sp).sum(axis=1)).ravel()
-            dinv = jnp.asarray(dinv_np, dtype=dtype)
-            lmax = jnp.asarray(_estimate_lmax_host(a_sp, dinv_np),
-                               dtype=dtype)
+            dinv = batch.add(dinv_np, np_dt)
+            lmax = batch.add(np.asarray(_estimate_lmax_host(a_sp, dinv_np),
+                                        np_dt))
         elif flavor == "device":
             dinv = 1.0 / diagonal(a_dev)
             lmax = estimate_lmax(a_dev, dinv)
@@ -298,8 +302,9 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             lmax = lmax.astype(dtype)
         else:
             dinv_np = 1.0 / a_sp.diagonal()
-            lmax = jnp.asarray(_estimate_lmax_host(a_sp, dinv_np), dtype=dtype)
-            dinv = jnp.asarray(dinv_np, dtype=dtype)
+            lmax = batch.add(np.asarray(_estimate_lmax_host(a_sp, dinv_np),
+                                        np_dt))
+            dinv = batch.add(dinv_np, np_dt)
         trace.mark(f"L{len(levels)} lmax")
         # operator forms: decide BEFORE any device upload so every array
         # crosses the (slow) host→device boundary exactly once
@@ -322,24 +327,23 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             from ..sparse.routed import routed_from_scipy
 
             if a_lvl is None or isinstance(a_lvl, Ell):
-                rt = routed_from_scipy(a_sp, dtype=dtype)
+                rt = routed_from_scipy(a_sp, dtype=dtype, put=batch.add)
                 if rt is not None:
                     a_lvl = rt
-            rt = routed_from_scipy(p_sp, dtype=dtype)
+            rt = routed_from_scipy(p_sp, dtype=dtype, put=batch.add)
             if rt is not None:
                 p_lvl = rt
-            rt = routed_from_scipy(pt_sp, dtype=dtype)
+            rt = routed_from_scipy(pt_sp, dtype=dtype, put=batch.add)
             if rt is not None:
                 r_lvl = rt
         if a_lvl is None:  # deferred host-flavor ELL upload (no routed)
-            a_lvl = Ell(col=jnp.asarray(cur_planes[0]),
-                        val=jnp.asarray(cur_planes[1], dtype=dtype),
-                        n_cols=n)
+            a_lvl = Ell(col=batch.add(cur_planes[0]),
+                        val=batch.add(cur_planes[1], np_dt), n_cols=n)
         if p_lvl is None:
-            p_lvl = Ell(col=jnp.asarray(p_col),
-                        val=jnp.asarray(p_val, dtype=dtype), n_cols=nc)
+            p_lvl = Ell(col=batch.add(p_col),
+                        val=batch.add(p_val, np_dt), n_cols=nc)
         if r_lvl is None:
-            r_lvl = ell_from_scipy(pt_sp, dtype=dtype)
+            r_lvl = ell_from_scipy(pt_sp, dtype=dtype, put=batch.add)
         trace.mark(f"L{len(levels)} operator form")
         levels.append(Level(a=a_lvl, dinv=dinv, p=p_lvl, r=r_lvl, lmax=lmax))
         a_sp = ac_sp
@@ -354,12 +358,12 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
 
     dense = np.asarray(a_sp.toarray(), dtype=np.float64)
     fac = _coarse_factor(dense, params)
-    hier = Hierarchy(
+    hier = batch.resolve(Hierarchy(
         levels=tuple(levels),
-        coarse_chol=jnp.asarray(fac, dtype=dtype),
-        coarse_a=jnp.asarray(dense, dtype=dtype),
+        coarse_chol=batch.add(fac, np_dt),
+        coarse_a=batch.add(dense, np_dt),
         params=params,
-    )
+    ))
     if keep_host:
         return hier, host_ops
     return hier
@@ -445,6 +449,10 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
     else:
         offsets, data = dia_planes_from_scipy(a_sp)  # f64 numpy end-to-end
 
+    from ..utils.pack import DeferredUpload
+
+    batch = DeferredUpload()
+    np_dt = np.dtype(jnp.dtype(dtype).name)
     levels = []
     host_ops = [a_sp] if keep_host else None
     trace = _SetupTrace()
@@ -513,20 +521,20 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
             # Galerkin coarse operators have boundary-modified values
             from ..sparse.formats import to_const_dia
 
-            a_lvl = to_const_dia(host_dia)
+            a_lvl = to_const_dia(host_dia, put=batch.add)
             # matrix-free: streams x/y only (~2.8× PlaneDia)
         if a_lvl is None and jax.default_backend() == "tpu":
             from ..sparse.formats import to_plane_dia
 
-            a_lvl = to_plane_dia(host_dia, dtype="auto")
+            a_lvl = to_plane_dia(host_dia, dtype="auto", put=batch.add)
             # plane-major: 2× SpMV bandwidth on chip
         if a_lvl is None:
-            a_lvl = Dia(data=jnp.asarray(data_f), offsets=tuple(offsets),
+            a_lvl = Dia(data=batch.add(data_f), offsets=tuple(offsets),
                         dims=dims)
         trace.mark(f"L{len(levels)} operator form ({type(a_lvl).__name__})")
-        levels.append(Level(a=a_lvl, dinv=jnp.asarray(dinv_np, dtype=dtype),
+        levels.append(Level(a=a_lvl, dinv=batch.add(dinv_np, np_dt),
                             p=p, r=r,
-                            lmax=jnp.asarray(lmax, dtype=dtype)))
+                            lmax=batch.add(np.asarray(lmax, np_dt))))
         offsets, data, dims = offs_c, np.asarray(data_c), coarse_dims
         n = int(np.prod(dims))
         if keep_host:
@@ -541,12 +549,12 @@ def _amg_setup_structured(a_dev, a_sp, dims, params: AMGParams,
             idx = np.arange(i0, i1)
             dense[idx, idx + off] = data[k, i0:i1]
     fac = _coarse_factor(dense, params)
-    hier = Hierarchy(
+    hier = batch.resolve(Hierarchy(
         levels=tuple(levels),
-        coarse_chol=jnp.asarray(fac, dtype=dtype),
-        coarse_a=jnp.asarray(dense, dtype=dtype),
+        coarse_chol=batch.add(fac, np_dt),
+        coarse_a=batch.add(dense, np_dt),
         params=params,
-    )
+    ))
     if keep_host:
         return hier, host_ops
     return hier

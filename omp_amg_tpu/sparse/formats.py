@@ -161,7 +161,7 @@ class PlaneDia:
         return self.data4.dtype
 
 
-def to_plane_dia(a: Dia, dtype=None):
+def to_plane_dia(a: Dia, dtype=None, put=None):
     """Dia → PlaneDia when the 3D plane contract holds, else None.
 
     ``dtype=jnp.bfloat16`` stores the operator at half traffic (the SpMV
@@ -193,7 +193,7 @@ def to_plane_dia(a: Dia, dtype=None):
                 d4 = cast
         elif dtype is not None:
             d4 = d4.astype(jnp.dtype(dtype))
-        return PlaneDia(data4=jnp.asarray(d4), offsets=a.offsets,
+        return PlaneDia(data4=(put or jnp.asarray)(d4), offsets=a.offsets,
                         dims=a.dims)
     data4 = jnp.transpose(a.data.reshape(ndiag, nz, pr, 128), (1, 0, 2, 3))
     if dtype == "auto":
@@ -300,7 +300,7 @@ def _const_check_dev(data, coeffs, taps, dims):
     return ok
 
 
-def _const_xy_masks(taps, dims):
+def _const_xy_masks(taps, dims, put=None):
     """Deduplicated in-plane validity masks → ((nmask, pr, 128) f32, map)."""
     nz, ny, nx = dims
     plane = ny * nx
@@ -322,11 +322,12 @@ def _const_xy_masks(taps, dims):
          .astype(np.float32))
         for (dy, dx) in uniq
     ] or [np.ones(plane, np.float32)]  # dummy row keeps the pytree non-empty
-    masks = jnp.asarray(np.stack(rows).reshape(len(rows), pr, 128))
+    masks = (put or jnp.asarray)(
+        np.stack(rows).reshape(len(rows), pr, 128))
     return masks, tuple(mask_of)
 
 
-def to_const_dia(a: Dia):
+def to_const_dia(a: Dia, put=None):
     """Dia → ConstDia when the operator is a masked-constant stencil, else None.
 
     The verification compares every stored value against the index-derived
@@ -375,7 +376,7 @@ def to_const_dia(a: Dia):
         coeffs = tuple(float(v) for v in np.asarray(a.data[:, mid]))
         if not bool(_const_check_dev(a.data, coeffs, taps, dims)):
             return None
-    masks, mask_of = _const_xy_masks(taps, dims)
+    masks, mask_of = _const_xy_masks(taps, dims, put=put)
     return ConstDia(masks=masks, coeffs=coeffs, offsets=tuple(a.offsets),
                     taps=taps, mask_of=mask_of, dims=dims)
 
@@ -453,9 +454,12 @@ def ell_planes_from_scipy(a, width: int | None = None, dtype=np.float32):
     return col, val.astype(dtype), int(n_cols)
 
 
-def ell_from_scipy(a, width: int | None = None, dtype=jnp.float32) -> Ell:
+def ell_from_scipy(a, width: int | None = None, dtype=jnp.float32,
+                   put=None) -> Ell:
     col, val, n_cols = ell_planes_from_scipy(a, width=width, dtype=np.float64)
-    return Ell(col=jnp.asarray(col), val=jnp.asarray(val, dtype=dtype), n_cols=n_cols)
+    put = put or jnp.asarray
+    return Ell(col=put(col), val=put(np.asarray(val, jnp.dtype(dtype))),
+               n_cols=n_cols)
 
 
 def ell_planes_to_scipy(col: np.ndarray, val: np.ndarray, n_cols: int):

@@ -268,8 +268,15 @@ def unpack_lidx4(packed: np.ndarray, K: int) -> np.ndarray:
     return out
 
 
-def routed_from_scipy(m, dtype=jnp.float32):
-    """scipy sparse → RoutedEll device operator (None if uneconomical)."""
+def routed_from_scipy(m, dtype=jnp.float32, put=None):
+    """scipy sparse → RoutedEll device operator (None if uneconomical).
+
+    ``put`` overrides the host→device transfer (e.g. a
+    ``DeferredUpload.add`` to batch all plan arrays of a hierarchy into
+    one relay transfer — see utils/pack.py).
+    """
+    if put is None:
+        put = jnp.asarray
     plan = plan_routed(m, dtype=np.float64)
     if plan is None:
         return None
@@ -281,10 +288,10 @@ def routed_from_scipy(m, dtype=jnp.float32):
         # absolute x chunk per (slot, sublane); padded tail stays in-bounds
         soff = soff + plan["sbase"][0, :nb, None, None]
     return RoutedEll(
-        val4=jnp.asarray(plan["val4"], dtype=dtype),
-        lidx4=jnp.asarray(pack_lidx4(plan["lidx4"])),
-        soff=jnp.asarray(soff),
-        sbase=jnp.asarray(plan["sbase"]),
+        val4=put(np.asarray(plan["val4"], jnp.dtype(dtype))),
+        lidx4=put(pack_lidx4(plan["lidx4"])),
+        soff=put(np.ascontiguousarray(soff)),
+        sbase=put(plan["sbase"]),
         n_rows=plan["n_rows"], n_cols=plan["n_cols"],
         span=plan["span"], nxp=plan["nxp"], nnz=plan["nnz"],
         resident=resident,

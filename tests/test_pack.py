@@ -1,0 +1,69 @@
+"""Batched host→device upload (utils/pack.py) — the axon relay charges
+~0.4 s per host→device array, so setup ships one buffer per dtype."""
+
+import numpy as np
+import pytest
+
+import omp_amg_tpu as amg
+from omp_amg_tpu.amg.hierarchy import amg_setup
+from omp_amg_tpu.amg.params import AMGParams
+from omp_amg_tpu.utils.pack import DeferredUpload
+
+
+def test_deferred_upload_roundtrip():
+    b = DeferredUpload(eager=False)
+    parts = [np.arange(7, dtype=np.float32),
+             np.arange(12, dtype=np.int32).reshape(3, 4),
+             np.float32(3.25).reshape(()),
+             np.arange(5, dtype=np.float64) * 0.5,
+             np.arange(6, dtype=np.float32).reshape(2, 3)]
+    hs = [b.add(p) for p in parts]
+    tree = {"x": hs[0], "rest": (hs[1], hs[2]), "more": [hs[3], hs[4]]}
+    out = b.resolve(tree)
+    np.testing.assert_array_equal(np.asarray(out["x"]), parts[0])
+    np.testing.assert_array_equal(np.asarray(out["rest"][0]), parts[1])
+    np.testing.assert_array_equal(np.asarray(out["rest"][1]), parts[2])
+    np.testing.assert_array_equal(np.asarray(out["more"][0]), parts[3])
+    np.testing.assert_array_equal(np.asarray(out["more"][1]), parts[4])
+    assert out["rest"][1].shape == ()
+
+
+def test_deferred_upload_dtype_convert_and_empty():
+    b = DeferredUpload(eager=False)
+    h = b.add(np.arange(4, dtype=np.float64), np.float32)
+    out = b.resolve((h,))[0]
+    assert out.dtype == np.float32
+    b2 = DeferredUpload(eager=False)
+    assert b2.resolve({"a": 1}) == {"a": 1}   # no parts → no-op
+
+
+@pytest.mark.parametrize("mode", ["structured", "pmis"])
+def test_batched_setup_equals_eager(monkeypatch, mode):
+    """Hierarchies built through the batched uploader are bit-identical to
+    the eager ones (the TPU path is batched; CPU tests force it)."""
+    import jax
+
+    from omp_amg_tpu.utils import pack
+
+    N = 16
+    a = amg.poisson3d_7pt(N)
+    kw = (dict(grid=(N,) * 3) if mode == "structured"
+          else dict(params=AMGParams(coarsening="pmis")))
+    if mode == "pmis":
+        h_eager = amg_setup(a, kw["params"])
+    else:
+        h_eager = amg_setup(a, **kw)
+    monkeypatch.setattr(pack.DeferredUpload, "__init__",
+                        lambda self, eager=None: (
+                            setattr(self, "eager", False),
+                            setattr(self, "_parts", []),
+                            setattr(self, "resolved", None))[0])
+    if mode == "pmis":
+        h_batch = amg_setup(a, kw["params"])
+    else:
+        h_batch = amg_setup(a, **kw)
+    l_e, _ = jax.tree_util.tree_flatten(h_eager)
+    l_b, _ = jax.tree_util.tree_flatten(h_batch)
+    assert len(l_e) == len(l_b) and len(l_b) > 0
+    for x, y in zip(l_e, l_b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
