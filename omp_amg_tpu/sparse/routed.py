@@ -287,10 +287,16 @@ def routed_from_scipy(m, dtype=jnp.float32, put=None):
     if resident:
         # absolute x chunk per (slot, sublane); padded tail stays in-bounds
         soff = soff + plan["sbase"][0, :nb, None, None]
+    def sput(a):   # plans pack at ~0.1 eff: ship nonzeros only when
+        try:           # the put supports the sparse (scatter-fill) path
+            return put(a, sparse=True)
+        except TypeError:
+            return put(a)
+
     return RoutedEll(
-        val4=put(np.asarray(plan["val4"], jnp.dtype(dtype))),
-        lidx4=put(pack_lidx4(plan["lidx4"])),
-        soff=put(np.ascontiguousarray(soff)),
+        val4=sput(np.asarray(plan["val4"], jnp.dtype(dtype))),
+        lidx4=sput(pack_lidx4(plan["lidx4"])),
+        soff=sput(np.ascontiguousarray(soff)),
         sbase=put(plan["sbase"]),
         n_rows=plan["n_rows"], n_cols=plan["n_cols"],
         span=plan["span"], nxp=plan["nxp"], nnz=plan["nnz"],

@@ -40,16 +40,37 @@ class Handle:
         self.dtype = dtype
 
     def get(self):
+        if self._idx & _SCATTER_BIT:
+            return self._batch.resolved_scatter[self._idx & ~_SCATTER_BIT]
         return self._batch.resolved[self._idx]
 
 
+_SCATTER_BIT = 1 << 60
+
+
 @functools.lru_cache(maxsize=64)
-def _unpack_fn(spec):
-    """spec: tuple of (buf_index, offset, size, shape) per part."""
+def _unpack_fn(spec, scatter_spec):
+    """spec: (buf_index, offset, size, shape) per dense part.
+    scatter_spec: per dtype-group of sparse parts,
+    (dtype_str, total_size, parts=((off, size, shape), ...)) — ONE fused
+    scatter per dtype (sorted unique global indices), then static slices.
+    Scatter operands arrive as extra trailing bufs: idx0, val0, idx1, ...
+    Keeping the program to a couple of scatters is what keeps the
+    relay-side XLA compile of the unpack bounded."""
 
     def unpack(*bufs):
-        return tuple(bufs[g][off:off + size].reshape(shape)
-                     for g, off, size, shape in spec)
+        parts = tuple(bufs[g][off:off + size].reshape(shape)
+                      for g, off, size, shape in spec)
+        scat = []
+        sb = len(set(g for g, *_ in spec)) if spec else 0
+        for gi, (dts, total, sparts) in enumerate(scatter_spec):
+            idx = bufs[sb + 2 * gi]
+            val = bufs[sb + 2 * gi + 1]
+            filled = jnp.zeros(total, np.dtype(dts)).at[idx].set(
+                val, indices_are_sorted=True, unique_indices=True)
+            for off, size, shape in sparts:
+                scat.append(filled[off:off + size].reshape(shape))
+        return parts, tuple(scat)
 
     return jax.jit(unpack)
 
@@ -60,18 +81,33 @@ class DeferredUpload:
             eager = jax.default_backend() != "tpu"
         self.eager = eager
         self._parts: list = []
+        self._scatter: list = []
         self.resolved = None
 
-    def add(self, arr, dtype=None):
+    def add(self, arr, dtype=None, sparse=False):
         """Register a host array; returns a Handle (eager: device array).
 
-        ``dtype`` (numpy-compatible) converts before upload.
+        ``dtype`` (numpy-compatible) converts before upload. ``sparse``
+        ships only the nonzero entries (index + value) and scatter-fills a
+        zeros array on device — a big win for padded plan arrays (routed
+        val4/lidx4 pack at ~0.1 efficiency, so the dense transfer is ~90%
+        zeros). Falls back to dense when the sparse encoding isn't at
+        least 2× smaller.
         """
         arr = np.asarray(arr)
         if dtype is not None:
             arr = np.asarray(arr, dtype)
         if self.eager:
             return jnp.asarray(arr)
+        if sparse:
+            flat = arr.ravel()
+            idx = np.flatnonzero(flat)
+            if idx.size * (4 + arr.itemsize) < arr.nbytes // 2:
+                h = Handle(self, len(self._scatter) | _SCATTER_BIT,
+                           arr.shape, arr.dtype)
+                self._scatter.append((idx, flat[idx], arr.size, arr.shape,
+                                      np.dtype(arr.dtype).str))
+                return h
         h = Handle(self, len(self._parts), arr.shape, arr.dtype)
         self._parts.append(arr)   # ravel() at materialize handles layout
         return h
@@ -101,11 +137,43 @@ class DeferredUpload:
                 off += a.size
             bufs.append(np.concatenate(flats) if flats
                         else np.zeros(0, np.dtype(key)))
+        # fuse sparse parts: one global scatter per dtype (indices are
+        # globally offset host-side, stay sorted and unique)
+        sgroups: dict = {}
+        for si, (idx, val, size, shape, dts) in enumerate(self._scatter):
+            sgroups.setdefault(dts, []).append(si)
+        scatter_spec = []
+        order = []
+        for dts in sorted(sgroups):
+            off = 0
+            sparts = []
+            idxs, vals = [], []
+            for si in sgroups[dts]:
+                idx, val, size, shape, _ = self._scatter[si]
+                sparts.append((off, size, shape))
+                idxs.append(idx + off)
+                vals.append(val)
+                order.append(si)
+                off += size
+            if off >= 2 ** 31:
+                raise ValueError("scatter group exceeds int32 indexing")
+            scatter_spec.append((dts, off, tuple(sparts)))
+            bufs.append(np.concatenate(idxs).astype(np.int32) if idxs
+                        else np.zeros(0, np.int32))
+            bufs.append(np.concatenate(vals) if vals
+                        else np.zeros(0, np.dtype(dts)))
         t1 = time.perf_counter()
-        fn = _unpack_fn(tuple(spec))
-        self.resolved = fn(*bufs)
+        fn = _unpack_fn(tuple(spec), tuple(scatter_spec))
+        parts_out, scat_out = fn(*bufs)
+        self.resolved = parts_out
+        inv = [0] * len(self._scatter)
+        for pos, si in enumerate(order):
+            inv[si] = pos
+        self.resolved_scatter = [scat_out[inv[si]]
+                                 for si in range(len(self._scatter))]
         if timers:
-            jax.block_until_ready(self.resolved)
+            jax.block_until_ready((self.resolved,
+                                   tuple(self.resolved_scatter)))
             mb = sum(b.nbytes for b in bufs) / 1e6
             print(f"[setup] upload batch: {len(self._parts)} parts, "
                   f"{mb:.1f} MB, pack {t1 - t0:.3f}s, "

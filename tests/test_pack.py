@@ -53,11 +53,9 @@ def test_batched_setup_equals_eager(monkeypatch, mode):
         h_eager = amg_setup(a, kw["params"])
     else:
         h_eager = amg_setup(a, **kw)
+    real_init = pack.DeferredUpload.__init__
     monkeypatch.setattr(pack.DeferredUpload, "__init__",
-                        lambda self, eager=None: (
-                            setattr(self, "eager", False),
-                            setattr(self, "_parts", []),
-                            setattr(self, "resolved", None))[0])
+                        lambda self, eager=None: real_init(self, eager=False))
     if mode == "pmis":
         h_batch = amg_setup(a, kw["params"])
     else:
@@ -67,3 +65,16 @@ def test_batched_setup_equals_eager(monkeypatch, mode):
     assert len(l_e) == len(l_b) and len(l_b) > 0
     for x, y in zip(l_e, l_b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_deferred_upload_sparse_scatter():
+    b = DeferredUpload(eager=False)
+    dense = np.zeros((64, 128), np.float32)
+    dense[3, 5] = 2.5
+    dense[60, 100] = -1.0
+    h = b.add(dense, sparse=True)
+    small = np.arange(8, dtype=np.int32).reshape(2, 4)
+    h2 = b.add(small, sparse=True)   # falls back to dense (not sparse enough)
+    out = b.resolve((h, h2))
+    np.testing.assert_array_equal(np.asarray(out[0]), dense)
+    np.testing.assert_array_equal(np.asarray(out[1]), small)
