@@ -230,7 +230,7 @@ def main():
         from omp_amg_tpu.sparse.routed import RoutedEll, routed_to_scipy
         from omp_amg_tpu.sparse.formats import ell_to_scipy
 
-        np_ = int(os.environ.get("BENCH_PMIS_N", "64"))
+        np_ = int(os.environ.get("BENCH_PMIS_N", "96"))
         a_p = amg.poisson3d_7pt(np_)
         b_p = amg.default_rhs(a_p, "random", seed=0)
         pmis_d = {}
