@@ -127,7 +127,16 @@ def vcycle(hier: Hierarchy, b):
         x = _smooth_zero(lv, params, bl, params.nu_pre)
         r = residual(lv.a, x, bl)
         xc = coarse_visit(l + 1, spmv(lv.r, r), cyc)
-        x = x + spmv(lv.p, xc)
+        from ..sparse.routed import RoutedEll
+
+        if isinstance(lv.p, RoutedEll) and jax.default_backend() == "tpu":
+            # x + P·xc fused into the prolongation pass (one fewer
+            # serialized stage per level — the relay charges ~0.5 ms each)
+            from ..ops.pallas_routed import correct_routed
+
+            x = correct_routed(lv.p, xc, x)
+        else:
+            x = x + spmv(lv.p, xc)
         return _smooth(lv, params, x, bl, params.nu_post)
 
     return descend(0, b, params.cycle)

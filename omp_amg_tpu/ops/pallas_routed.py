@@ -113,7 +113,7 @@ def _accumulate_out(o_ref, acc, *, nkb=None, epi=None):
 
 def _routed_kernel(sbase_ref, soff_ref, lidx_ref, val_ref, x_hbm, *rest,
                    kb_slots, S, nb, nkb, mode):
-    n_vec = {"spmv": 0, "residual": 1, "jacobi": 3}[mode]
+    n_vec = {"spmv": 0, "residual": 1, "correct": 1, "jacobi": 3}[mode]
     vec_refs = rest[:n_vec]
     o_ref = rest[n_vec]
     span = rest[n_vec + 1]
@@ -156,7 +156,7 @@ def _make_routed_call(nb, K, S, P, nbp, nxp, dtype_name, interpret=False,
                       mode="spmv"):
     kb_slots = min(K, K_BLK)
     nkb = K // kb_slots
-    n_vec = {"spmv": 0, "residual": 1, "jacobi": 3}[mode]
+    n_vec = {"spmv": 0, "residual": 1, "correct": 1, "jacobi": 3}[mode]
     kernel = functools.partial(_routed_kernel, kb_slots=kb_slots, S=S,
                                nb=nb, nkb=nkb, mode=mode)
     vec_spec = pl.BlockSpec((8, LANES), lambda i, kb: (i, 0),
@@ -198,13 +198,16 @@ def _make_epilogue(mode, vec_refs):
     if mode == "residual":
         (b_ref,) = vec_refs
         return lambda y: b_ref[:, :] - y
+    if mode == "correct":
+        (x_ref,) = vec_refs
+        return lambda y: x_ref[:, :] + y
     x_ref, b_ref, s_ref = vec_refs
     return lambda y: x_ref[:, :] + s_ref[:, :] * (b_ref[:, :] - y)
 
 
 def _routed_resident_kernel(soff_ref, lidx_ref, val_ref, x_ref, *rest,
                             kb_slots, nkb, mode):
-    n_vec = {"spmv": 0, "residual": 1, "jacobi": 3}[mode]
+    n_vec = {"spmv": 0, "residual": 1, "correct": 1, "jacobi": 3}[mode]
     vec_refs = rest[:n_vec]
     o_ref = rest[n_vec]
     kb = pl.program_id(1)
@@ -224,7 +227,7 @@ def _make_resident_call(nb, K, P, nxp, dtype_name, interpret=False,
                         mode="spmv"):
     kb_slots = min(K, K_BLK)
     nkb = K // kb_slots
-    n_vec = {"spmv": 0, "residual": 1, "jacobi": 3}[mode]
+    n_vec = {"spmv": 0, "residual": 1, "correct": 1, "jacobi": 3}[mode]
     kernel = functools.partial(_routed_resident_kernel, kb_slots=kb_slots,
                                nkb=nkb, mode=mode)
     vec_spec = pl.BlockSpec((8, LANES), lambda i, kb: (i, 0),
@@ -293,6 +296,12 @@ def residual_routed(a: RoutedEll, x: jax.Array, b: jax.Array,
     (one pass over the level instead of SpMV + XLA axpy stages — the
     ConstDia fusion pattern for general sparsity)."""
     return _routed_call(a, x, (b,), "residual", interpret)
+
+
+def correct_routed(a: RoutedEll, xc: jax.Array, x: jax.Array,
+                   interpret: bool = False):
+    """x + P·xc in one fused pass (the coarse-grid correction stage)."""
+    return _routed_call(a, xc, (x,), "correct", interpret)
 
 
 def jacobi_routed(a: RoutedEll, x: jax.Array, b: jax.Array, s: jax.Array,

@@ -198,3 +198,18 @@ def test_fused_residual_jacobi_interpret():
     np.testing.assert_allclose(np.asarray(xj),
                                np.asarray(x + s * (b - y)),
                                rtol=0, atol=1e-5)
+    from omp_amg_tpu.ops.pallas_routed import correct_routed
+
+    # rectangular P (fine×coarse): x + P·xc fused correction
+    nc = 1100
+    pc = np.clip(rows // 3 + rng.integers(-20, 20, len(rows)), 0, nc - 1)
+    p_sp = sp.csr_matrix((rng.standard_normal(len(rows)), (rows, pc)),
+                         shape=(n, nc))
+    p_sp.sum_duplicates()
+    pt = routed_from_scipy(p_sp)
+    assert pt is not None
+    xc = jnp.asarray(rng.standard_normal(nc).astype(np.float32))
+    xcorr = correct_routed(pt, xc, x, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(xcorr), np.asarray(x) + p_sp @ np.asarray(xc),
+        rtol=0, atol=1e-4)
