@@ -222,16 +222,81 @@ def _routed_resident_kernel(soff_ref, lidx_ref, val_ref, x_ref, *rest,
         nkb=nkb, epi=_make_epilogue(mode, vec_refs))
 
 
+def _routed_resident_kact_kernel(kact_ref, soff_ref, lidx_ref, val_ref,
+                                 x_ref, *rest, kb_slots, mode):
+    """Resident kernel with per-block ACTIVE K-chunk early exit.
+
+    Low-efficiency plans (PMIS coarse operators pack at ~0.2) pad K to the
+    worst block's slot demand; this variant skips the all-padding chunks:
+    compute runs only while ``kb < kact[i]`` and the plan-array index map
+    clamps to the last active chunk so the pipeline elides the dead DMAs.
+    """
+    n_vec = {"spmv": 0, "residual": 1, "correct": 1, "jacobi": 3}[mode]
+    vec_refs = rest[:n_vec]
+    o_ref = rest[n_vec]
+    i = pl.program_id(0)
+    kb = pl.program_id(1)
+    ka = kact_ref[i]
+    epi = _make_epilogue(mode, vec_refs)
+
+    def win_of(k):
+        return jnp.concatenate(
+            [x_ref[pl.ds(soff_ref[kb, k * 8 + s], 1), :] for s in range(8)],
+            axis=0)
+
+    @pl.when(kb < ka)
+    def _():
+        acc = _slot_accumulate(win_of, lidx_ref, val_ref, K=kb_slots)
+        prev = jnp.where(kb == 0, jnp.zeros_like(acc), o_ref[:, :])
+        cur = prev + acc
+        if epi is None:
+            o_ref[:, :] = cur
+        else:
+            o_ref[:, :] = jnp.where(kb == ka - 1, epi(cur), cur)
+
+
 @functools.lru_cache(maxsize=256)
 def _make_resident_call(nb, K, P, nxp, dtype_name, interpret=False,
-                        mode="spmv"):
+                        mode="spmv", kact=False):
     kb_slots = min(K, K_BLK)
     nkb = K // kb_slots
     n_vec = {"spmv": 0, "residual": 1, "correct": 1, "jacobi": 3}[mode]
-    kernel = functools.partial(_routed_resident_kernel, kb_slots=kb_slots,
-                               nkb=nkb, mode=mode)
     vec_spec = pl.BlockSpec((8, LANES), lambda i, kb: (i, 0),
                             memory_space=pltpu.VMEM)
+    if kact and nkb > 1:
+        kernel = functools.partial(_routed_resident_kact_kernel,
+                                   kb_slots=kb_slots, mode=mode)
+
+        def plan_map(i, kb, ka):
+            return (i, jnp.minimum(kb, ka[i] - 1), 0, 0)
+
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(nb, nkb),
+                in_specs=[
+                    pl.BlockSpec((None, nkb, P),
+                                 lambda i, kb, ka: (i, 0, 0),
+                                 memory_space=pltpu.SMEM),     # soff
+                    pl.BlockSpec((None, kb_slots // 4, 8, LANES), plan_map,
+                                 memory_space=pltpu.VMEM),     # lidx4
+                    pl.BlockSpec((None, kb_slots, 8, LANES), plan_map,
+                                 memory_space=pltpu.VMEM),     # val4
+                    pl.BlockSpec((nxp, LANES),
+                                 lambda i, kb, ka: (0, 0),
+                                 memory_space=pltpu.VMEM),     # x2, whole
+                ] + [pl.BlockSpec((8, LANES), lambda i, kb, ka: (i, 0),
+                                  memory_space=pltpu.VMEM)] * n_vec,
+                out_specs=pl.BlockSpec((8, LANES),
+                                       lambda i, kb, ka: (i, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            out_shape=jax.ShapeDtypeStruct((nb * 8, LANES), jnp.float32),
+            interpret=interpret,
+        )
+    kernel = functools.partial(_routed_resident_kernel, kb_slots=kb_slots,
+                               nkb=nkb, mode=mode)
     return pl.pallas_call(
         kernel,
         grid=(nb, nkb),
@@ -274,9 +339,14 @@ def _routed_call(a: RoutedEll, x: jax.Array, vecs, mode: str,
     dt = jnp.dtype(a.val4.dtype).name
     vps = tuple(_pad_vec(a, v) for v in vecs)
     if a.resident:
+        use_kact = a.kact is not None and min(K, K_BLK) < K
         call = _make_resident_call(nb, K, a.soff.shape[2], a.nxp, dt,
-                                   interpret, mode)
-        y = call(a.soff, a.lidx4, a.val4, _pad_x(a, x), *vps)
+                                   interpret, mode, kact=use_kact)
+        if use_kact:
+            y = call(a.kact[0, :nb], a.soff, a.lidx4, a.val4,
+                     _pad_x(a, x), *vps)
+        else:
+            y = call(a.soff, a.lidx4, a.val4, _pad_x(a, x), *vps)
     else:
         call = _make_routed_call(nb, K, a.span, a.soff.shape[2],
                                  a.sbase.shape[1], a.nxp, dt, interpret,

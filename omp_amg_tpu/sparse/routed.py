@@ -108,6 +108,9 @@ class RoutedEll:
     nxp: int = _static()    # padded x length in chunks
     nnz: int = _static()    # structural nonzeros (metrics)
     resident: bool = _static(default=False)  # x fully VMEM-resident kernel
+    kact: object = None  # (1, NBP) int32 — per-block ACTIVE K-chunk count
+                         # (resident kernel skips all-padding K-chunks:
+                         # low-eff plans pad K to the worst block's demand)
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -156,6 +159,7 @@ def plan_routed(m, dtype=np.float32, k_min: int = 0, s_min: int = 0):
             lidx4=np.zeros((nb, K, 8, LANES), np.int32),
             soff=np.zeros((nb, 1, _pad_to(8 * K, LANES)), np.int32),
             sbase=np.zeros((1, _pad_to(nb, LANES)), np.int32),
+            kact_kb=np.ones((1, _pad_to(nb, LANES)), np.int32),
             n_rows=n_rows, n_cols=n_cols, span=S, nxp=max(S, nc2), nnz=0,
             K=K, eff=0.0,
         )
@@ -211,6 +215,11 @@ def plan_routed(m, dtype=np.float32, k_min: int = 0, s_min: int = 0):
         return None
     kb_slots = min(K, K_BLK)
     nkb = K // kb_slots
+    # per-BLOCK slot demand → active K-chunk count (kernel early-exit)
+    bk = np.zeros(nb, np.int64)
+    np.maximum.at(bk, g_of_gj[np.flatnonzero(new_g)] // 8, k_per_g)
+    kact_kb = np.zeros((1, _pad_to(nb, LANES)), np.int32)
+    kact_kb[0, :nb] = np.clip(-(-bk // kb_slots), 1, nkb)
 
     slot = slot_base[gj_id] + t  # per sorted nnz
 
@@ -236,7 +245,7 @@ def plan_routed(m, dtype=np.float32, k_min: int = 0, s_min: int = 0):
     nxp = max(int(base.max()) + S, nc2)
 
     return dict(
-        val4=val4, lidx4=lidx4, soff=soff, sbase=sbase,
+        val4=val4, lidx4=lidx4, soff=soff, sbase=sbase, kact_kb=kact_kb,
         n_rows=n_rows, n_cols=n_cols, span=S, nxp=nxp, nnz=nnz,
         K=K, eff=nnz / (nb * K * BLOCK_ROWS),
     )
@@ -298,6 +307,7 @@ def routed_from_scipy(m, dtype=jnp.float32, put=None):
         lidx4=sput(pack_lidx4(plan["lidx4"])),
         soff=sput(np.ascontiguousarray(soff)),
         sbase=put(plan["sbase"]),
+        kact=put(plan["kact_kb"]),
         n_rows=plan["n_rows"], n_cols=plan["n_cols"],
         span=plan["span"], nxp=plan["nxp"], nnz=plan["nnz"],
         resident=resident,

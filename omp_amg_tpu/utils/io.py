@@ -90,6 +90,8 @@ def _pack_op(prefix: str, op, out: dict, meta: dict):
                                   op.nnz, int(op.resident)]
         for name in ("val4", "lidx4", "soff", "sbase"):
             out[prefix + ":" + name] = np.asarray(getattr(op, name))
+        if op.kact is not None:
+            out[prefix + ":kact"] = np.asarray(op.kact)
         return
     if isinstance(op, Dia):
         meta[prefix + ":kind"] = "dia"
@@ -140,6 +142,8 @@ def _unpack_op(prefix: str, data: dict, meta: dict):
             lidx4=jnp.asarray(data[prefix + ":lidx4"]),
             soff=jnp.asarray(data[prefix + ":soff"]),
             sbase=jnp.asarray(data[prefix + ":sbase"]),
+            kact=(jnp.asarray(data[prefix + ":kact"])
+                  if prefix + ":kact" in data else None),
             n_rows=n_rows, n_cols=n_cols, span=span, nxp=nxp, nnz=nnz,
             resident=bool(res))
     if kind == "dia":

@@ -213,3 +213,39 @@ def test_fused_residual_jacobi_interpret():
     np.testing.assert_allclose(
         np.asarray(xcorr), np.asarray(x) + p_sp @ np.asarray(xc),
         rtol=0, atol=1e-4)
+
+
+def test_kact_early_exit_kernel_matches_xla():
+    """Per-block active-K early exit (resident kernel): a skewed operator
+    whose worst block forces K >> typical must still be exact."""
+    import scipy.sparse as sp
+
+    import jax.numpy as jnp
+
+    from omp_amg_tpu.ops.pallas_routed import (
+        K_BLK, residual_routed, spmv_routed, spmv_routed_xla,
+    )
+    from omp_amg_tpu.sparse.routed import routed_from_scipy
+
+    rng = np.random.default_rng(7)
+    n = 4096
+    rows = np.concatenate([np.repeat(np.arange(n), 3),
+                           np.repeat(np.arange(200), 80)])
+    cols = np.clip(rows + rng.integers(-300, 300, len(rows)), 0, n - 1)
+    m = sp.csr_matrix((rng.standard_normal(len(rows)), (rows, cols)),
+                      shape=(n, n))
+    m.sum_duplicates()
+    rt = routed_from_scipy(m)
+    assert rt is not None and rt.resident and rt.kact is not None
+    assert rt.width > K_BLK     # multi-chunk K → the kact path is active
+    ka = np.asarray(rt.kact)[0, : rt.val4.shape[0]]
+    assert ka.min() >= 1 and ka.max() > ka.min()  # skew actually present
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    y1 = spmv_routed(rt, x, interpret=True)
+    y2 = spmv_routed_xla(rt, x)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                               rtol=0, atol=1e-4)
+    r = residual_routed(rt, x, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(b - y1),
+                               rtol=0, atol=1e-4)
