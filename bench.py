@@ -215,6 +215,41 @@ def main():
             assert res_c.rel_residual <= 1e-8, (name, res_c.rel_residual)
         details["configs"] = confs
 
+        # the same four configs through the CLASSICAL (PMIS) pipeline —
+        # the reference's ONLY pipeline (SURVEY §1); the structured runs
+        # above are the TPU fast path's shadow of it. Per-config on-chip
+        # parity evidence: setup, certified 1e-8 solve, iteration counts
+        # (VERDICT r2 #4).
+        if os.environ.get("BENCH_PMIS_CONFIGS", "1") == "1":
+            pconfs = {}
+            for name, make, grid, prm in cfgs:
+                import dataclasses as _dc
+
+                prm_p = _dc.replace(prm, coarsening="pmis")
+                a_c = make()
+                b_c = amg.default_rhs(a_c, "random", seed=0)
+                t0 = time.time()
+                h_c = amg_setup(a_c, prm_p)
+                setup_c = time.time() - t0
+                a_sp_c = amg.dia_to_scipy(a_c)
+                t0 = time.time()
+                res_c = solve_ir(a_sp_c, np.asarray(b_c, np.float64), a_c,
+                                 h_c, tol=1e-8, maxiter=500)
+                solve_c = time.time() - t0
+                pconfs[name] = {
+                    "setup_s": setup_c, "solve_first_s": solve_c,
+                    "iters": int(sum(res_c.inner_iters)),
+                    "outer_iters": int(res_c.outer_iters),
+                    "rel_residual_f64": float(res_c.rel_residual),
+                }
+                log(f"config {name} [pmis]: setup {setup_c:.1f}s, "
+                    f"solve(first+compile) {solve_c:.2f}s, "
+                    f"iters {pconfs[name]['iters']} "
+                    f"(+{res_c.outer_iters} outer), "
+                    f"f64 rel {res_c.rel_residual:.2e}")
+                assert res_c.rel_residual <= 1e-8, (name, res_c.rel_residual)
+            details["pmis_configs"] = pconfs
+
     # ---- PMIS (general-sparsity) path: routed SpMV + device probe RAP ----
     if os.environ.get("BENCH_PMIS", "1") == "1" \
             and os.environ.get("BENCH_SKIP_SOLVE") != "1":

@@ -293,9 +293,18 @@ def strong_axes(a_sp, dims: Tuple[int, ...], theta: float) -> Tuple[bool, ...]:
     # per plane, so a strided sample's median equals the full median — and
     # the full scan was the hottest setup phase at 128³ (2.6 s → 35 ms)
     stride = max(1, n // 65536)
+    if stride > 1 and dims:
+        # keep the stride coprime with the grid dims so the sample walks
+        # all plane/column positions instead of aliasing one of them
+        # (a stride that divides nx would sample a single column)
+        import math
+
+        while any(math.gcd(stride, max(d, 1)) != 1 for d in dims):
+            stride += 1
     sub = np.ascontiguousarray(data[:, ::stride]) if stride > 1 else data
     interior = np.abs(sub).min(axis=0) > 0  # rows where every tap is active
-    if not interior.any() and stride > 1:
+    if stride > 1 and interior.mean() < 0.01:
+        # anomalously thin sampled interior → fall back to the full scan
         sub = data
         interior = np.abs(sub).min(axis=0) > 0
     if not interior.any():

@@ -84,6 +84,11 @@ def main(argv=None) -> int:
     import jax
     import jax.numpy as jnp
 
+    # multi-controller entry (SURVEY §5.8): env-gated, no-op single-process
+    from .parallel.multihost import maybe_initialize
+
+    maybe_initialize()
+
     try:
         jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -1,24 +1,25 @@
 """Pallas TPU kernel for routed-ELL SpMV (general / PMIS-hierarchy operators).
 
-See :mod:`omp_amg_tpu.sparse.routed` for the format and planner. Per grid
-step (one 1024-row block):
+See :mod:`omp_amg_tpu.sparse.routed` for the compact-chunk format and
+planner. Round-3 design (VERDICT r2 #1): ONE flattened in-kernel chunk loop
+with manual DMA.
 
-- one contiguous span DMA from HBM x (double-buffered: block i prefetches
-  block i+1's span before waiting on its own — the per-block base lives
-  fully in SMEM so it is readable ahead of the grid step);
-- per slot k: 8 dynamic sublane slices of the span (one per sublane group)
-  + one width-128 ``take_along_axis`` + one fma. Both primitives measured
-  at full VPU speed on the real chip (scripts/probe_span_slice.py:
-  19 Gnnz/s padded-slot throughput, ~190 GB/s streamed).
-
-Two variants, chosen statically at plan time (``RoutedEll.resident``):
-
-- **resident** (padded x + plan blocks fit VMEM, ~12 MB cap): the whole
-  (nxp, 128) x lives in VMEM for the kernel's duration and ``soff`` holds
-  ABSOLUTE x chunk indices — no manual DMA at all. The streamed variant
-  measured DMA-latency-bound at ~5.5 µs per 1024-row block on hierarchy
-  levels; resident removes that floor.
-- **streamed** (big x): per-block contiguous span DMA as described above.
+- The grid is ``(nb / RB,)``: each step owns RB = 8 row-blocks, so the
+  per-grid-step pipeline overhead (~3 µs measured through the relay) is
+  paid nb/8 times instead of nb·nkb times as in the round-2 layout.
+- Inside a step, ONE ``fori_loop`` runs over the *active* slot-chunks of
+  all RB blocks back to back (trip count = Σ kch[b], read from the
+  scalar-prefetched per-block chunk counts). Chunk DMAs (val 64 KB,
+  lidx 16 KB → VMEM; soff 512 B → SMEM) are issued RING−1 iterations
+  ahead through a ring of scratch buffers, so the loop streams plan bytes
+  at HBM speed with no BlockSpec revisiting. Padded compute now scales
+  with each block's own demand — the round-2 kernel paid worst-case K for
+  every block (packing efficiency 0.216 on PMIS A[1] @96³).
+- Per slot k: 8 dynamic sublane slices of x (resident: whole x in VMEM,
+  absolute chunk rows) or of a per-block span (streamed: one contiguous
+  span DMA per block, double-buffered across blocks) + one width-128
+  ``take_along_axis`` + one fma. Both primitives measured at full VPU
+  speed on the real chip (scripts/probe_span_slice.py: 19 Gnnz/s padded).
 
 The XLA emulation (`spmv_routed_xla`) computes the identical sum with a
 plain gather — the CPU-backend path and the test oracle.
@@ -33,325 +34,248 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..sparse.routed import (
-    BLOCK_ROWS, CHUNK_U, K_BLK, LANES, UNROLL_K, RoutedEll,
-)
+from ..sparse.routed import BLOCK_ROWS, KC, LANES, RB, RoutedEll
 
-RING = 2
+RING = 4          # chunk-DMA ring depth (val/lidx/soff move together)
+SPAN_RING = 2     # per-block span buffers (streamed mode)
 
-# Slot-loop shape: Python-unroll fully up to UNROLL_K; above it, a
-# lax.fori_loop with a CHUNK_U-slot unrolled body bounds the Mosaic program
-# size (a K≈200 full unroll produced a compile payload the relay rejects
-# outright — HTTP 413) while keeping most of the unrolled throughput
-# (measured: plain fori_loop halves padded Gnnz/s vs unrolled).
+_N_VEC = {"spmv": 0, "residual": 1, "correct": 1, "jacobi": 3}
 
 
-def _slot_accumulate(win_of, lidx_ref, val_ref, *, K):
-    """acc = Σ_k val[k] * win_of(k)[lidx[k]] with bounded program size.
+def _make_epilogue(mode, vec_refs, row):
+    """Fused level-stage epilogues (the ConstDia fusion pattern applied to
+    the routed kernel): residual r = b − Ax; Jacobi x' = x + s·(b − Ax);
+    coarse-grid correction x + P·xc. ``row`` is the dynamic sublane offset
+    of the current row-block inside the step's (8·RB, 128) vec blocks."""
+    if mode == "spmv":
+        return lambda y: y
+    if mode == "residual":
+        (b_ref,) = vec_refs
+        return lambda y: b_ref[pl.ds(row, 8), :] - y
+    if mode == "correct":
+        (x_ref,) = vec_refs
+        return lambda y: x_ref[pl.ds(row, 8), :] + y
+    x_ref, b_ref, s_ref = vec_refs
+    return lambda y: (x_ref[pl.ds(row, 8), :]
+                      + s_ref[pl.ds(row, 8), :]
+                      * (b_ref[pl.ds(row, 8), :] - y))
 
-    ``lidx_ref`` holds 4 slots' 7-bit lane indices per int32 word
+
+def _chunk_accum(win_read, sbuf, lbuf, vbuf, slot, acc):
+    """acc += Σ_{k<KC} val[k] · win(soff[k])[lidx[k]] for one slot-chunk.
+
+    ``lbuf`` holds 4 slots' 7-bit lane indices per int32 word
     (sparse/routed.pack_lidx4) — the unpack shift/mask runs on the VPU and
-    buys a 5/8 plan-stream reduction in the bandwidth-bound hot loop. The
-    sub-word position is static under both loop shapes (CHUNK_U is a
-    multiple of 4), so the shift amounts are immediates."""
-    def slot(k, kw, sub, acc):
-        word = lidx_ref[pl.ds(kw, 1)][0]
-        lane = jnp.right_shift(word, 8 * sub) & 0x7F
-        g = jnp.take_along_axis(win_of(k), lane, axis=1)
-        return acc + val_ref[pl.ds(k, 1)][0].astype(jnp.float32) * g
-
-    acc = jnp.zeros((8, LANES), jnp.float32)
-    if K <= UNROLL_K:
-        for k in range(K):
-            acc = slot(k, k // 4, k % 4, acc)
-        return acc
-
-    def chunk(c, acc):
-        for u in range(CHUNK_U):  # Mosaic supports only unroll=1/full, so
-            acc = slot(c * CHUNK_U + u, c * (CHUNK_U // 4) + u // 4,
-                       u % 4, acc)  # unroll by hand inside the body
-        return acc
-
-    n_full = K // CHUNK_U
-    acc = jax.lax.fori_loop(0, n_full, chunk, acc)
-    for k in range(n_full * CHUNK_U, K):  # remainder (planner pads K away)
-        acc = slot(k, k // 4, k % 4, acc)
+    buys a ¾ plan-stream reduction in the bandwidth-bound hot loop."""
+    for k in range(KC):
+        word = lbuf[slot, k // 4]
+        lane = jnp.right_shift(word, 8 * (k % 4)) & 0x7F
+        win = jnp.concatenate(
+            [win_read(sbuf[slot, k * 8 + s]) for s in range(8)], axis=0)
+        g = jnp.take_along_axis(win, lane, axis=1)
+        acc = acc + vbuf[slot, k].astype(jnp.float32) * g
     return acc
 
 
-def _accumulate_out(o_ref, acc, *, nkb=None, epi=None):
-    """Output blocks are revisited across the K-chunk grid dim (kb is the
-    innermost grid dimension, so the block stays VMEM-resident). ``epi``
-    (fused epilogue — residual/Jacobi) is applied once the block's last
-    K-chunk has accumulated."""
-    kb = pl.program_id(1)
-    if epi is None:
-        @pl.when(kb == 0)
-        def _():
-            o_ref[:, :] = acc
-
-        @pl.when(kb != 0)
-        def _():
-            o_ref[:, :] = o_ref[:, :] + acc
-        return
-    if nkb == 1:
-        o_ref[:, :] = epi(acc)
-        return
-
-    @pl.when(kb == 0)
-    def _():
-        o_ref[:, :] = acc
-
-    @pl.when(jnp.logical_and(kb != 0, kb != nkb - 1))
-    def _():
-        o_ref[:, :] = o_ref[:, :] + acc
-
-    @pl.when(jnp.logical_and(kb != 0, kb == nkb - 1))
-    def _():
-        o_ref[:, :] = epi(o_ref[:, :] + acc)
-
-
-def _routed_kernel(sbase_ref, soff_ref, lidx_ref, val_ref, x_hbm, *rest,
-                   kb_slots, S, nb, nkb, mode):
-    n_vec = {"spmv": 0, "residual": 1, "correct": 1, "jacobi": 3}[mode]
+def _kloop_kernel(kch_ref, cb_ref, *args, mode, rb, nbb, span_s, streamed):
+    """The flattened chunk-loop kernel (resident and streamed flavors)."""
+    n_vec = _N_VEC[mode]
+    if streamed:
+        sb_ref = args[0]
+        soff_hbm, lidx_hbm, val_hbm, x_hbm = args[1:5]
+        rest = args[5:]
+    else:
+        soff_hbm, lidx_hbm, val_hbm, x_ref = args[0:4]
+        rest = args[4:]
     vec_refs = rest[:n_vec]
     o_ref = rest[n_vec]
-    span = rest[n_vec + 1]
-    sems = rest[n_vec + 2]
-    i = pl.program_id(0)
-    kb = pl.program_id(1)
+    scratch = rest[n_vec + 1:]
+    if streamed:
+        vbuf, lbuf, sbuf, sems, span, ssem = scratch
+    else:
+        vbuf, lbuf, sbuf, sems = scratch
 
-    def copy(p):
-        slot = jax.lax.rem(p, RING)
+    i = pl.program_id(0)
+    g0 = i * rb
+
+    ka = [kch_ref[g0 + r] for r in range(rb)]
+    cums = [jnp.int32(0)]
+    for r in range(rb):
+        cums.append(cums[-1] + ka[r])
+    T = cums[rb]
+
+    def locate(c):
+        r = jnp.int32(0)
+        start = jnp.int32(0)
+        for jj in range(1, rb):
+            sel = c >= cums[jj]
+            r = jnp.where(sel, jnp.int32(jj), r)
+            start = jnp.where(sel, cums[jj], start)
+        lc = c - start
+        return r, lc
+
+    def chunk_dma(c, k):
+        r, lc = locate(c)
+        gc = cb_ref[g0 + r] + lc
+        slot = jax.lax.rem(c, RING)
         return pltpu.make_async_copy(
-            x_hbm.at[pl.ds(sbase_ref[0, p], S), :],
-            span.at[slot], sems.at[slot])
+            (val_hbm.at[gc], lidx_hbm.at[gc], soff_hbm.at[gc])[k],
+            (vbuf.at[slot], lbuf.at[slot], sbuf.at[slot])[k],
+            sems.at[slot, k])
 
-    @pl.when(jnp.logical_and(i == 0, kb == 0))
-    def _():
-        copy(jnp.int32(0)).start()
+    def start_chunk(c):
+        for k in range(3):
+            chunk_dma(c, k).start()
 
-    @pl.when(jnp.logical_and(kb == 0, i + 1 < nb))
-    def _():
-        copy(i + 1).start()
+    def span_dma(g):
+        return pltpu.make_async_copy(
+            x_hbm.at[pl.ds(sb_ref[g], span_s), :],
+            span.at[jax.lax.rem(g, SPAN_RING)],
+            ssem.at[jax.lax.rem(g, SPAN_RING)])
 
-    @pl.when(kb == 0)  # the slot persists across this block's K-chunks
-    def _():
-        copy(i).wait()
+    def start_span(g):
+        """Guarded span prefetch: only real blocks (kch > 0) get spans, and
+        the index is clamped so the scalar read stays in bounds."""
+        gcl = jnp.minimum(g, nbb - 1)
 
-    sl = jax.lax.rem(i, RING)
+        @pl.when(jnp.logical_and(g <= nbb - 1, kch_ref[gcl] > 0))
+        def _():
+            pltpu.make_async_copy(
+                x_hbm.at[pl.ds(sb_ref[gcl], span_s), :],
+                span.at[jax.lax.rem(gcl, SPAN_RING)],
+                ssem.at[jax.lax.rem(gcl, SPAN_RING)]).start()
 
-    def win_of(k):
-        return jnp.concatenate(
-            [span[sl, pl.ds(soff_ref[kb, k * 8 + s], 1), :] for s in range(8)],
-            axis=0)
+    pre = RING - 1
+    for j in range(pre):
+        @pl.when(j < T)
+        def _(j=j):
+            start_chunk(jnp.int32(j))
+    if streamed:
+        # Span prefetch is ONE block ahead (SPAN_RING = 2): block g's body
+        # waits span(g) then immediately starts span(g+1) — slot (g+1)%2
+        # was freed when block g−1 finished. Step 0 seeds span(g0); later
+        # steps inherit it from block g0−1's body.
+        @pl.when(i == 0)
+        def _():
+            start_span(g0)
 
-    _accumulate_out(
-        o_ref, _slot_accumulate(win_of, lidx_ref, val_ref, K=kb_slots),
-        nkb=nkb, epi=_make_epilogue(mode, vec_refs))
+    def body(c, acc):
+        r, lc = locate(c)
+        g = g0 + r
 
+        @pl.when(c + pre < T)
+        def _():
+            start_chunk(c + pre)
 
-@functools.lru_cache(maxsize=256)
-def _make_routed_call(nb, K, S, P, nbp, nxp, dtype_name, interpret=False,
-                      mode="spmv"):
-    kb_slots = min(K, K_BLK)
-    nkb = K // kb_slots
-    n_vec = {"spmv": 0, "residual": 1, "correct": 1, "jacobi": 3}[mode]
-    kernel = functools.partial(_routed_kernel, kb_slots=kb_slots, S=S,
-                               nb=nb, nkb=nkb, mode=mode)
-    vec_spec = pl.BlockSpec((8, LANES), lambda i, kb: (i, 0),
-                            memory_space=pltpu.VMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(nb, nkb),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),            # sbase (1,nbp)
-            # whole block's soff (all K-chunks): the TPU lowering wants the
-            # last two block dims equal to the array dims (nkb is not
-            # 8-divisible); the kernel indexes chunk kb directly
-            pl.BlockSpec((None, nkb, P), lambda i, kb: (i, 0, 0),
-                         memory_space=pltpu.SMEM),            # soff
-            pl.BlockSpec((None, kb_slots // 4, 8, LANES),
-                         lambda i, kb: (i, kb, 0, 0),
-                         memory_space=pltpu.VMEM),            # lidx4 (packed)
-            pl.BlockSpec((None, kb_slots, 8, LANES),
-                         lambda i, kb: (i, kb, 0, 0),
-                         memory_space=pltpu.VMEM),            # val4 chunk
-            pl.BlockSpec(memory_space=pl.ANY),                # x2 (nxp,128) HBM
-        ] + [vec_spec] * n_vec,
-        out_specs=pl.BlockSpec((8, LANES), lambda i, kb: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb * 8, LANES), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((RING, S, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((RING,)),
-        ],
-        interpret=interpret,
-    )
+        if streamed:
+            @pl.when(lc == 0)
+            def _():
+                span_dma(g).wait()
+                start_span(g + 1)
 
+        slot = jax.lax.rem(c, RING)
+        for k in range(3):
+            chunk_dma(c, k).wait()
 
-def _make_epilogue(mode, vec_refs):
-    """Fused level-stage epilogues (the ConstDia fusion pattern applied to
-    the routed kernel): residual r = b − Ax; Jacobi x' = x + s·(b − Ax)."""
-    if mode == "spmv":
-        return None
-    if mode == "residual":
-        (b_ref,) = vec_refs
-        return lambda y: b_ref[:, :] - y
-    if mode == "correct":
-        (x_ref,) = vec_refs
-        return lambda y: x_ref[:, :] + y
-    x_ref, b_ref, s_ref = vec_refs
-    return lambda y: x_ref[:, :] + s_ref[:, :] * (b_ref[:, :] - y)
+        if streamed:
+            sp = jax.lax.rem(g, SPAN_RING)
 
-
-def _routed_resident_kernel(soff_ref, lidx_ref, val_ref, x_ref, *rest,
-                            kb_slots, nkb, mode):
-    n_vec = {"spmv": 0, "residual": 1, "correct": 1, "jacobi": 3}[mode]
-    vec_refs = rest[:n_vec]
-    o_ref = rest[n_vec]
-    kb = pl.program_id(1)
-
-    def win_of(k):
-        return jnp.concatenate(
-            [x_ref[pl.ds(soff_ref[kb, k * 8 + s], 1), :] for s in range(8)],
-            axis=0)
-
-    _accumulate_out(
-        o_ref, _slot_accumulate(win_of, lidx_ref, val_ref, K=kb_slots),
-        nkb=nkb, epi=_make_epilogue(mode, vec_refs))
-
-
-def _routed_resident_kact_kernel(kact_ref, soff_ref, lidx_ref, val_ref,
-                                 x_ref, *rest, kb_slots, mode):
-    """Resident kernel with per-block ACTIVE K-chunk early exit.
-
-    Low-efficiency plans (PMIS coarse operators pack at ~0.2) pad K to the
-    worst block's slot demand; this variant skips the all-padding chunks:
-    compute runs only while ``kb < kact[i]`` and the plan-array index map
-    clamps to the last active chunk so the pipeline elides the dead DMAs.
-    """
-    n_vec = {"spmv": 0, "residual": 1, "correct": 1, "jacobi": 3}[mode]
-    vec_refs = rest[:n_vec]
-    o_ref = rest[n_vec]
-    i = pl.program_id(0)
-    kb = pl.program_id(1)
-    ka = kact_ref[i]
-    epi = _make_epilogue(mode, vec_refs)
-
-    def win_of(k):
-        return jnp.concatenate(
-            [x_ref[pl.ds(soff_ref[kb, k * 8 + s], 1), :] for s in range(8)],
-            axis=0)
-
-    @pl.when(kb < ka)
-    def _():
-        acc = _slot_accumulate(win_of, lidx_ref, val_ref, K=kb_slots)
-        prev = jnp.where(kb == 0, jnp.zeros_like(acc), o_ref[:, :])
-        cur = prev + acc
-        if epi is None:
-            o_ref[:, :] = cur
+            def win_read(srow):
+                return span[sp, pl.ds(srow, 1), :]
         else:
-            o_ref[:, :] = jnp.where(kb == ka - 1, epi(cur), cur)
+            def win_read(srow):
+                return x_ref[pl.ds(srow, 1), :]
+
+        acc0 = jnp.where(lc == 0, jnp.zeros((8, LANES), jnp.float32), acc)
+        acc1 = _chunk_accum(win_read, sbuf, lbuf, vbuf, slot, acc0)
+
+        @pl.when(lc == kch_ref[g] - 1)
+        def _():
+            row = r * 8
+            epi = _make_epilogue(mode, vec_refs, row)
+            o_ref[pl.ds(row, 8), :] = epi(acc1)
+
+        return acc1
+
+    jax.lax.fori_loop(0, T, body, jnp.zeros((8, LANES), jnp.float32))
 
 
 @functools.lru_cache(maxsize=256)
-def _make_resident_call(nb, K, P, nxp, dtype_name, interpret=False,
-                        mode="spmv", kact=False):
-    kb_slots = min(K, K_BLK)
-    nkb = K // kb_slots
-    n_vec = {"spmv": 0, "residual": 1, "correct": 1, "jacobi": 3}[mode]
-    vec_spec = pl.BlockSpec((8, LANES), lambda i, kb: (i, 0),
+def _make_kloop_call(nc, nbg, rb, nxp, span_s, dtype_name, streamed,
+                     interpret=False, mode="spmv"):
+    n_vec = _N_VEC[mode]
+    nbb = nbg * rb
+    dtype = jnp.dtype(dtype_name)
+    kernel = functools.partial(_kloop_kernel, mode=mode, rb=rb, nbb=nbb,
+                               span_s=span_s, streamed=streamed)
+    vec_spec = pl.BlockSpec((8 * rb, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
-    if kact and nkb > 1:
-        kernel = functools.partial(_routed_resident_kact_kernel,
-                                   kb_slots=kb_slots, mode=mode)
-
-        def plan_map(i, kb, ka):
-            return (i, jnp.minimum(kb, ka[i] - 1), 0, 0)
-
-        return pl.pallas_call(
-            kernel,
-            grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
-                grid=(nb, nkb),
-                in_specs=[
-                    pl.BlockSpec((None, nkb, P),
-                                 lambda i, kb, ka: (i, 0, 0),
-                                 memory_space=pltpu.SMEM),     # soff
-                    pl.BlockSpec((None, kb_slots // 4, 8, LANES), plan_map,
-                                 memory_space=pltpu.VMEM),     # lidx4
-                    pl.BlockSpec((None, kb_slots, 8, LANES), plan_map,
-                                 memory_space=pltpu.VMEM),     # val4
-                    pl.BlockSpec((nxp, LANES),
-                                 lambda i, kb, ka: (0, 0),
-                                 memory_space=pltpu.VMEM),     # x2, whole
-                ] + [pl.BlockSpec((8, LANES), lambda i, kb, ka: (i, 0),
-                                  memory_space=pltpu.VMEM)] * n_vec,
-                out_specs=pl.BlockSpec((8, LANES),
-                                       lambda i, kb, ka: (i, 0),
-                                       memory_space=pltpu.VMEM),
-            ),
-            out_shape=jax.ShapeDtypeStruct((nb * 8, LANES), jnp.float32),
-            interpret=interpret,
-        )
-    kernel = functools.partial(_routed_resident_kernel, kb_slots=kb_slots,
-                               nkb=nkb, mode=mode)
+    x_spec = (pl.BlockSpec(memory_space=pl.ANY) if streamed else
+              pl.BlockSpec((nxp, LANES), lambda i, *_: (0, 0),
+                           memory_space=pltpu.VMEM))
+    scratch = [
+        pltpu.VMEM((RING, KC, 8, LANES), dtype),      # val ring
+        pltpu.VMEM((RING, KC // 4, 8, LANES), jnp.int32),  # lidx ring
+        pltpu.SMEM((RING, 8 * KC), jnp.int32),        # soff ring
+        pltpu.SemaphoreType.DMA((RING, 3)),
+    ]
+    if streamed:
+        scratch += [
+            pltpu.VMEM((SPAN_RING, span_s, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((SPAN_RING,)),
+        ]
     return pl.pallas_call(
         kernel,
-        grid=(nb, nkb),
-        in_specs=[
-            pl.BlockSpec((None, nkb, P), lambda i, kb: (i, 0, 0),
-                         memory_space=pltpu.SMEM),            # soff (absolute)
-            pl.BlockSpec((None, kb_slots // 4, 8, LANES),
-                         lambda i, kb: (i, kb, 0, 0),
-                         memory_space=pltpu.VMEM),            # lidx4 (packed)
-            pl.BlockSpec((None, kb_slots, 8, LANES),
-                         lambda i, kb: (i, kb, 0, 0),
-                         memory_space=pltpu.VMEM),            # val4 chunk
-            pl.BlockSpec((nxp, LANES), lambda i, kb: (0, 0),
-                         memory_space=pltpu.VMEM),            # x2, whole
-        ] + [vec_spec] * n_vec,
-        out_specs=pl.BlockSpec((8, LANES), lambda i, kb: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb * 8, LANES), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3 if streamed else 2,
+            grid=(nbg,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),    # soff  (NC, 128)
+                pl.BlockSpec(memory_space=pl.ANY),    # lidx4 (NC, KC/4,8,128)
+                pl.BlockSpec(memory_space=pl.ANY),    # val4  (NC, KC, 8,128)
+                x_spec,                               # x2    (nxp, 128)
+            ] + [vec_spec] * n_vec,
+            out_specs=pl.BlockSpec((8 * rb, LANES), lambda i, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=scratch,
+        ),
+        out_shape=jax.ShapeDtypeStruct((nbg * rb * 8, LANES), jnp.float32),
         interpret=interpret,
     )
 
 
 def _pad_x(a: RoutedEll, x: jax.Array) -> jax.Array:
     pad = a.nxp * LANES - a.n_cols
-    xp = jnp.concatenate([x.astype(jnp.float32), jnp.zeros((pad,), jnp.float32)])
+    xp = jnp.concatenate([x.astype(jnp.float32),
+                          jnp.zeros((pad,), jnp.float32)])
     return xp.reshape(a.nxp, LANES)
 
 
-def _pad_vec(a: RoutedEll, v: jax.Array) -> jax.Array:
-    nb = a.val4.shape[0]
-    pad = nb * BLOCK_ROWS - a.n_rows
+def _pad_vec(a: RoutedEll, nbb: int, v: jax.Array) -> jax.Array:
+    pad = nbb * BLOCK_ROWS - a.n_rows
     vp = jnp.concatenate([v.astype(jnp.float32),
                           jnp.zeros((pad,), jnp.float32)])
-    return vp.reshape(nb * 8, LANES)
+    return vp.reshape(nbb * 8, LANES)
 
 
 def _routed_call(a: RoutedEll, x: jax.Array, vecs, mode: str,
                  interpret: bool):
-    nb, K = a.val4.shape[:2]
+    nb = a.n_blocks
+    rb = min(RB, nb) if nb < RB else RB
+    nbg = -(-nb // rb)
+    nbb = nbg * rb
     dt = jnp.dtype(a.val4.dtype).name
-    vps = tuple(_pad_vec(a, v) for v in vecs)
+    vps = tuple(_pad_vec(a, nbb, v) for v in vecs)
+    kch = a.kch[0, :nbb].reshape(-1)
+    cb = a.cbase[0, :nbb].reshape(-1)
+    call = _make_kloop_call(a.val4.shape[0], nbg, rb, a.nxp, a.span, dt,
+                            streamed=not a.resident, interpret=interpret,
+                            mode=mode)
     if a.resident:
-        use_kact = a.kact is not None and min(K, K_BLK) < K
-        call = _make_resident_call(nb, K, a.soff.shape[2], a.nxp, dt,
-                                   interpret, mode, kact=use_kact)
-        if use_kact:
-            y = call(a.kact[0, :nb], a.soff, a.lidx4, a.val4,
-                     _pad_x(a, x), *vps)
-        else:
-            y = call(a.soff, a.lidx4, a.val4, _pad_x(a, x), *vps)
+        y = call(kch, cb, a.soff, a.lidx4, a.val4, _pad_x(a, x), *vps)
     else:
-        call = _make_routed_call(nb, K, a.span, a.soff.shape[2],
-                                 a.sbase.shape[1], a.nxp, dt, interpret,
-                                 mode)
-        y = call(a.sbase, a.soff, a.lidx4, a.val4, _pad_x(a, x), *vps)
+        sb = a.sbase[0, :nbb].reshape(-1)
+        y = call(kch, cb, sb, a.soff, a.lidx4, a.val4, _pad_x(a, x), *vps)
     return y.reshape(-1)[: a.n_rows].astype(x.dtype)
 
 
@@ -362,9 +286,9 @@ def spmv_routed(a: RoutedEll, x: jax.Array, interpret: bool = False):
 
 def residual_routed(a: RoutedEll, x: jax.Array, b: jax.Array,
                     interpret: bool = False):
-    """r = b − A·x, subtraction fused into the kernel's last K-chunk
-    (one pass over the level instead of SpMV + XLA axpy stages — the
-    ConstDia fusion pattern for general sparsity)."""
+    """r = b − A·x, subtraction fused into the kernel's flush (one pass
+    over the level instead of SpMV + XLA axpy stages — the ConstDia fusion
+    pattern for general sparsity)."""
     return _routed_call(a, x, (b,), "residual", interpret)
 
 
@@ -382,18 +306,29 @@ def jacobi_routed(a: RoutedEll, x: jax.Array, b: jax.Array, s: jax.Array,
 
 def spmv_routed_xla(a: RoutedEll, x: jax.Array):
     """XLA-gather formulation of the same sum (CPU path / oracle)."""
-    nb, K = a.val4.shape[:2]
+    nb = a.n_blocks
     x2 = _pad_x(a, x)
-    kb_slots = K // a.soff.shape[1]
-    k = jnp.arange(K)[:, None]
-    s = jnp.arange(8)[None, :]
-    soff3 = a.soff[:, k // kb_slots, (k % kb_slots) * 8 + s]  # (nb, K, 8)
-    rowidx = soff3 if a.resident else (
-        a.sbase[0, :nb, None, None] + soff3)              # (nb, K, 8)
-    win = jnp.take(x2, rowidx.reshape(-1), axis=0).reshape(nb, K, 8, LANES)
-    sub = jnp.arange(K) % 4
-    lidx = (jnp.right_shift(a.lidx4[:, jnp.arange(K) // 4],
-                            (8 * sub)[None, :, None, None]) & 0x7F)
-    g = jnp.take_along_axis(win, lidx, axis=3)
-    y = jnp.sum(a.val4.astype(jnp.float32) * g, axis=1)   # (nb, 8, 128)
+    nkb = max(1, a.kmax // KC)
+    kch = a.kch[0, :nb].astype(jnp.int32)             # (nb,)
+    cb = a.cbase[0, :nb].astype(jnp.int32)
+    lc = jnp.arange(nkb, dtype=jnp.int32)             # (nkb,)
+    gc = cb[:, None] + jnp.minimum(lc[None, :], kch[:, None] - 1)
+    mask = (lc[None, :] < kch[:, None]).astype(jnp.float32)  # (nb, nkb)
+    valc = jnp.take(a.val4, gc.reshape(-1), axis=0).reshape(
+        nb, nkb, KC, 8, LANES).astype(jnp.float32) * mask[..., None, None,
+                                                          None]
+    lw = jnp.take(a.lidx4, gc.reshape(-1), axis=0).reshape(
+        nb, nkb, KC // 4, 8, LANES)
+    soffc = jnp.take(a.soff, gc.reshape(-1), axis=0).reshape(
+        nb, nkb, KC, 8)                                # [k*8+s] layout
+    if not a.resident:
+        soffc = soffc + a.sbase[0, :nb, None, None, None]
+    win = jnp.take(x2, soffc.reshape(-1), axis=0).reshape(
+        nb, nkb, KC, 8, LANES)
+    sub = jnp.arange(KC) % 4
+    lidx = (jnp.right_shift(
+        jnp.repeat(lw, 4, axis=2)[:, :, :KC],
+        (8 * sub)[None, None, :, None, None]) & 0x7F)
+    g = jnp.take_along_axis(win, lidx, axis=4)
+    y = jnp.sum(valc * g, axis=(1, 2))                # (nb, 8, 128)
     return y.reshape(-1)[: a.n_rows].astype(x.dtype)

@@ -1,14 +1,17 @@
 """Galerkin triple product A_c = Pᵀ A P (SURVEY.md §2 #9, §3.4).
 
-Two-phase design per the BASELINE north-star ("two-phase symbolic+numeric
-SpGEMM"): the *symbolic* structure is computed once per level during the
-amortized host setup; the *numeric* phase is expressible on device as one
-flat gather-multiply-segment-sum over a precomputed index plan
-(``build_rap_plan`` / ``rap_numeric``), which is how the RAP nnz/s benchmark
-metric is measured on TPU.
+``galerkin_product`` is the setup-path entry: native OpenMP Gustavson
+SpGEMM (csrc/native.cc) or scipy, in f64 (exact, amortized host phase).
 
-``galerkin_product`` is the setup-path entry: scipy's C SpGEMM in f64
-(exact, amortized). The device plan is validated against it in tests.
+The PRODUCTION device RAP engines live elsewhere: the per-axis-factored
+MXU RAP and surrogate-grid const RAP for structured hierarchies
+(amg/comb_rap.py) and the colored-probing panel-SpMM RAP for general/PMIS
+hierarchies (ops/probe_rap.py) — those are what the benchmark measures on
+TPU. ``build_rap_plan`` / ``rap_numeric`` below are a TEST ORACLE only: a
+flat gather-multiply-segment-sum formulation kept because it is
+obviously-correct and exercises the numeric phase end-to-end in
+tests/test_amg_setup.py; XLA gather runs at ~0.1 Gelem/s on this chip
+(BASELINE.md), so this path must never be wired into setup or bench.
 """
 
 from __future__ import annotations

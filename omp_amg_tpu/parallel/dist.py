@@ -63,16 +63,21 @@ class DistOp:
     bnd_lo: int = _static(default=0)
     bnd_hi: int = _static(default=0)
     # routed-ELL plan over the shard's local window (halo mode): per-shard
-    # plans padded to common (K, span) and stacked on the sharded leading
-    # axis, so the local slice inside shard_map IS a RoutedEll — the PMIS
-    # path's sharded SpMV then runs the Pallas kernel instead of the
-    # gather formulation (XLA gather ≈ 0.1 Gelem/s on chip).
-    rt_val4: jax.Array | None = None    # (ndev*nb, K, 8, 128)
-    rt_lidx4: jax.Array | None = None   # (ndev*nb, K, 8, 128) int32
-    rt_soff: jax.Array | None = None    # (ndev*nb, nkb, P) int32
+    # compact-chunk plans (sparse/routed.py) padded to a common chunk count
+    # and stacked on the sharded leading axis, so the local slice inside
+    # shard_map IS a RoutedEll — the PMIS path's sharded SpMV then runs
+    # the Pallas kernel instead of the gather formulation (XLA gather ≈
+    # 0.1 Gelem/s on chip). Per-shard cbase/kch are data, so shards keep
+    # their own chunk layouts; only the array extents are common.
+    rt_val4: jax.Array | None = None    # (ndev*NC, KC, 8, 128)
+    rt_lidx4: jax.Array | None = None   # (ndev*NC, KC//4, 8, 128) int32
+    rt_soff: jax.Array | None = None    # (ndev*NC, 128) int32
+    rt_cbase: jax.Array | None = None   # (ndev, NBP) int32
+    rt_kch: jax.Array | None = None     # (ndev, NBP) int32
     rt_sbase: jax.Array | None = None   # (ndev, NBP) int32
     rt_span: int = _static(default=0)
     rt_nxp: int = _static(default=0)
+    rt_kmax: int = _static(default=0)
     rt_resident: bool = _static(default=False)
 
 
@@ -125,11 +130,13 @@ def dist_spmv(op, x_local: jax.Array) -> jax.Array:
             m_out = op.col.shape[0]   # local rows (shard_map local view)
             rt = RoutedEll(
                 val4=op.rt_val4, lidx4=op.rt_lidx4, soff=op.rt_soff,
+                cbase=op.rt_cbase.reshape(1, -1),
+                kch=op.rt_kch.reshape(1, -1),
                 sbase=op.rt_sbase.reshape(1, -1),
                 n_rows=m_out,
                 n_cols=x_local.shape[0] + 2 * op.halo,
                 span=op.rt_span, nxp=op.rt_nxp,
-                nnz=0, resident=op.rt_resident)
+                nnz=0, kmax=op.rt_kmax, resident=op.rt_resident)
             fn = (spmv_routed if jax.default_backend() == "tpu"
                   else spmv_routed_xla)
             return fn(rt, xw)
@@ -222,9 +229,9 @@ def _op_spec(op, sharded_rows: bool):
     s = P(AXIS) if sharded_rows else P(None)
     rt = {}
     if op.rt_val4 is not None:
-        rt = dict(rt_val4=s, rt_lidx4=s, rt_soff=s, rt_sbase=s,
-                  rt_span=op.rt_span, rt_nxp=op.rt_nxp,
-                  rt_resident=op.rt_resident)
+        rt = dict(rt_val4=s, rt_lidx4=s, rt_soff=s, rt_cbase=s, rt_kch=s,
+                  rt_sbase=s, rt_span=op.rt_span, rt_nxp=op.rt_nxp,
+                  rt_kmax=op.rt_kmax, rt_resident=op.rt_resident)
     return DistOp(col=s, val=s, mode=op.mode, halo=op.halo, m_in=op.m_in,
                   n_in=op.n_in, n_in_real=op.n_in_real,
                   bnd_lo=op.bnd_lo, bnd_hi=op.bnd_hi, **rt)

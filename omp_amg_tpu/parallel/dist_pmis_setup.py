@@ -209,7 +209,8 @@ def _extpi_shard(a_csr, r0, r1, ghosts2, state, cmap, n_coarse, theta,
 
 def dist_pmis_setup(a, ndev: int, params: AMGParams = AMGParams(),
                     mesh=None, agg_rows_per_dev: int = 2048,
-                    keep_host: bool = False):
+                    keep_host: bool = False, transport: str = "ppermute",
+                    routed=None):
     """Per-shard PMIS hierarchy setup over ``ndev`` row-block shards.
 
     Returns the sharded :class:`DistHierarchy` (placed on ``mesh`` when
@@ -330,7 +331,8 @@ def dist_pmis_setup(a, ndev: int, params: AMGParams = AMGParams(),
                      coarse_chol=jnp.asarray(fac, dtype),
                      coarse_a=jnp.asarray(dense, dtype),
                      params=params)
-    dh = partition_hierarchy(hier, ndev, agg_rows_per_dev=agg_rows_per_dev)
+    dh = partition_hierarchy(hier, ndev, agg_rows_per_dev=agg_rows_per_dev,
+                             transport=transport, routed=routed)
     if mesh is not None:
         dh = place_hierarchy(dh, mesh)
     if keep_host:

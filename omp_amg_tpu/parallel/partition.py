@@ -65,14 +65,19 @@ def _pad_rows(arr: np.ndarray, n_to: int, fill=0):
 
 
 def _routed_dist_plans(local, valp, ndev, m_in, h):
-    """Per-shard routed-ELL plans over the local halo windows, padded to a
-    common static layout and stacked on the sharded leading axis.
+    """Per-shard routed-ELL plans over the local halo windows, stacked on
+    the sharded leading axis. With the compact-chunk layout
+    (sparse/routed.py) each shard keeps its own cbase/kch — those are data
+    arrays, not static layout — so only the chunk-array extents (common
+    chunk count NC, span, nxp) need padding to the max over shards.
 
     Returns the extra DistOp fields, or None when any shard's window
     exceeds the routed caps (caller keeps the gather formulation)."""
     import scipy.sparse as sp
 
-    from ..sparse.routed import _resident, pack_lidx4, plan_routed
+    from ..sparse.routed import (
+        KC, LANES, _resident, absolute_soff, pack_lidx4, plan_routed,
+    )
 
     n_tot, k = local.shape
     m_out = n_tot // ndev
@@ -86,32 +91,40 @@ def _routed_dist_plans(local, valp, ndev, m_in, h):
         mats.append(sp.csr_matrix(
             (np.asarray(v, np.float64).ravel()[valid],
              (rows[valid], c.ravel()[valid])), shape=(m_out, ncols)))
-    probe = [plan_routed(m) for m in mats]
-    if any(p is None for p in probe):
-        return None
-    k_t = max(p["K"] for p in probe)
-    s_t = max(p["span"] for p in probe)
-    plans = [plan_routed(m, k_min=k_t, s_min=s_t) for m in mats]
-    if any(p is None for p in plans):
-        return None
+    s_t = 0
+    plans = []
+    for m in mats:
+        p = plan_routed(m, s_min=s_t)
+        if p is None:
+            return None
+        if p["span"] > s_t:   # re-plan earlier shards to the common span
+            s_t = p["span"]
+            plans = [plan_routed(mm, s_min=s_t) for mm in mats[:len(plans)]]
+            if any(pp is None for pp in plans):
+                return None
+        plans.append(p)
     nxp = max(p["nxp"] for p in plans)
-    resident = _resident(nxp, k_t)
-    val4, lidx4, soff, sbase = [], [], [], []
+    kmax = max(p["kmax"] for p in plans)
+    nc_t = max(p["val4"].shape[0] for p in plans)
+    resident = _resident(nxp, kmax)
+    val4, lidx4, soff, cbase, kch, sbase = [], [], [], [], [], []
     for p in plans:
-        so = p["soff"]
-        if resident:
-            nb = p["val4"].shape[0]
-            so = so + p["sbase"][0, :nb, None, None]
-        val4.append(p["val4"])
-        lidx4.append(p["lidx4"])
-        soff.append(so)
+        so = absolute_soff(p) if resident else p["soff"]
+        pad = nc_t - p["val4"].shape[0]
+        val4.append(np.pad(p["val4"], ((0, pad),) + ((0, 0),) * 3))
+        lidx4.append(np.pad(p["lidx4"], ((0, pad),) + ((0, 0),) * 3))
+        soff.append(np.pad(so, ((0, pad), (0, 0))))
+        cbase.append(p["cbase"])
+        kch.append(p["kch"])
         sbase.append(p["sbase"])
     return dict(
         rt_val4=jnp.asarray(np.concatenate(val4), jnp.float32),
         rt_lidx4=jnp.asarray(pack_lidx4(np.concatenate(lidx4))),
         rt_soff=jnp.asarray(np.concatenate(soff)),
+        rt_cbase=jnp.asarray(np.concatenate(cbase)),
+        rt_kch=jnp.asarray(np.concatenate(kch)),
         rt_sbase=jnp.asarray(np.concatenate(sbase)),
-        rt_span=int(plans[0]["span"]), rt_nxp=int(nxp),
+        rt_span=int(s_t), rt_nxp=int(nxp), rt_kmax=int(kmax),
         rt_resident=bool(resident),
     )
 

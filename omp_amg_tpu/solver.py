@@ -35,9 +35,12 @@ class AMGSolver:
 
     Pass ``mesh`` (a 1D ``jax.sharding.Mesh`` over axis "rows") to build and
     solve distributed: structured problems run the fully sharded setup
-    (:func:`~omp_amg_tpu.parallel.dist_setup.dist_structured_setup`); other
-    hierarchies are built single-device and partitioned. ``certify`` is
-    unavailable distributed (the f64 outer loop is host-side).
+    (:func:`~omp_amg_tpu.parallel.dist_setup.dist_structured_setup`),
+    classical/PMIS problems the per-shard distributed setup
+    (:func:`~omp_amg_tpu.parallel.dist_pmis_setup.dist_pmis_setup`); only
+    on cap violations is a hierarchy built centrally and partitioned.
+    ``certify`` is unavailable distributed (the f64 outer loop is
+    host-side).
     """
 
     def __init__(self, a, params: AMGParams = AMGParams(), *, grid=None,
@@ -65,6 +68,22 @@ class AMGSolver:
                 dh = dist_structured_setup(
                     a, grid, mesh, params, transport=transport,
                     agg_rows_per_dev=agg_rows_per_dev)
+            except ValueError:
+                dh = None
+        use_pmis = params.coarsening == "pmis" or (
+            params.coarsening == "auto"
+            and (grid is None or not isinstance(a, Dia)))
+        if dh is None and use_pmis:
+            # classical (PMIS) family: the per-shard distributed setup —
+            # strength/PMIS rounds with ghost exchanges, per-shard ext+i,
+            # shard-local RAP (parallel/dist_pmis_setup.py). Falls back to
+            # central build + partition on cap violations.
+            from .parallel.dist_pmis_setup import dist_pmis_setup
+
+            try:
+                dh = dist_pmis_setup(a, ndev, params, mesh=mesh,
+                                     agg_rows_per_dev=agg_rows_per_dev,
+                                     transport=transport)
             except ValueError:
                 dh = None
         if dh is None:

@@ -185,7 +185,10 @@ def to_plane_dia(a: Dia, dtype=None, put=None):
 
         d4 = np.ascontiguousarray(
             a.data.reshape(ndiag, nz, pr, 128).transpose(1, 0, 2, 3))
-        if d4.dtype == np.float64:
+        if d4.dtype == np.float64 and dtype in (None, "auto") \
+                and not jax.config.jax_enable_x64:
+            # device dtype is f32 (x64 off): drop to f32 here, matching the
+            # device branch; an f64-enabled session keeps f64 planes
             d4 = d4.astype(np.float32)
         if dtype == "auto":
             cast = d4.astype(ml_dtypes.bfloat16)

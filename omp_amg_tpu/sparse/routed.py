@@ -8,36 +8,44 @@ every nonzero through the two primitives Mosaic executes at full VPU speed
 (measured 2026-08-18, scripts/probe_span_slice.py: 18.7–19.3 Gnnz/s padded,
 exact):
 
-- a per-(slot, sublane) *dynamic sublane slice* of a VMEM ``span`` buffer
-  (one contiguous slab of x chunks DMA'd per 1024-row block), and
+- a per-(slot, sublane) *dynamic sublane slice* of a VMEM buffer (whole x in
+  resident mode, a per-block contiguous span in streamed mode), and
 - ``jnp.take_along_axis(win, lidx, axis=1)`` at width exactly 128 (the only
   gather Mosaic supports).
 
-Layout. Rows are tiled into blocks of 1024 = 8 sublane groups × 128 lanes
-(row r → block r//1024, sublane (r//128)%8, lane r%128). x is viewed as
-128-wide *chunks*. For each block the planner picks one contiguous chunk
-span [base, base+S) covering every column the block touches (measured:
-S ≤ ~160 chunks on all PMIS hierarchy operators — stencil lineage keeps
-column locality even though *diagonal* locality is poor). Each of K slots
-holds, per sublane s, one span row ``soff[k,s]`` plus per-lane lane indices
-and values:
+Layout (round-3 "compact chunk" revision). Rows are tiled into blocks of
+1024 = 8 sublane groups × 128 lanes (row r → block r//1024, sublane
+(r//128)%8, lane r%128); x is viewed as 128-wide *chunks* (row j of the
+(nxp, 128) view). Slots are grouped into fixed *slot-chunks* of KC = 16
+slots, and the plan arrays store only each block's ACTIVE chunks, back to
+back:
 
-    y[s, l] += val4[k, s, l] * span[soff[k, s], lidx4[k, s, l]]
+    val4  (NC, KC, 8, 128)   slot values
+    lidx4 (NC, KC//4, 8, 128) 4 slots' 7-bit lane indices per int32 word
+    soff  (NC, 128)           x-chunk row per (slot, sublane): [k*8 + s]
+    cbase (1, NBP)            first chunk of block b
+    kch   (1, NBP)            ACTIVE chunk count of block b (≥ 1)
+    sbase (1, NBP)            span base chunk (streamed mode)
 
-Packing (per block, per sublane group): nonzeros grouped by span row j; a
-group with max-per-row multiplicity m occupies m slots; K = max over
-(block, group) of the per-group slot total. Per-sublane packing is what
-keeps K near the ELL width for interpolation/restriction operators (the
-block-wide alternative wasted 8–30×).
+where NC = Σ_b kch[b]. Per (block, sublane-group) packing as before:
+nonzeros grouped by x-chunk j; a group with max-per-row multiplicity m
+occupies m slots. Unlike the round-1/2 layout there is NO worst-case-K
+padding across blocks: a block with 40 active slots stores ceil(40/16) = 3
+chunks whether or not some other block needs 12. The kernel
+(ops/pallas_routed.py) walks chunks with an in-kernel DMA loop whose trip
+count is per-block ``kch`` — padded compute and padded HBM bytes both
+scale with the *local* demand. This is the round-2 VERDICT #1 fix: the old
+(nb, K/K_BLK) grid paid ~3 µs of pipeline overhead per grid step at
+worst-case K for every block (measured grid-step-bound at 3.89 Gnnz/s on
+PMIS A[1] @96³, packing efficiency 0.216).
 
-Planner is pure vectorized numpy, runs once per operator in the amortized
-setup phase. Returns None when the operator violates the caps (caller falls
-back to the XLA ELL path).
+Planner runs once per operator in the amortized setup phase (vectorized
+numpy with an optional native OpenMP fill — csrc). Returns None when the
+operator violates the caps (caller falls back to the XLA ELL path).
 """
 
 from __future__ import annotations
 
-import dataclasses
 from dataclasses import dataclass, field
 from typing import Tuple
 
@@ -48,35 +56,30 @@ import numpy as np
 LANES = 128
 BLOCK_ROWS = 8 * LANES  # 1024
 
-# Kernel slot-loop shape (ops/pallas_routed.py): ≤ UNROLL_K slots unroll
-# fully; above that the kernel runs a fori_loop over CHUNK_U-slot chunks, so
-# the planner pads K to a multiple of CHUNK_U (padding slots are val=0,
-# soff=0 — exact and in-bounds). Above K_BLK slots the kernel grid gains a
-# second dimension: each step covers K_BLK slots and accumulates into the
-# output block, so VMEM per step and compile size stay bounded at any K
-# (K is then padded to a multiple of K_BLK; soff is laid out per K-chunk).
-UNROLL_K = 32
-CHUNK_U = 8
-K_BLK = 64
+# Slots per chunk: the kernel's DMA/compute granularity. 16 slots → one
+# 64 KB val DMA + one 16 KB lidx DMA + one 512 B soff DMA per chunk, and
+# per-block padding waste ≤ 15 slots.
+KC = 16
+
+# Row-blocks per grid step in the resident kernel (ops/pallas_routed.py):
+# the flattened chunk loop covers RB blocks so grid-step overhead is paid
+# nb/RB times and the DMA pipeline runs across block boundaries.
+RB = 8
 
 # Caps: beyond these the plan would strain SMEM/HBM — fall back to XLA.
-S_CAP = 2048     # span chunks (2 × S × 512 B of VMEM scratch)
-K_CAP = 4096     # slots (plan arrays are nb × K × 8 KB of HBM)
-NB_CAP = 8192    # blocks (sbase lives fully in SMEM)
+S_CAP = 2048     # span chunks (2 × S × 512 B of VMEM scratch, streamed)
+NB_CAP = 8192    # blocks (cbase/kch/sbase live fully in SMEM)
+NC_CAP = 1 << 20  # total chunks (plan arrays ≈ NC × 82 KB of HBM)
 
-# Resident mode: when padded x plus the pipelined plan blocks fit VMEM
-# (~16 MB/core), keep the WHOLE x in VMEM for the kernel's duration and
-# index span rows absolutely — no per-block span DMA at all. The streamed
-# (per-block span DMA) variant was measured DMA-latency-bound at ~5.5 µs
-# per 1024-row block; resident removes that entirely.
+# Resident mode: when padded x plus the chunk rings fit VMEM (~16 MB/core),
+# keep the WHOLE x in VMEM for the kernel's duration and index chunk rows
+# absolutely — no span DMA at all.
 RESIDENT_CAP_BYTES = 12 << 20
+_RING_BYTES = 4 * (KC * 8 * LANES * 4 + (KC // 4) * 8 * LANES * 4)
 
 
-def _resident(nxp: int, K: int) -> bool:
-    x_bytes = nxp * LANES * 4
-    kb = min(K, K_BLK)  # val4+lidx4 pipeline one K-chunk per grid step
-    plan_bytes = 2 * 2 * kb * 8 * LANES * 8  # two operands, double-buffered
-    return x_bytes + plan_bytes <= RESIDENT_CAP_BYTES
+def _resident(nxp: int, kmax: int = 0) -> bool:
+    return nxp * LANES * 4 + _RING_BYTES <= RESIDENT_CAP_BYTES
 
 
 def _static(**kw):
@@ -86,31 +89,25 @@ def _static(**kw):
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class RoutedEll:
-    """Routed-ELL operator: plan arrays + static geometry.
+    """Routed-ELL operator: compact chunk arrays + static geometry.
 
-    ``soff`` packs the per-slot sublane span rows as (nb, 1, pad128(8K))
-    int32 (SMEM-resident in the kernel); ``sbase`` is the per-block span
-    base chunk as (1, pad128(nb)) int32 (fully SMEM-resident so block i can
-    prefetch block i+1's span).
+    ``soff`` chunk rows hold ABSOLUTE x chunk indices in resident mode,
+    span-relative indices (against ``sbase``) in streamed mode.
     """
 
-    val4: jax.Array   # (nb, K, 8, 128) float
-    lidx4: jax.Array  # (nb, K//4, 8, 128) int32 — 4 slots' lanes packed
-                      # per word (see pack_lidx4)
-    soff: jax.Array   # (nb, nkb, P) int32 — span row per (slot, sublane),
-                      # laid out per K-chunk of kb_slots = K // nkb: slot k
-                      # lives at [b, k // kb_slots, (k % kb_slots)*8 + s];
-                      # ABSOLUTE x chunk in resident mode, else span-relative
+    val4: jax.Array   # (NC, KC, 8, 128) float
+    lidx4: jax.Array  # (NC, KC//4, 8, 128) int32 — 4 slots' lanes per word
+    soff: jax.Array   # (NC, 128) int32 — x-chunk row per (slot, sublane)
+    cbase: jax.Array  # (1, NBP) int32 — first chunk of block b
+    kch: jax.Array    # (1, NBP) int32 — active chunk count of block b
     sbase: jax.Array  # (1, NBP) int32 — span base chunk per block
     n_rows: int = _static()
     n_cols: int = _static()
     span: int = _static()   # S: span chunks DMA'd per block (streamed mode)
     nxp: int = _static()    # padded x length in chunks
     nnz: int = _static()    # structural nonzeros (metrics)
+    kmax: int = _static(default=KC)  # max slot capacity of any block
     resident: bool = _static(default=False)  # x fully VMEM-resident kernel
-    kact: object = None  # (1, NBP) int32 — per-block ACTIVE K-chunk count
-                         # (resident kernel skips all-padding K-chunks:
-                         # low-eff plans pad K to the worst block's demand)
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -118,24 +115,26 @@ class RoutedEll:
 
     @property
     def width(self) -> int:
-        return self.val4.shape[1]
+        return self.kmax
 
     @property
     def dtype(self):
         return self.val4.dtype
+
+    @property
+    def n_blocks(self) -> int:
+        return max(1, -(-self.n_rows // BLOCK_ROWS))
 
 
 def _pad_to(x: int, q: int) -> int:
     return -(-x // q) * q
 
 
-def plan_routed(m, dtype=np.float32, k_min: int = 0, s_min: int = 0):
-    """Build routed-ELL plan arrays (numpy) from a scipy sparse matrix.
-
-    Returns a dict of plan arrays + stats, or None if the operator exceeds
-    the format caps. ``k_min``/``s_min`` force minimum K/span so multiple
-    plans (e.g. per-shard local windows) can share one static layout.
-    """
+def plan_routed(m, dtype=np.float32, s_min: int = 0):
+    """Build compact routed-ELL plan arrays (numpy) from a scipy sparse
+    matrix. Returns a dict of plan arrays + stats, or None if the operator
+    exceeds the format caps. ``s_min`` forces a minimum span so multiple
+    plans (e.g. per-shard local windows) can share one static span."""
     import scipy.sparse as sp
 
     m = sp.csr_matrix(m)
@@ -144,6 +143,7 @@ def plan_routed(m, dtype=np.float32, k_min: int = 0, s_min: int = 0):
     nb = max(1, -(-n_rows // BLOCK_ROWS))
     if nb > NB_CAP:
         return None
+    nbp = _pad_to(nb, LANES)
 
     coo = m.tocoo()
     rows = coo.row.astype(np.int64)
@@ -153,15 +153,19 @@ def plan_routed(m, dtype=np.float32, k_min: int = 0, s_min: int = 0):
     nc2 = max(1, -(-n_cols // LANES))
 
     if nnz == 0:
-        K, S = 4, 8
+        S = max(_pad_to(max(s_min, 8), 8), 8)
+        kch = np.zeros((1, nbp), np.int32)
+        kch[0, :nb] = 1
+        cbase = np.zeros((1, nbp), np.int32)
+        cbase[0, :nb] = np.arange(nb)
         return dict(
-            val4=np.zeros((nb, K, 8, LANES), dtype),
-            lidx4=np.zeros((nb, K, 8, LANES), np.int32),
-            soff=np.zeros((nb, 1, _pad_to(8 * K, LANES)), np.int32),
-            sbase=np.zeros((1, _pad_to(nb, LANES)), np.int32),
-            kact_kb=np.ones((1, _pad_to(nb, LANES)), np.int32),
+            val4=np.zeros((nb, KC, 8, LANES), dtype),
+            lidx4=np.zeros((nb, KC, 8, LANES), np.int32),
+            soff=np.zeros((nb, LANES), np.int32),
+            cbase=cbase, kch=kch,
+            sbase=np.zeros((1, nbp), np.int32),
             n_rows=n_rows, n_cols=n_cols, span=S, nxp=max(S, nc2), nnz=0,
-            K=K, eff=0.0,
+            kmax=KC, eff=0.0,
         )
 
     b = rows // BLOCK_ROWS
@@ -174,7 +178,7 @@ def plan_routed(m, dtype=np.float32, k_min: int = 0, s_min: int = 0):
     np.minimum.at(base, b, chunk)
     base[base == np.iinfo(np.int64).max] = 0
     j = chunk - base[b]
-    S = _pad_to(max(int(j.max()) + 1, s_min), 8)
+    S = _pad_to(max(int(j.max()) + 1, s_min, 8), 8)
     if S > S_CAP:
         return None
 
@@ -205,62 +209,62 @@ def plan_routed(m, dtype=np.float32, k_min: int = 0, s_min: int = 0):
     g_offset = slot_base[np.flatnonzero(new_g)][g_grp]
     slot_base -= g_offset
     k_per_g = (csum - g_offset)[np.r_[np.flatnonzero(new_g)[1:] - 1, n_gj - 1]]
-    K = max(int(k_per_g.max()), int(k_min))
-    K = _pad_to(K, 4)   # lidx4 lane indices pack 4-per-int32 word
-    if K > UNROLL_K:
-        K = _pad_to(K, CHUNK_U)
-    if K > K_BLK:
-        K = _pad_to(K, K_BLK)
-    if K > K_CAP:
-        return None
-    kb_slots = min(K, K_BLK)
-    nkb = K // kb_slots
-    # per-BLOCK slot demand → active K-chunk count (kernel early-exit)
+
+    # per-BLOCK slot demand → active chunk counts and chunk bases
     bk = np.zeros(nb, np.int64)
     np.maximum.at(bk, g_of_gj[np.flatnonzero(new_g)] // 8, k_per_g)
-    kact_kb = np.zeros((1, _pad_to(nb, LANES)), np.int32)
-    kact_kb[0, :nb] = np.clip(-(-bk // kb_slots), 1, nkb)
+    kch_b = np.maximum(-(-bk // KC), 1)
+    nchunks = int(kch_b.sum())
+    if nchunks > NC_CAP:
+        return None
+    cbase_b = np.concatenate([[0], np.cumsum(kch_b)[:-1]])
+    kmax = int(kch_b.max()) * KC
 
     slot = slot_base[gj_id] + t  # per sorted nnz
 
-    # ---- fill plan arrays -------------------------------------------------
+    # ---- fill compact plan arrays ----------------------------------------
     b_o, s_o = g_o // 8, g_o % 8
-    val4 = np.zeros((nb, K, 8, LANES), dtype)
-    lidx4 = np.zeros((nb, K, 8, LANES), np.int32)
-    val4[b_o, slot, s_o, lane[order]] = vals[order]
-    lidx4[b_o, slot, s_o, lane[order]] = lid[order]
+    ci = cbase_b[b_o] + slot // KC     # chunk index per sorted nnz
+    ks = slot % KC                     # slot-in-chunk
+    val4 = np.zeros((nchunks, KC, 8, LANES), dtype)
+    lidx4 = np.zeros((nchunks, KC, 8, LANES), np.int32)
+    val4[ci, ks, s_o, lane[order]] = vals[order]
+    lidx4[ci, ks, s_o, lane[order]] = lid[order]
 
-    P = _pad_to(8 * kb_slots, LANES)
-    soff = np.zeros((nb, nkb, P), np.int32)
+    soff = np.zeros((nchunks, LANES), np.int32)
     # each gj group fills slots [slot_base, slot_base + m) of (b, s) with j
     rep_b = np.repeat(b_o[gj_starts], m_gj)
     rep_s = np.repeat(s_o[gj_starts], m_gj)
     rep_j = np.repeat(j_o[gj_starts], m_gj)
     seq = np.arange(int(m_gj.sum())) - np.repeat(csum - m_gj, m_gj)
     rep_k = np.repeat(slot_base, m_gj) + seq
-    soff[rep_b, rep_k // kb_slots, (rep_k % kb_slots) * 8 + rep_s] = rep_j
+    soff[cbase_b[rep_b] + rep_k // KC, (rep_k % KC) * 8 + rep_s] = rep_j
 
-    sbase = np.zeros((1, _pad_to(nb, LANES)), np.int32)
+    sbase = np.zeros((1, nbp), np.int32)
     sbase[0, :nb] = base
+    cbase = np.zeros((1, nbp), np.int32)
+    cbase[0, :nb] = cbase_b
+    kch = np.zeros((1, nbp), np.int32)
+    kch[0, :nb] = kch_b
     nxp = max(int(base.max()) + S, nc2)
 
     return dict(
-        val4=val4, lidx4=lidx4, soff=soff, sbase=sbase, kact_kb=kact_kb,
-        n_rows=n_rows, n_cols=n_cols, span=S, nxp=nxp, nnz=nnz,
-        K=K, eff=nnz / (nb * K * BLOCK_ROWS),
+        val4=val4, lidx4=lidx4, soff=soff, cbase=cbase, kch=kch,
+        sbase=sbase, n_rows=n_rows, n_cols=n_cols, span=S, nxp=nxp,
+        nnz=nnz, kmax=kmax, eff=nnz / (nchunks * KC * BLOCK_ROWS),
     )
 
 
 def pack_lidx4(lidx4: np.ndarray) -> np.ndarray:
-    """(nb, K, 8, 128) int32 lane indices → (nb, K//4, 8, 128) int32 with
-    4 slots' 7-bit lanes packed per word (5/8 the plan bytes: less relay
+    """(NC, KC, 8, 128) int32 lane indices → (NC, KC//4, 8, 128) int32 with
+    4 slots' 7-bit lanes packed per word (¼ the plan bytes: less relay
     upload AND less HBM streaming in the kernel's hot loop)."""
-    nb, K = lidx4.shape[:2]
+    nc, K = lidx4.shape[:2]
     if K % 4:
-        pad = np.zeros((nb, 4 - K % 4, 8, LANES), lidx4.dtype)
+        pad = np.zeros((nc, 4 - K % 4, 8, LANES), lidx4.dtype)
         lidx4 = np.concatenate([lidx4, pad], axis=1)
         K = lidx4.shape[1]
-    l = lidx4.reshape(nb, K // 4, 4, 8, LANES).astype(np.uint32)
+    l = lidx4.reshape(nc, K // 4, 4, 8, LANES).astype(np.uint32)
     packed = (l[:, :, 0] | (l[:, :, 1] << np.uint32(8))
               | (l[:, :, 2] << np.uint32(16))
               | (l[:, :, 3] << np.uint32(24)))
@@ -268,13 +272,24 @@ def pack_lidx4(lidx4: np.ndarray) -> np.ndarray:
 
 
 def unpack_lidx4(packed: np.ndarray, K: int) -> np.ndarray:
-    nb = packed.shape[0]
-    p = packed.view(np.uint32) if packed.dtype == np.int32         else packed.astype(np.uint32)
-    out = np.empty((nb, K, 8, LANES), np.int32)
+    nc = packed.shape[0]
+    p = packed.view(np.uint32) if packed.dtype == np.int32 \
+        else packed.astype(np.uint32)
+    out = np.empty((nc, K, 8, LANES), np.int32)
     for j in range(4):
         out[:, j::4] = ((p >> np.uint32(8 * j)) & np.uint32(0x7F)
                         ).astype(np.int32)
     return out
+
+
+def absolute_soff(plan: dict) -> np.ndarray:
+    """Resident-mode soff: x-chunk rows made absolute (span base folded in
+    per chunk's owning block). Real blocks always have kch ≥ 1, so the
+    per-chunk owner map is a plain repeat over the leading blocks."""
+    kch_b = plan["kch"][0]
+    nb = int(np.max(np.nonzero(kch_b)[0])) + 1
+    blk_of_chunk = np.repeat(np.arange(nb), kch_b[:nb])
+    return plan["soff"] + plan["sbase"][0, blk_of_chunk, None]
 
 
 def routed_from_scipy(m, dtype=jnp.float32, put=None):
@@ -282,35 +297,28 @@ def routed_from_scipy(m, dtype=jnp.float32, put=None):
 
     ``put`` overrides the host→device transfer (e.g. a
     ``DeferredUpload.add`` to batch all plan arrays of a hierarchy into
-    one relay transfer — see utils/pack.py).
-    """
+    one relay transfer — see utils/pack.py). Compact chunk arrays are
+    ~50–80% dense, so they ship as plain dense parts (the round-2 sparse
+    scatter-fill path is no longer a win)."""
     if put is None:
         put = jnp.asarray
     plan = plan_routed(m, dtype=np.float64)
     if plan is None:
         return None
-    nb = plan["val4"].shape[0]
-    K = plan["val4"].shape[1]
     soff = plan["soff"]
-    resident = _resident(plan["nxp"], K)
+    resident = _resident(plan["nxp"], plan["kmax"])
     if resident:
-        # absolute x chunk per (slot, sublane); padded tail stays in-bounds
-        soff = soff + plan["sbase"][0, :nb, None, None]
-    def sput(a):   # plans pack at ~0.1 eff: ship nonzeros only when
-        try:           # the put supports the sparse (scatter-fill) path
-            return put(a, sparse=True)
-        except TypeError:
-            return put(a)
-
+        soff = absolute_soff(plan)
     return RoutedEll(
-        val4=sput(np.asarray(plan["val4"], jnp.dtype(dtype))),
-        lidx4=sput(pack_lidx4(plan["lidx4"])),
-        soff=sput(np.ascontiguousarray(soff)),
+        val4=put(np.asarray(plan["val4"], jnp.dtype(dtype))),
+        lidx4=put(pack_lidx4(plan["lidx4"])),
+        soff=put(np.ascontiguousarray(soff)),
+        cbase=put(plan["cbase"]),
+        kch=put(plan["kch"]),
         sbase=put(plan["sbase"]),
-        kact=put(plan["kact_kb"]),
         n_rows=plan["n_rows"], n_cols=plan["n_cols"],
         span=plan["span"], nxp=plan["nxp"], nnz=plan["nnz"],
-        resident=resident,
+        kmax=plan["kmax"], resident=resident,
     )
 
 
@@ -322,14 +330,19 @@ def routed_to_scipy(a: RoutedEll):
     lidx4 = unpack_lidx4(np.asarray(a.lidx4), val4.shape[1]).astype(np.int64)
     soff = np.asarray(a.soff)
     sbase = np.asarray(a.sbase)
-    nb, K = val4.shape[:2]
-    bi, ki, si, li = np.nonzero(val4)
-    rows = bi * BLOCK_ROWS + si * LANES + li
-    kb_slots = K // soff.shape[1]
-    srow = soff[bi, ki // kb_slots,
-                (ki % kb_slots) * 8 + si].astype(np.int64)
+    nb = a.n_blocks
+    kch = np.asarray(a.kch)[0, :nb]
+    cbase = np.asarray(a.cbase)[0, :nb]
+    # chunk → owning block (chunks may be shared only as all-zero fillers)
+    blk_of_chunk = np.full(val4.shape[0], -1, np.int64)
+    for bi in range(nb):
+        blk_of_chunk[cbase[bi]:cbase[bi] + kch[bi]] = bi
+    ci, ki, si, li = np.nonzero(val4)
+    blk = blk_of_chunk[ci]
+    rows = blk * BLOCK_ROWS + si * LANES + li
+    srow = soff[ci, ki * 8 + si].astype(np.int64)
     if not a.resident:   # streamed mode: soff is span-relative
-        srow = srow + sbase[0, bi].astype(np.int64)
-    cols = srow * LANES + lidx4[bi, ki, si, li]
-    vals = val4[bi, ki, si, li]
+        srow = srow + sbase[0, blk].astype(np.int64)
+    cols = srow * LANES + lidx4[ci, ki, si, li]
+    vals = val4[ci, ki, si, li]
     return sp.csr_matrix((vals, (rows, cols)), shape=(a.n_rows, a.n_cols))

@@ -87,11 +87,9 @@ def _pack_op(prefix: str, op, out: dict, meta: dict):
     if isinstance(op, RoutedEll):
         meta[prefix + ":kind"] = "routed"
         meta[prefix + ":geom"] = [op.n_rows, op.n_cols, op.span, op.nxp,
-                                  op.nnz, int(op.resident)]
-        for name in ("val4", "lidx4", "soff", "sbase"):
+                                  op.nnz, int(op.resident), op.kmax]
+        for name in ("val4", "lidx4", "soff", "cbase", "kch", "sbase"):
             out[prefix + ":" + name] = np.asarray(getattr(op, name))
-        if op.kact is not None:
-            out[prefix + ":kact"] = np.asarray(op.kact)
         return
     if isinstance(op, Dia):
         meta[prefix + ":kind"] = "dia"
@@ -136,16 +134,16 @@ def _unpack_op(prefix: str, data: dict, meta: dict):
     if kind == "routed":
         from ..sparse.routed import RoutedEll
 
-        n_rows, n_cols, span, nxp, nnz, res = meta[prefix + ":geom"]
+        n_rows, n_cols, span, nxp, nnz, res, kmax = meta[prefix + ":geom"]
         return RoutedEll(
             val4=jnp.asarray(data[prefix + ":val4"]),
             lidx4=jnp.asarray(data[prefix + ":lidx4"]),
             soff=jnp.asarray(data[prefix + ":soff"]),
+            cbase=jnp.asarray(data[prefix + ":cbase"]),
+            kch=jnp.asarray(data[prefix + ":kch"]),
             sbase=jnp.asarray(data[prefix + ":sbase"]),
-            kact=(jnp.asarray(data[prefix + ":kact"])
-                  if prefix + ":kact" in data else None),
             n_rows=n_rows, n_cols=n_cols, span=span, nxp=nxp, nnz=nnz,
-            resident=bool(res))
+            kmax=kmax, resident=bool(res))
     if kind == "dia":
         dims = meta.get(prefix + ":dims")
         return Dia(data=jnp.asarray(data[prefix + ":data"]),

@@ -99,6 +99,11 @@ class DeferredUpload:
             arr = np.asarray(arr, dtype)
         if self.eager:
             return jnp.asarray(arr)
+        if self.resolved is not None:
+            raise RuntimeError(
+                "DeferredUpload.add() after resolve()/materialize(): this "
+                "batch is sealed — the new array would never be uploaded. "
+                "Create a fresh DeferredUpload for late registrations.")
         if sparse:
             flat = arr.ravel()
             idx = np.flatnonzero(flat)

@@ -72,18 +72,20 @@ def test_routed_window_plans_roundtrip():
     assert op.mode == "halo" and op.rt_val4 is not None
     from omp_amg_tpu.sparse.routed import RoutedEll, routed_to_scipy
 
-    nb = op.rt_val4.shape[0] // ndev
+    nc = op.rt_val4.shape[0] // ndev
     colp = np.asarray(op.col)
     valp = np.asarray(op.val)
     for s in range(ndev):
         rt = RoutedEll(
-            val4=op.rt_val4[s * nb:(s + 1) * nb],
-            lidx4=op.rt_lidx4[s * nb:(s + 1) * nb],
-            soff=op.rt_soff[s * nb:(s + 1) * nb],
+            val4=op.rt_val4[s * nc:(s + 1) * nc],
+            lidx4=op.rt_lidx4[s * nc:(s + 1) * nc],
+            soff=op.rt_soff[s * nc:(s + 1) * nc],
+            cbase=op.rt_cbase[s:s + 1],
+            kch=op.rt_kch[s:s + 1],
             sbase=op.rt_sbase[s:s + 1],
             n_rows=m, n_cols=op.m_in + 2 * op.halo,
             span=op.rt_span, nxp=op.rt_nxp, nnz=0,
-            resident=op.rt_resident)
+            kmax=op.rt_kmax, resident=op.rt_resident)
         got = sp.csr_matrix(routed_to_scipy(rt))
         c = colp[s * m:(s + 1) * m]
         v = valp[s * m:(s + 1) * m]

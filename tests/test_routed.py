@@ -1,9 +1,9 @@
 """Routed-ELL format: planner exactness, SpMV paths, hierarchy integration.
 
 The routed plan must be an exact re-encoding of the operator
-(sparse/routed.py), the XLA emulation and the Pallas kernel (interpret
-mode) must agree with scipy, and a PMIS hierarchy built with routed views
-must converge identically to the ELL one.
+(sparse/routed.py compact-chunk layout), the XLA emulation and the Pallas
+kernel (interpret mode) must agree with scipy, and a PMIS hierarchy built
+with routed views must converge identically to the ELL one.
 """
 
 import jax.numpy as jnp
@@ -19,7 +19,8 @@ from omp_amg_tpu.problems.poisson import poisson2d_5pt, poisson3d_7pt
 from omp_amg_tpu.solvers.cg import amg_pcg
 from omp_amg_tpu.sparse.formats import dia_to_scipy
 from omp_amg_tpu.sparse.routed import (
-    RoutedEll, pack_lidx4, plan_routed, routed_from_scipy, routed_to_scipy,
+    KC, RoutedEll, absolute_soff, pack_lidx4, plan_routed,
+    routed_from_scipy, routed_to_scipy,
 )
 
 
@@ -39,6 +40,19 @@ def _random_sparse(n_rows, n_cols, density, seed, band=None):
     return m
 
 
+def _skewed_sparse(n=4096, seed=7):
+    """Worst-block skew: a few rows are far denser than the rest, so
+    per-block chunk counts (kch) genuinely vary."""
+    rng = np.random.default_rng(seed)
+    rows = np.concatenate([np.repeat(np.arange(n), 3),
+                           np.repeat(np.arange(200), 80)])
+    cols = np.clip(rows + rng.integers(-300, 300, len(rows)), 0, n - 1)
+    m = sp.csr_matrix((rng.standard_normal(len(rows)), (rows, cols)),
+                      shape=(n, n))
+    m.sum_duplicates()
+    return m
+
+
 CASES = [
     _random_sparse(1024, 1024, 0.01, 0),
     _random_sparse(3000, 3000, 0.004, 1),          # n not a block multiple
@@ -46,8 +60,19 @@ CASES = [
     _random_sparse(300, 2048, 0.02, 3, band=40),   # wide (restriction-like)
     _random_sparse(130, 130, 0.05, 4),             # single partial block
     sp.csr_matrix((512, 512)),                     # empty
-    _random_sparse(600, 4096, 0.06, 6),            # dense rows → K > K_BLK
+    _random_sparse(600, 4096, 0.06, 6),            # dense rows → many chunks
+    _skewed_sparse(),                              # kch skew across blocks
 ]
+
+
+def _from_plan(plan, resident=False):
+    soff = absolute_soff(plan) if resident else plan["soff"]
+    return RoutedEll(val4=plan["val4"], lidx4=pack_lidx4(plan["lidx4"]),
+                     soff=soff, cbase=plan["cbase"], kch=plan["kch"],
+                     sbase=plan["sbase"], n_rows=plan["n_rows"],
+                     n_cols=plan["n_cols"], span=plan["span"],
+                     nxp=plan["nxp"], nnz=plan["nnz"], kmax=plan["kmax"],
+                     resident=resident)
 
 
 @pytest.mark.parametrize("i", range(len(CASES)))
@@ -55,14 +80,21 @@ def test_plan_roundtrip_exact(i):
     m = CASES[i]
     plan = plan_routed(m, dtype=np.float64)
     assert plan is not None
-    a = RoutedEll(val4=plan["val4"], lidx4=pack_lidx4(plan["lidx4"]),
-                  soff=plan["soff"],
-                  sbase=plan["sbase"], n_rows=plan["n_rows"],
-                  n_cols=plan["n_cols"], span=plan["span"], nxp=plan["nxp"],
-                  nnz=plan["nnz"])
-    back = routed_to_scipy(a)
+    back = routed_to_scipy(_from_plan(plan))
     assert (back != m).nnz == 0
-    assert a.nnz == m.nnz
+    assert plan["nnz"] == m.nnz
+
+
+def test_compact_chunks_scale_with_local_demand():
+    """The compact layout must NOT pad every block to the worst block's
+    slot demand (that was the round-2 kernel's 0.216 packing efficiency)."""
+    plan = plan_routed(CASES[7])
+    assert plan is not None
+    nb = -(-CASES[7].shape[0] // 1024)
+    kch = plan["kch"][0, :nb]
+    assert kch.max() > kch.min()          # skew is present
+    assert plan["val4"].shape[0] == kch.sum()   # chunks are compact
+    assert plan["kmax"] == int(kch.max()) * KC
 
 
 @pytest.mark.parametrize("i", range(len(CASES)))
@@ -76,17 +108,8 @@ def test_spmv_xla_matches_scipy(i):
     assert np.abs(np.asarray(y) - ref).max() / scale < 5e-6
 
 
-def test_high_k_case_is_multichunk():
-    """CASE 6 really exercises the K-chunked grid (K > K_BLK)."""
-    from omp_amg_tpu.sparse.routed import K_BLK
-
-    plan = plan_routed(CASES[6])
-    assert plan is not None and plan["K"] > K_BLK
-    assert plan["soff"].shape[1] == plan["K"] // K_BLK
-
-
 @pytest.mark.parametrize("mode", ["resident", "streamed"])
-@pytest.mark.parametrize("i", [0, 2, 3, 4, 5, 6])
+@pytest.mark.parametrize("i", [0, 2, 3, 4, 5, 6, 7])
 def test_spmv_kernel_interpret_matches_scipy(i, mode, monkeypatch):
     if mode == "streamed":   # force the per-block span-DMA variant
         import omp_amg_tpu.sparse.routed as routed_mod
@@ -107,19 +130,12 @@ def test_resident_roundtrip_exact(i):
     routed_to_scipy's resident branch."""
     m = CASES[i]
     plan = plan_routed(m, dtype=np.float64)
-    nb = plan["val4"].shape[0]
-    soff_abs = plan["soff"] + plan["sbase"][0, :nb, None, None]
-    a = RoutedEll(val4=plan["val4"], lidx4=pack_lidx4(plan["lidx4"]),
-                  soff=soff_abs,
-                  sbase=plan["sbase"], n_rows=plan["n_rows"],
-                  n_cols=plan["n_cols"], span=plan["span"], nxp=plan["nxp"],
-                  nnz=plan["nnz"], resident=True)
-    back = routed_to_scipy(a)
+    back = routed_to_scipy(_from_plan(plan, resident=True))
     assert (back != m).nnz == 0
     # routed_from_scipy builds the same absolute soff
     dev = routed_from_scipy(m)
     assert dev.resident
-    assert np.array_equal(np.asarray(dev.soff), soff_abs)
+    assert np.array_equal(np.asarray(dev.soff), absolute_soff(plan))
 
 
 def test_spmv_dispatch_uses_routed():
@@ -133,8 +149,8 @@ def test_spmv_dispatch_uses_routed():
 
 
 def test_plan_efficiency_on_pmis_levels():
-    """Per-sublane packing keeps K within ~4x of the ELL width on real
-    PMIS coarse operators (the block-level alternative wasted 8-30x)."""
+    """Per-sublane packing + compact chunks keep padded work near the nnz
+    count on real PMIS coarse operators."""
     a = poisson3d_7pt(24)
     h, ops = amg_setup(a, AMGParams(coarsening="pmis"), keep_host=True,
                        flavor="host")
@@ -142,8 +158,8 @@ def test_plan_efficiency_on_pmis_levels():
     plan = plan_routed(a1)
     assert plan is not None
     ell_k = int(np.diff(a1.indptr).max())
-    assert plan["K"] <= 4 * ell_k
-    assert plan["eff"] > 0.1
+    assert plan["kmax"] <= 4 * ell_k + KC
+    assert plan["eff"] > 0.2
 
 
 @pytest.mark.parametrize("prob", ["2d", "3d"])
@@ -169,14 +185,9 @@ def test_pmis_solve_routed_matches_ell(prob):
 
 def test_fused_residual_jacobi_interpret():
     """Fused routed epilogues == unfused math (interpret mode)."""
-    import scipy.sparse as sp
-
-    import jax.numpy as jnp
-
     from omp_amg_tpu.ops.pallas_routed import (
-        jacobi_routed, residual_routed, spmv_routed,
+        correct_routed, jacobi_routed, residual_routed,
     )
-    from omp_amg_tpu.sparse.routed import routed_from_scipy
 
     rng = np.random.default_rng(5)
     n = 3000
@@ -198,8 +209,6 @@ def test_fused_residual_jacobi_interpret():
     np.testing.assert_allclose(np.asarray(xj),
                                np.asarray(x + s * (b - y)),
                                rtol=0, atol=1e-5)
-    from omp_amg_tpu.ops.pallas_routed import correct_routed
-
     # rectangular P (fine×coarse): x + P·xc fused correction
     nc = 1100
     pc = np.clip(rows // 3 + rng.integers(-20, 20, len(rows)), 0, nc - 1)
@@ -215,37 +224,33 @@ def test_fused_residual_jacobi_interpret():
         rtol=0, atol=1e-4)
 
 
-def test_kact_early_exit_kernel_matches_xla():
-    """Per-block active-K early exit (resident kernel): a skewed operator
-    whose worst block forces K >> typical must still be exact."""
-    import scipy.sparse as sp
+def test_skewed_kch_kernel_matches_xla():
+    """Per-block chunk-loop trip counts (kch skew): the kernel must remain
+    exact when blocks have very different active chunk counts, in both
+    resident and streamed modes and with a fused epilogue."""
+    from omp_amg_tpu.ops.pallas_routed import residual_routed
 
-    import jax.numpy as jnp
-
-    from omp_amg_tpu.ops.pallas_routed import (
-        K_BLK, residual_routed, spmv_routed, spmv_routed_xla,
-    )
-    from omp_amg_tpu.sparse.routed import routed_from_scipy
-
-    rng = np.random.default_rng(7)
-    n = 4096
-    rows = np.concatenate([np.repeat(np.arange(n), 3),
-                           np.repeat(np.arange(200), 80)])
-    cols = np.clip(rows + rng.integers(-300, 300, len(rows)), 0, n - 1)
-    m = sp.csr_matrix((rng.standard_normal(len(rows)), (rows, cols)),
-                      shape=(n, n))
-    m.sum_duplicates()
-    rt = routed_from_scipy(m)
-    assert rt is not None and rt.resident and rt.kact is not None
-    assert rt.width > K_BLK     # multi-chunk K → the kact path is active
-    ka = np.asarray(rt.kact)[0, : rt.val4.shape[0]]
-    assert ka.min() >= 1 and ka.max() > ka.min()  # skew actually present
-    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
-    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
-    y1 = spmv_routed(rt, x, interpret=True)
-    y2 = spmv_routed_xla(rt, x)
-    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
-                               rtol=0, atol=1e-4)
-    r = residual_routed(rt, x, b, interpret=True)
-    np.testing.assert_allclose(np.asarray(r), np.asarray(b - y1),
-                               rtol=0, atol=1e-4)
+    m = _skewed_sparse()
+    rng = np.random.default_rng(3)
+    for force_streamed in (False, True):
+        if force_streamed:
+            import omp_amg_tpu.sparse.routed as routed_mod
+            old = routed_mod.RESIDENT_CAP_BYTES
+            routed_mod.RESIDENT_CAP_BYTES = 0
+        try:
+            rt = routed_from_scipy(m)
+        finally:
+            if force_streamed:
+                routed_mod.RESIDENT_CAP_BYTES = old
+        assert rt.resident == (not force_streamed)
+        kch = np.asarray(rt.kch)[0, : rt.n_blocks]
+        assert kch.min() >= 1 and kch.max() > kch.min()
+        x = jnp.asarray(rng.standard_normal(m.shape[1]).astype(np.float32))
+        b = jnp.asarray(rng.standard_normal(m.shape[0]).astype(np.float32))
+        y1 = spmv_routed(rt, x, interpret=True)
+        y2 = spmv_routed_xla(rt, x)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
+                                   rtol=0, atol=1e-4)
+        r = residual_routed(rt, x, b, interpret=True)
+        np.testing.assert_allclose(np.asarray(r), np.asarray(b - y1),
+                                   rtol=0, atol=1e-4)
