@@ -601,6 +601,152 @@ int64_t d2_color_greedy(int64_t n_rows, int64_t n_cols,
   return ncolors;
 }
 
+// ---------------------------------------------------------------------------
+// Routed-ELL planner (sparse/routed.py compact-chunk layout) — the numpy
+// planner cost ~30 s per PMIS 96^3 hierarchy (round-3 profile); these two
+// passes reproduce its output bit-exactly at OpenMP speed.
+//
+// Layout recap (KC = 16 slots/chunk, LANES = 128, blocks of 1024 rows):
+//   row r -> (block b = r/1024, sublane s = (r/128)%8, lane l = r%128)
+//   per (b, s): nonzeros grouped by x-chunk j = col/128 - base[b]; a
+//   (group, j) pair with max-per-row multiplicity m occupies m slots,
+//   slot ranges assigned in ascending j; within a (row, j) run the t-th
+//   entry takes slot slot_base(j) + t (CSR sorted indices make runs
+//   contiguous and deterministic).
+// ---------------------------------------------------------------------------
+
+// Pass 1: per-block span base and slot demand. Returns the global span
+// (pad8, >= s_min, >= 8) or -1 when a block's local span exceeds s_cap.
+int64_t routed_plan_demand(int64_t n_rows, const int64_t* indptr,
+                           const int32_t* indices, int64_t s_min,
+                           int64_t s_cap, int32_t* sbase, int32_t* bk) {
+  const int64_t nb = (n_rows + 1023) / 1024;
+  int64_t span = s_min > 8 ? s_min : 8;
+  bool overflow = false;
+#pragma omp parallel
+  {
+    std::vector<int32_t> dem;       // per-chunk demand, local span sized
+    std::vector<int32_t> touched;
+    int64_t span_l = 0;
+#pragma omp for schedule(dynamic, 4)
+    for (int64_t b = 0; b < nb; ++b) {
+      const int64_t r0 = b * 1024;
+      const int64_t r1 = std::min(r0 + 1024, n_rows);
+      int64_t cmin = INT64_MAX, cmax = -1;
+      for (int64_t r = r0; r < r1; ++r)
+        for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+          const int64_t c = indices[p] >> 7;
+          if (c < cmin) cmin = c;
+          if (c > cmax) cmax = c;
+        }
+      if (cmax < 0) {  // empty block
+        sbase[b] = 0;
+        bk[b] = 0;
+        continue;
+      }
+      const int64_t sp = cmax - cmin + 1;
+      if (sp > s_cap) { overflow = true; continue; }
+      if (sp > span_l) span_l = sp;
+      sbase[b] = (int32_t)cmin;
+      if ((int64_t)dem.size() < sp) dem.assign((size_t)sp, 0);
+      int32_t bkmax = 0;
+      for (int64_t s = 0; s < 8; ++s) {
+        const int64_t g0 = r0 + s * 128;
+        const int64_t g1 = std::min(g0 + 128, r1);
+        touched.clear();
+        for (int64_t r = g0; r < g1; ++r) {
+          int64_t jprev = -1;
+          int32_t cnt = 0;
+          for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+            const int64_t j = (indices[p] >> 7) - cmin;
+            cnt = (j == jprev) ? cnt + 1 : 1;
+            jprev = j;
+            if (dem[j] == 0) touched.push_back((int32_t)j);
+            if (cnt > dem[j]) dem[j] = cnt;
+          }
+        }
+        int32_t total = 0;
+        for (int32_t j : touched) { total += dem[j]; dem[j] = 0; }
+        if (total > bkmax) bkmax = total;
+      }
+      bk[b] = bkmax;
+    }
+#pragma omp critical
+    if (span_l > span) span = span_l;
+  }
+  if (overflow) return -1;
+  return (span + 7) / 8 * 8;
+}
+
+// Pass 2: fill the compact plan arrays. cbase/kch as computed host-side
+// (kch = max(ceil(bk/16), 1)); val4 (NC,16,8,128) f32, lidxp
+// (NC,4,8,128) int32 with 4 slots' lanes packed per word, soff (NC,128).
+// Arrays arrive zero-initialized.
+void routed_plan_fill(int64_t n_rows, const int64_t* indptr,
+                      const int32_t* indices, const double* data,
+                      const int32_t* sbase, const int32_t* cbase,
+                      float* val4, int32_t* lidxp, int32_t* soff) {
+  const int64_t nb = (n_rows + 1023) / 1024;
+#pragma omp parallel
+  {
+    std::vector<int32_t> dem, slot_base;
+    std::vector<int32_t> touched;
+#pragma omp for schedule(dynamic, 4)
+    for (int64_t b = 0; b < nb; ++b) {
+      const int64_t r0 = b * 1024;
+      const int64_t r1 = std::min(r0 + 1024, n_rows);
+      const int64_t cmin = sbase[b];
+      const int64_t cb = cbase[b];
+      for (int64_t s = 0; s < 8; ++s) {
+        const int64_t g0 = r0 + s * 128;
+        const int64_t g1 = std::min(g0 + 128, r1);
+        // demand for this group, then ascending-j prefix -> slot bases
+        touched.clear();
+        for (int64_t r = g0; r < g1; ++r) {
+          int64_t jprev = -1;
+          int32_t cnt = 0;
+          for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+            const int64_t j = (indices[p] >> 7) - cmin;
+            cnt = (j == jprev) ? cnt + 1 : 1;
+            jprev = j;
+            if ((int64_t)dem.size() <= j) dem.resize((size_t)j + 1, 0);
+            if (dem[j] == 0 && cnt == 1) touched.push_back((int32_t)j);
+            if (cnt > dem[j]) dem[j] = cnt;
+          }
+        }
+        std::sort(touched.begin(), touched.end());
+        if ((int64_t)slot_base.size() < (int64_t)dem.size())
+          slot_base.resize(dem.size());
+        int32_t acc = 0;
+        for (int32_t j : touched) {
+          slot_base[j] = acc;
+          acc += dem[j];
+        }
+        // fill entries
+        for (int64_t r = g0; r < g1; ++r) {
+          const int64_t l = r & 127;
+          int64_t jprev = -1;
+          int32_t t = 0;
+          for (int64_t p = indptr[r]; p < indptr[r + 1]; ++p) {
+            const int64_t c = indices[p];
+            const int64_t j = (c >> 7) - cmin;
+            t = (j == jprev) ? t + 1 : 0;
+            jprev = j;
+            const int64_t slot = slot_base[j] + t;
+            const int64_t ci = cb + (slot >> 4);
+            const int64_t ks = slot & 15;
+            val4[((ci * 16 + ks) * 8 + s) * 128 + l] = (float)data[p];
+            lidxp[((ci * 4 + (ks >> 2)) * 8 + s) * 128 + l] |=
+                (int32_t)(c & 127) << (8 * (ks & 3));
+            soff[ci * 128 + ks * 8 + s] = (int32_t)j;
+          }
+        }
+        for (int32_t j : touched) dem[j] = 0;
+      }
+    }
+  }
+}
+
 int native_num_threads() {
 #ifdef _OPENMP
   return omp_get_max_threads();

@@ -67,6 +67,12 @@ def _load():
         lib.d2_color_greedy.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
                                         i32p, i64p, i32p, i32p]
         lib.d2_color_greedy.restype = ctypes.c_int64
+        lib.routed_plan_demand.argtypes = [ctypes.c_int64, i64p, i32p,
+                                           ctypes.c_int64, ctypes.c_int64,
+                                           i32p, i32p]
+        lib.routed_plan_demand.restype = ctypes.c_int64
+        lib.routed_plan_fill.argtypes = [ctypes.c_int64, i64p, i32p, f64p,
+                                         i32p, i32p, f32p, i32p, i32p]
         lib.native_num_threads.restype = ctypes.c_int
         _lib = lib
     except Exception:
@@ -307,3 +313,40 @@ def spgemm(a, b):
     lib.spgemm_fill(n, m, a_indptr, a_idx, a_val, b_indptr, b_idx, b_val,
                     c_indptr, c_idx, c_val)
     return sp.csr_matrix((c_val, c_idx, c_indptr), shape=(n, m))
+
+
+def routed_plan(a_csr, s_min: int = 0, s_cap: int = 2048):
+    """Native two-pass routed-ELL planner (compact-chunk layout).
+
+    Returns ``(sbase, bk, span)`` demand info and a ``fill(cbase) ->
+    (val4_f32, lidx_packed, soff)`` closure, or None when the native lib is
+    unavailable or a block overflows ``s_cap`` (caller uses the numpy
+    planner / XLA fallback). Output is bit-identical to the numpy planner
+    (tests/test_routed.py pins it).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n_rows = a_csr.shape[0]
+    nb = max(1, -(-n_rows // 1024))
+    indptr = np.ascontiguousarray(a_csr.indptr, np.int64)
+    indices = np.ascontiguousarray(a_csr.indices, np.int32)
+    data = np.ascontiguousarray(a_csr.data, np.float64)
+    sbase = np.zeros(nb, np.int32)
+    bk = np.zeros(nb, np.int32)
+    span = int(lib.routed_plan_demand(n_rows, indptr, indices, int(s_min),
+                                      int(s_cap), sbase, bk))
+    if span < 0:
+        return "overflow"
+
+    def fill(cbase: np.ndarray, n_chunks: int):
+        val4 = np.zeros((n_chunks, 16, 8, 128), np.float32)
+        lidxp = np.zeros((n_chunks, 4, 8, 128), np.int32)
+        soff = np.zeros((n_chunks, 128), np.int32)
+        lib.routed_plan_fill(n_rows, indptr, indices, data, sbase,
+                             np.ascontiguousarray(cbase, np.int32),
+                             val4.reshape(-1), lidxp.reshape(-1),
+                             soff.reshape(-1))
+        return val4, lidxp, soff
+
+    return sbase, bk, span, fill

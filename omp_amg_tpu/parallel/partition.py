@@ -76,7 +76,7 @@ def _routed_dist_plans(local, valp, ndev, m_in, h):
     import scipy.sparse as sp
 
     from ..sparse.routed import (
-        KC, LANES, _resident, absolute_soff, pack_lidx4, plan_routed,
+        _resident, absolute_soff, plan_lidx_packed, plan_routed,
     )
 
     n_tot, k = local.shape
@@ -112,14 +112,15 @@ def _routed_dist_plans(local, valp, ndev, m_in, h):
         so = absolute_soff(p) if resident else p["soff"]
         pad = nc_t - p["val4"].shape[0]
         val4.append(np.pad(p["val4"], ((0, pad),) + ((0, 0),) * 3))
-        lidx4.append(np.pad(p["lidx4"], ((0, pad),) + ((0, 0),) * 3))
+        lidx4.append(np.pad(plan_lidx_packed(p),
+                            ((0, pad),) + ((0, 0),) * 3))
         soff.append(np.pad(so, ((0, pad), (0, 0))))
         cbase.append(p["cbase"])
         kch.append(p["kch"])
         sbase.append(p["sbase"])
     return dict(
         rt_val4=jnp.asarray(np.concatenate(val4), jnp.float32),
-        rt_lidx4=jnp.asarray(pack_lidx4(np.concatenate(lidx4))),
+        rt_lidx4=jnp.asarray(np.concatenate(lidx4)),
         rt_soff=jnp.asarray(np.concatenate(soff)),
         rt_cbase=jnp.asarray(np.concatenate(cbase)),
         rt_kch=jnp.asarray(np.concatenate(kch)),

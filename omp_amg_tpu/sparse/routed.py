@@ -130,11 +130,54 @@ def _pad_to(x: int, q: int) -> int:
     return -(-x // q) * q
 
 
+def plan_lidx_packed(plan: dict) -> np.ndarray:
+    """Packed lane indices of a plan (native plans carry them packed)."""
+    if "lidx4p" in plan:
+        return plan["lidx4p"]
+    return pack_lidx4(plan["lidx4"])
+
+
+def _plan_native(m, s_min, n_rows, n_cols, nb, nbp, nc2):
+    """Native OpenMP planner (csrc/native.cc) — bit-identical layout to the
+    numpy path below, ~15× faster at PMIS-96³ scale; f32 values, packed
+    lanes. Returns None to fall through to numpy (lib unavailable),
+    "overflow" when the span cap is hit (plan impossible)."""
+    from .. import native
+
+    nat = native.routed_plan(m, s_min=s_min, s_cap=S_CAP)
+    if nat is None or nat == "overflow":
+        return nat
+    sbase_b, bk, span, fill = nat
+    kch_b = np.maximum(-(-bk.astype(np.int64) // KC), 1)
+    nchunks = int(kch_b.sum())
+    if nchunks > NC_CAP:
+        return "overflow"
+    cbase_b = np.concatenate([[0], np.cumsum(kch_b)[:-1]]).astype(np.int32)
+    val4, lidxp, soff = fill(cbase_b, nchunks)
+    sbase = np.zeros((1, nbp), np.int32)
+    sbase[0, :nb] = sbase_b
+    cbase = np.zeros((1, nbp), np.int32)
+    cbase[0, :nb] = cbase_b
+    kch = np.zeros((1, nbp), np.int32)
+    kch[0, :nb] = kch_b
+    nxp = max(int(sbase_b.max(initial=0)) + span, nc2)
+    return dict(
+        val4=val4, lidx4p=lidxp, soff=soff, cbase=cbase, kch=kch,
+        sbase=sbase, n_rows=n_rows, n_cols=n_cols, span=span, nxp=nxp,
+        nnz=m.nnz, kmax=int(kch_b.max()) * KC,
+        eff=m.nnz / (nchunks * KC * BLOCK_ROWS),
+    )
+
+
 def plan_routed(m, dtype=np.float32, s_min: int = 0):
-    """Build compact routed-ELL plan arrays (numpy) from a scipy sparse
-    matrix. Returns a dict of plan arrays + stats, or None if the operator
-    exceeds the format caps. ``s_min`` forces a minimum span so multiple
-    plans (e.g. per-shard local windows) can share one static span."""
+    """Build compact routed-ELL plan arrays from a scipy sparse matrix.
+
+    Returns a dict of plan arrays + stats, or None if the operator exceeds
+    the format caps. ``s_min`` forces a minimum span so multiple plans
+    (e.g. per-shard local windows) can share one static span. f32 plans
+    run through the native OpenMP planner when built; other dtypes (and
+    environments without the toolchain) use the vectorized-numpy twin —
+    the layouts are bit-identical (tested)."""
     import scipy.sparse as sp
 
     m = sp.csr_matrix(m)
@@ -144,6 +187,14 @@ def plan_routed(m, dtype=np.float32, s_min: int = 0):
     if nb > NB_CAP:
         return None
     nbp = _pad_to(nb, LANES)
+    nc2_early = max(1, -(-n_cols // LANES))
+
+    if np.dtype(dtype) == np.float32 and m.nnz > 0:
+        plan = _plan_native(m, s_min, n_rows, n_cols, nb, nbp, nc2_early)
+        if plan == "overflow":
+            return None
+        if plan is not None:
+            return plan
 
     coo = m.tocoo()
     rows = coo.row.astype(np.int64)
@@ -302,7 +353,22 @@ def routed_from_scipy(m, dtype=jnp.float32, put=None):
     scatter-fill path is no longer a win)."""
     if put is None:
         put = jnp.asarray
-    plan = plan_routed(m, dtype=np.float64)
+    # feature-detect the batched-upload sparse path (DeferredUpload.add):
+    # low-efficiency plan chunks (restrictions pack at ~0.17) still win
+    # with scatter-fill shipping; add() itself falls back to dense unless
+    # the sparse encoding is ≥2× smaller per array.
+    import inspect
+
+    try:
+        sparse_ok = "sparse" in inspect.signature(put).parameters
+    except (TypeError, ValueError):
+        sparse_ok = False
+    sput = (lambda a: put(a, sparse=True)) if sparse_ok else put
+    try:
+        np_dt = np.dtype(jnp.dtype(dtype).name)  # f32 → native planner
+    except TypeError:
+        np_dt = np.float64                       # bf16 etc.: plan in f64
+    plan = plan_routed(m, dtype=np_dt)
     if plan is None:
         return None
     soff = plan["soff"]
@@ -310,8 +376,8 @@ def routed_from_scipy(m, dtype=jnp.float32, put=None):
     if resident:
         soff = absolute_soff(plan)
     return RoutedEll(
-        val4=put(np.asarray(plan["val4"], jnp.dtype(dtype))),
-        lidx4=put(pack_lidx4(plan["lidx4"])),
+        val4=sput(np.asarray(plan["val4"], jnp.dtype(dtype))),
+        lidx4=sput(plan_lidx_packed(plan)),
         soff=put(np.ascontiguousarray(soff)),
         cbase=put(plan["cbase"]),
         kch=put(plan["kch"]),

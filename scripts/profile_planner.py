@@ -22,7 +22,7 @@ import numpy as np
 from omp_amg_tpu.amg.hierarchy import amg_setup
 from omp_amg_tpu.amg.params import AMGParams
 from omp_amg_tpu.problems.poisson import poisson3d_7pt
-from omp_amg_tpu.sparse.routed import pack_lidx4, plan_routed
+from omp_amg_tpu.sparse.routed import plan_lidx_packed, plan_routed
 
 
 def main():
@@ -48,7 +48,7 @@ def main():
         plan = plan_routed(m)
         dt = time.time() - t0
         t1 = time.time()
-        packed = pack_lidx4(plan["lidx4"]) if plan else None
+        packed = plan_lidx_packed(plan) if plan else None
         dtp = time.time() - t1
         total += dt + dtp
         if plan:

@@ -19,8 +19,8 @@ from omp_amg_tpu.problems.poisson import poisson2d_5pt, poisson3d_7pt
 from omp_amg_tpu.solvers.cg import amg_pcg
 from omp_amg_tpu.sparse.formats import dia_to_scipy
 from omp_amg_tpu.sparse.routed import (
-    KC, RoutedEll, absolute_soff, pack_lidx4, plan_routed,
-    routed_from_scipy, routed_to_scipy,
+    KC, RoutedEll, absolute_soff, pack_lidx4, plan_lidx_packed,
+    plan_routed, routed_from_scipy, routed_to_scipy,
 )
 
 
@@ -67,7 +67,7 @@ CASES = [
 
 def _from_plan(plan, resident=False):
     soff = absolute_soff(plan) if resident else plan["soff"]
-    return RoutedEll(val4=plan["val4"], lidx4=pack_lidx4(plan["lidx4"]),
+    return RoutedEll(val4=plan["val4"], lidx4=plan_lidx_packed(plan),
                      soff=soff, cbase=plan["cbase"], kch=plan["kch"],
                      sbase=plan["sbase"], n_rows=plan["n_rows"],
                      n_cols=plan["n_cols"], span=plan["span"],
@@ -95,6 +95,29 @@ def test_compact_chunks_scale_with_local_demand():
     assert kch.max() > kch.min()          # skew is present
     assert plan["val4"].shape[0] == kch.sum()   # chunks are compact
     assert plan["kmax"] == int(kch.max()) * KC
+
+
+@pytest.mark.parametrize("i", range(len(CASES)))
+def test_native_plan_matches_numpy(i):
+    """The native OpenMP planner (csrc) must reproduce the numpy planner's
+    layout bit-exactly (f32 values = f64 rounded once)."""
+    from omp_amg_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    m = CASES[i]
+    if m.nnz == 0:
+        pytest.skip("empty matrix takes the shared zero-plan path")
+    p_np = plan_routed(m, dtype=np.float64)
+    p_nat = plan_routed(m, dtype=np.float32)
+    assert "lidx4p" in p_nat, "native path was not taken"
+    np.testing.assert_array_equal(p_nat["val4"],
+                                  p_np["val4"].astype(np.float32))
+    np.testing.assert_array_equal(p_nat["lidx4p"], plan_lidx_packed(p_np))
+    for key in ("soff", "cbase", "kch", "sbase"):
+        np.testing.assert_array_equal(p_nat[key], p_np[key])
+    for key in ("span", "nxp", "kmax", "nnz"):
+        assert p_nat[key] == p_np[key], key
 
 
 @pytest.mark.parametrize("i", range(len(CASES)))
