@@ -167,11 +167,13 @@ def main():
         # comm/flop model, calibrated to the measured V-cycle, carries
         # the prediction; parallel/scaling_model.py states the model)
         from omp_amg_tpu.parallel.scaling_model import scaling_report
-        details["scaling"] = scaling_report(
-            hier, grid=(ns, ns, ns), measured_t_cycle_ms=vsec * 1e3)
-        eff = {k: v["weak_efficiency"]
-               for k, v in details["scaling"]["predicted"].items()}
-        log(f"weak-scaling model (calibrated): efficiency {eff}")
+        details["scaling"] = {"slab": scaling_report(
+            hier, grid=(ns, ns, ns), measured_t_cycle_ms=vsec * 1e3,
+            family="slab")}
+        eff = {k: (v["weak_efficiency_lo"], v["weak_efficiency"],
+                   v["weak_efficiency_hi"])
+               for k, v in details["scaling"]["slab"]["predicted"].items()}
+        log(f"weak-scaling model slab (lo/mid/hi): {eff}")
 
     # ---- BASELINE.json convergence configs 1-4 (end-to-end to 1e-8) ----
     if os.environ.get("BENCH_CONFIGS", "1") == "1" \
@@ -331,6 +333,18 @@ def main():
             f"{vs_p*1e3:.2f} ms, solve {pmis_d['solve_s']:.3f}s, "
             f"iters {int(r_p.iters)}")
         details["pmis"] = pmis_d
+
+        # weak-scaling model for the PMIS/routed family (VERDICT r2 #6:
+        # halo strips from the routed column windows, plan-stream bytes
+        # from each operator's packing efficiency, ±2× ICI band)
+        from omp_amg_tpu.parallel.scaling_model import scaling_report
+        details.setdefault("scaling", {})["pmis"] = scaling_report(
+            hier_p, measured_t_cycle_ms=vs_p * 1e3, family="pmis")
+        eff_p = {k: (v["weak_efficiency_lo"], v["weak_efficiency"],
+                     v["weak_efficiency_hi"])
+                 for k, v in
+                 details["scaling"]["pmis"]["predicted"].items()}
+        log(f"weak-scaling model pmis (lo/mid/hi): {eff_p}")
 
     details["total_s"] = time.time() - t_start
     with open("bench_details.json", "w") as fh:

@@ -59,7 +59,13 @@ def _op_bytes_per_nnz(op) -> float:
     if name == "Dia":
         return 4.1
     if name == "RoutedEll":
-        return 8.2     # val4 + lidx4 per padded slot
+        # compact-chunk plan stream: 4 B val + 1 B packed lane + soff per
+        # PADDED slot, divided by the plan's own packing efficiency (the
+        # kernel walks padded chunks; K-dependence enters through eff)
+        nc_chunks = int(op.val4.shape[0])
+        padded = nc_chunks * 16 * 1024
+        eff = max(op.nnz, 1) / padded if op.nnz else 0.3
+        return 5.3 / max(eff, 0.05)
     return 8.2         # ELL: col + val
 
 
@@ -84,21 +90,33 @@ def _nnz_of(op) -> int:
 def scaling_report(hier, grid=None, ndev_list=(1, 2, 4, 8, 16),
                    machine: MachineModel = MachineModel(),
                    agg_rows_per_dev: int = 2048,
-                   measured_t_cycle_ms: float | None = None) -> dict:
+                   measured_t_cycle_ms: float | None = None,
+                   family: str = "auto") -> dict:
     """Per-level accounting + predicted weak-scaling efficiency.
 
     ``hier`` is a single-device Hierarchy; the model shards it the way
-    parallel/dist_setup does (z-slabs for structured grids, row blocks
-    otherwise) at each device count, with the weak-scaled problem (per-
-    device work constant). ``measured_t_cycle_ms`` (single-chip V-cycle)
-    calibrates the absolute scale when available; efficiencies are
-    scale-free either way.
+    the distributed setups do — ``family="slab"`` (z-plane slabs, plane
+    halo exchanges; structured grids) or ``family="pmis"`` (row-block
+    shards with routed-window strip halos; the classical pipeline) — at
+    each device count, with the weak-scaled problem (per-device work
+    constant). ``family="auto"`` picks pmis when any level operator is
+    routed/ELL or no grid is given. ``measured_t_cycle_ms`` (single-chip
+    V-cycle) calibrates the absolute scale when available; efficiencies
+    are scale-free either way. The prediction carries a ±2× ICI
+    sensitivity band (``weak_efficiency_lo/hi``): the ICI constants are
+    stated assumptions, not measurements (no multi-chip hardware here),
+    and the band shows how far they can be wrong before the 80% gate
+    flips.
     """
     params = hier.params
     nu = params.nu_pre + params.nu_post
     # per level per V-cycle: nu smoothing SpMVs + 1 residual SpMV, plus
     # the grid-transfer traffic (2·nnz_P each direction)
     spmv_per_cycle = nu + 1
+    if family == "auto":
+        routedish = any(type(lv.a).__name__ in ("RoutedEll", "Ell")
+                        for lv in hier.levels)
+        family = "pmis" if (routedish or grid is None) else "slab"
 
     levels = []
     for lv in hier.levels:
@@ -112,14 +130,26 @@ def scaling_report(hier, grid=None, ndev_list=(1, 2, 4, 8, 16),
                        + nu * 3 * 4 * n)                # jacobi axpy traffic
         zdim = None
         plane_rows = n
-        if grid is not None and len(grid) == 3:
+        if family == "slab" and grid is not None and len(grid) == 3:
             # plane size from the level's row count assuming isotropic
             # coarsening of the initial grid shape
             frac = (n / (grid[0] * grid[1] * grid[2])) ** (1.0 / 3.0)
             nz = max(int(round(grid[0] * frac)), 1)
             plane_rows = n // max(nz, 1)
             zdim = nz
-        halo_bytes = 2 * plane_rows * 4          # two boundary planes of x
+            halo_bytes = 2 * plane_rows * 4      # two boundary x planes
+        else:
+            # row-block shard: halo strips are bounded by the operator's
+            # column window. RoutedEll carries the window size (span
+            # chunks of 128 columns); half a window each side is the
+            # strip a shard requests from each neighbor. ELL/other: the
+            # distance-1 graph bandwidth of a ~7-pt-lineage coarse
+            # operator, approximated as n^(2/3) rows (one grid plane).
+            if type(lv.a).__name__ == "RoutedEll":
+                halo_rows = min(n, int(lv.a.span) * 64)
+            else:
+                halo_rows = min(n, int(max(n, 1) ** (2.0 / 3.0)))
+            halo_bytes = 2 * halo_rows * 4
         flops = 2 * nnz * spmv_per_cycle + 4 * nnz_p
         levels.append(dict(n=n, nnz=nnz, nnz_p=nnz_p, zdim=zdim,
                            op_format=type(lv.a).__name__,
@@ -128,6 +158,60 @@ def scaling_report(hier, grid=None, ndev_list=(1, 2, 4, 8, 16),
                            exchanges_per_cycle=spmv_per_cycle + 2,
                            flops_per_cycle=flops))
 
+    def _predict(machine):
+        return _predict_family(levels, hier, machine, ndev_list, family,
+                               agg_rows_per_dev)
+
+    predictions = _predict(machine)
+    import dataclasses as _dc
+
+    pess = _dc.replace(machine, ici_gbps=machine.ici_gbps / 2,
+                       ici_latency_us=machine.ici_latency_us * 2)
+    opti = _dc.replace(machine, ici_gbps=machine.ici_gbps * 2,
+                       ici_latency_us=machine.ici_latency_us / 2)
+    pred_lo = _predict(pess)
+    pred_hi = _predict(opti)
+
+    t1 = predictions[ndev_list[0]]["t_cycle_ms"]
+    calib = (measured_t_cycle_ms / t1) if measured_t_cycle_ms else 1.0
+    for ndev, p in predictions.items():
+        p["t_cycle_ms"] = round(p["t_cycle_ms"] * calib, 4)
+        p["weak_efficiency"] = round(t1 * calib / p["t_cycle_ms"], 4)
+        for tag, alt in (("weak_efficiency_lo", pred_lo),
+                         ("weak_efficiency_hi", pred_hi)):
+            p[tag] = round(alt[ndev_list[0]]["t_cycle_ms"]
+                           / alt[ndev]["t_cycle_ms"], 4)
+
+    lat = machine.ici_latency_us * 1e-6
+    # PCG collective cost per iteration (latency-bound scalar psums)
+    pcg = {ndev: dict(
+        psum_per_iter=3,
+        t_collectives_us=round(3 * math.log2(max(ndev, 2)) * lat * 1e6, 3))
+        for ndev in ndev_list}
+
+    return dict(
+        family=family,
+        model=asdict(machine),
+        model_notes=(
+            "weak scaling: per-device level sizes constant (problem grows "
+            "with ndev); T_level = max(T_interior, T_halo) + T_boundary on "
+            "sharded levels (interior/boundary overlap split of "
+            "parallel/dist.py); replicated levels are the Amdahl serial "
+            "fraction; scalar psums latency-bound at log2(ndev) hops; "
+            "pmis family: row-block shards, halo strips bounded by the "
+            "routed column windows, plan-stream bytes scaled by each "
+            "operator's measured packing efficiency; the _lo/_hi "
+            "efficiency band = ICI bandwidth ±2× with latency ∓2× "
+            "(stated assumption, not a measurement)"),
+        levels=levels,
+        predicted=predictions,
+        pcg_collectives=pcg,
+        calibrated_to_measured=measured_t_cycle_ms is not None,
+    )
+
+
+def _predict_family(levels, hier, machine, ndev_list, family,
+                    agg_rows_per_dev):
     hbm = machine.hbm_gbps * 1e9
     ici = machine.ici_gbps * 1e9
     lat = machine.ici_latency_us * 1e-6
@@ -151,7 +235,9 @@ def scaling_report(hier, grid=None, ndev_list=(1, 2, 4, 8, 16),
             if ndev == 1:
                 sharded = False
             t_comp = lv["bytes_per_cycle"] / hbm + 2 * stage
-            if sharded or ndev == 1:
+            if ndev == 1:
+                t_cycle += t_comp       # single chip: no halo exchange
+            elif sharded:
                 # per-device work = the single-chip level (weak scaling)
                 n_sharded += ndev > 1
                 boundary_frac = (min(2.0 / max(lv["zdim"] or 8, 2), 0.5)
@@ -178,29 +264,4 @@ def scaling_report(hier, grid=None, ndev_list=(1, 2, 4, 8, 16),
                                                        5),
                                  sharded_levels=n_sharded,
                                  replicated_levels=int(n_replicated))
-
-    t1 = predictions[ndev_list[0]]["t_cycle_ms"]
-    calib = (measured_t_cycle_ms / t1) if measured_t_cycle_ms else 1.0
-    for ndev, p in predictions.items():
-        p["t_cycle_ms"] = round(p["t_cycle_ms"] * calib, 4)
-        p["weak_efficiency"] = round(t1 * calib / p["t_cycle_ms"], 4)
-
-    # PCG collective cost per iteration (latency-bound scalar psums)
-    pcg = {ndev: dict(
-        psum_per_iter=3,
-        t_collectives_us=round(3 * math.log2(max(ndev, 2)) * lat * 1e6, 3))
-        for ndev in ndev_list}
-
-    return dict(
-        model=asdict(machine),
-        model_notes=(
-            "weak scaling: per-device level sizes constant (problem grows "
-            "with ndev); T_level = max(T_interior, T_halo) + T_boundary on "
-            "sharded levels (interior/boundary overlap split of "
-            "parallel/dist.py); replicated levels are the Amdahl serial "
-            "fraction; scalar psums latency-bound at log2(ndev) hops"),
-        levels=levels,
-        predicted=predictions,
-        pcg_collectives=pcg,
-        calibrated_to_measured=measured_t_cycle_ms is not None,
-    )
+    return predictions

@@ -66,3 +66,25 @@ def test_scaling_report_tpu_operator_forms():
         h2 = dataclasses.replace(hier, levels=(lv,) + hier.levels[1:])
         rep = scaling_report(h2, grid=(N, N, N))
         assert rep["levels"][0]["nnz"] == band
+
+
+def test_scaling_report_pmis_family_and_band():
+    """PMIS/routed family report (VERDICT r2 #6): routed-window halo
+    accounting, packing-efficiency plan bytes, ±2× ICI sensitivity band."""
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.amg.hierarchy import amg_setup
+    from omp_amg_tpu.amg.params import AMGParams
+
+    a = amg.poisson3d_7pt(20)
+    hier = amg_setup(a, AMGParams(coarsening="pmis"))
+    rep = scaling_report(hier, family="pmis", measured_t_cycle_ms=5.0)
+    assert rep["family"] == "pmis"
+    for ndev, p in rep["predicted"].items():
+        assert p["weak_efficiency_lo"] <= p["weak_efficiency_hi"]
+        if ndev > 1:
+            # the band genuinely brackets the point estimate
+            assert p["weak_efficiency_lo"] <= p["weak_efficiency"] + 1e-9
+            assert p["weak_efficiency"] <= p["weak_efficiency_hi"] + 1e-9
+    # auto-detection: hierarchy without a grid is the pmis family
+    rep2 = scaling_report(hier)
+    assert rep2["family"] == "pmis"
