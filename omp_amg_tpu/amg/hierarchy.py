@@ -267,12 +267,23 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             p = None   # host flavor: device P form chosen at level build
         trace.mark(f"L{len(levels)} n={n} strength/pmis/interp")
         ac_sp = galerkin_product(host_ops[-1], p_sp)
-        if params.rap == "probe":
+        # "auto": device probe where it pays — the fine (banded/stencil)
+        # level, whose A-side runs the shift-fma dia path with NO panel
+        # plan to build (the numpy panel planner costs ~7 s at 96³;
+        # non-banded levels would spend more planning than the whole
+        # host Gustavson product) and whose size amortizes the device
+        # stage floors.
+        use_probe = params.rap == "probe" or (
+            params.rap == "auto" and jax.default_backend() == "tpu"
+            and len(levels) == 0 and host_ops[-1].nnz >= 1_000_000)
+        if use_probe:
             # TPU-resident numeric phase (BASELINE north-star "two-phase
             # symbolic+numeric SpGEMM"): the coarse-operator VALUES come
             # from the colored-probing device RAP (ops/probe_rap.py); the
             # host product above provides the symbolic pattern (and the
-            # fallback when a plan cap is exceeded).
+            # fallback when a plan cap is exceeded). "auto" limits the
+            # device phase to levels whose size amortizes its per-call
+            # stage floors (~1 ms each through the relay).
             from ..ops.probe_rap import build_rap_probe, rap_probe_numeric
 
             rap_probe, _ = build_rap_probe(host_ops[-1], p_sp, ac_sp=ac_sp)

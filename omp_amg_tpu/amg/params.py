@@ -48,13 +48,14 @@ class AMGParams:
                                  # operator is a masked-constant stencil
                                  # (streams x/y only — ~2.8× the PlaneDia
                                  # SpMV ceiling): "auto" | "off"
-    rap: str = "host"            # PMIS-path Galerkin numeric engine:
-                                 # "host" (native OpenMP Gustavson, f64) |
-                                 # "probe" (colored-probing device RAP —
-                                 # ops/probe_rap.py: the solve-path level
-                                 # operators get device-computed values;
-                                 # host keeps f64 values for the symbolic
-                                 # chain). Host stays default because the
-                                 # axon relay makes plan uploads costly;
-                                 # on directly-attached TPUs "probe" moves
-                                 # the numeric phase fully on-chip.
+    rap: str = "auto"            # PMIS-path Galerkin numeric engine:
+                                 # "auto" (cost-based: device probe on TPU
+                                 # for levels big enough that the MXU
+                                 # numeric phase beats its stage floors;
+                                 # host Gustavson otherwise) | "host"
+                                 # (native OpenMP Gustavson, f64) |
+                                 # "probe" (force the colored-probing
+                                 # device RAP — ops/probe_rap.py — on
+                                 # every level it fits). The symbolic
+                                 # pattern always comes from the host
+                                 # product (SURVEY §4.2 two-phase split).

@@ -118,11 +118,19 @@ class RapProbe:
     c_panel: int = _static(default=0)   # v2 panel width (0 = v1 only)
     a_v2: object = None       # PanelPlanV2 | None — scheduled kernel plans
     r_v2: object = None
+    # banded-A fast path: when A is DIA-able (every PMIS L0 is the stencil
+    # operator) the A·U panel product runs as XLA shift-fma over the dense
+    # panel — f32-exact on the VPU and ~30× less traffic than streaming
+    # one-hot windows (measured round 3: A-side windows were ~74 GB at
+    # 7-pt 96³ vs 2.4 GB of panel restreaming)
+    a_offsets: tuple = _static(default=())
+    a_dia: object = None      # (ndiag, n) f32 diagonal data | None
+    a_nnz: int = _static(default=0)
 
     @property
     def nnz(self) -> int:
         """nnz(A) — the conventional RAP-throughput denominator."""
-        return self.a_plan.nnz
+        return self.a_nnz if self.a_plan is None else self.a_plan.nnz
 
 
 def build_rap_probe(a_sp, p_sp, ac_sp=None, dtype=jnp.float32):
@@ -148,31 +156,56 @@ def build_rap_probe(a_sp, p_sp, ac_sp=None, dtype=jnp.float32):
     from ..sparse.panels import panel_plan_from_dict, plan_panel_spmm
     from .pallas_spmm import schedule_plan_v2
 
-    a_dict = plan_panel_spmm(a_sp, dtype=np.float64)
+    # banded-A detection FIRST: the PMIS fine operator is the stencil —
+    # its panel product runs as f32 shift-fma on the dense panel (see
+    # RapProbe), and then no A panel plan is built at all (the numpy
+    # panel planner cost 7 s on the 96³ L0 operator — round-3 profile)
+    a_offsets: tuple = ()
+    a_dia = None
+    row_of = np.repeat(np.arange(a_sp.shape[0], dtype=np.int64),
+                       np.diff(a_sp.indptr))
+    all_offs = a_sp.indices.astype(np.int64) - row_of
+    offs = np.unique(all_offs)
+    if len(offs) <= 32:
+        n = a_sp.shape[0]
+        dia_data = np.zeros((len(offs), n), np.float32)
+        di = np.searchsorted(offs, all_offs)
+        dia_data[di, row_of] = a_sp.data
+        a_offsets = tuple(int(o) for o in offs)
+        a_dia = jnp.asarray(dia_data)
+
+    a_dict = None if a_dia is not None \
+        else plan_panel_spmm(a_sp, dtype=np.float64)
     r_dict = plan_panel_spmm(p_sp.T.tocsr(), dtype=np.float64)
-    if a_dict is None or r_dict is None:
+    if (a_dict is None and a_dia is None) or r_dict is None:
         return None, ac_sp
-    a_plan = panel_plan_from_dict(a_dict, dtype)
+    a_plan = None if a_dict is None else panel_plan_from_dict(a_dict, dtype)
     r_plan = panel_plan_from_dict(r_dict, dtype)
-    # v2 schedules: estimated-cost selection over panel widths. Window
-    # traffic dominates on real levels (3D operator spans are O(n^{2/3})
-    # chunks in any row ordering), so pick the width minimizing
-    # per-color window bytes; v2 shares one window across R_g blocks,
-    # v1 re-streams its span per 128-row block.
+
+    # engine selection in TIME, not bytes: window traffic at the measured
+    # streaming bandwidth PLUS per-kernel-invocation stage floors (the v2
+    # byte-only model chose 8-wide panels in round 2 — measured 2× SLOWER
+    # than v1 because 12× the invocations each pay the ~0.9 ms floor and
+    # 8-wide matmuls waste 15/16 of the MXU).
+    HBM = 390e9
+    STAGE = 0.9e-3
     a_v2 = r_v2 = None
     c_panel = 0
     c_want = min(128, -(-ncolors // 8) * 8)
     best = None
     for C in range(c_want, 7, -8):
-        a2 = schedule_plan_v2(a_dict, C)
+        a2 = None if a_dia is not None else schedule_plan_v2(a_dict, C)
         r2 = schedule_plan_v2(r_dict, C)
-        if a2 is None or r2 is None:
+        if r2 is None or (a_dia is None and a2 is None):
             continue
-        bytes_win = 0
-        for sch in (a2, r2):
-            bytes_win += sch.sbases.shape[0] * sch.s_win * C * 128 * 6
         panels = -(-ncolors // C)
-        cost = bytes_win * panels
+        bytes_win = sum(
+            sch.sbases.shape[0] * sch.s_win * C * 128 * 6
+            for sch in ((r2,) if a_dia is not None else (a2, r2)))
+        calls = panels * (1 if a_dia is not None else 2)
+        mxu_waste = 128.0 / max(C, 8)   # sub-128 panels idle the MXU
+        cost = (bytes_win * panels) / HBM + calls * STAGE \
+            + (mxu_waste - 1) * 0.0005 * calls
         if best is None or cost < best[0]:
             best = (cost, C, a2, r2)
     # v1 (per-block streamed spans) comparison at its own best width
@@ -180,13 +213,17 @@ def build_rap_probe(a_sp, p_sp, ac_sp=None, dtype=jnp.float32):
 
     c1 = 128
     while c1 > 8 and not (
-            vmem_fit(a_dict["span"], c1, a_dict["K"], "bf16x3")
+            (a_dia is not None
+             or vmem_fit(a_dict["span"], c1, a_dict["K"], "bf16x3"))
             and vmem_fit(r_dict["span"], c1, r_dict["K"], "bf16x3")):
         c1 -= 8
-    nb_a = a_dict["val"].shape[0]
     nb_r = r_dict["val"].shape[0]
-    v1_cost = ((nb_a * a_dict["span"] + nb_r * r_dict["span"])
-               * c1 * 128 * 6 * -(-ncolors // c1))
+    v1_bytes = ((0 if a_dia is not None
+                 else a_dict["val"].shape[0] * a_dict["span"])
+                + nb_r * r_dict["span"]) * c1 * 128 * 6
+    v1_panels = -(-ncolors // c1)
+    v1_cost = v1_bytes * v1_panels / HBM \
+        + v1_panels * (1 if a_dia is not None else 2) * STAGE
     if best is not None and best[0] < v1_cost:
         _, c_panel, a_v2, r_v2 = best
 
@@ -210,9 +247,27 @@ def build_rap_probe(a_sp, p_sp, ac_sp=None, dtype=jnp.float32):
         ac_cidx=jnp.asarray(ac_cidx),
         ac_mask=jnp.asarray(ac_mask),
         n_colors=ncolors, n_rows=a_sp.shape[0], n_coarse=nc, kc=kc,
-        c_panel=c_panel,
+        c_panel=c_panel, a_offsets=a_offsets, a_dia=a_dia,
+        a_nnz=int(a_sp.nnz),
     )
     return probe, ac_sp
+
+
+def _dia_panel_apply(offsets, data: jax.Array, x: jax.Array) -> jax.Array:
+    """U = A·X for a banded A ((ndiag, n) diagonal data) and dense panel X
+    ((n, C)) — static-offset shift-fma, f32-exact on the VPU, one panel
+    stream per diagonal (XLA fuses the chain)."""
+    n = x.shape[0]
+    u = jnp.zeros_like(x)
+    for d, off in enumerate(offsets):
+        if off >= 0:
+            seg = data[d, : n - off] if off else data[d]
+            u = u.at[: n - off if off else n].add(
+                seg[:, None] * (x[off:] if off else x))
+        else:
+            o = -off
+            u = u.at[o:].add(data[d, o:][:, None] * x[: n - o])
+    return u
 
 
 def _panel_pv(probe: RapProbe, c0: int, C: int) -> jax.Array:
@@ -252,16 +307,17 @@ def _rap_probe_numeric_jit(probe: RapProbe, engine: str,
     # fits VMEM for BOTH SpMM operands (wider panels amortize plan traffic)
     from .pallas_spmm import vmem_fit
 
-    use_v2 = engine == "pallas" and probe.a_v2 is not None \
-        and probe.r_v2 is not None
+    dia_a = probe.a_dia is not None
+    use_v2 = engine == "pallas" and probe.r_v2 is not None \
+        and (probe.a_v2 is not None or dia_a)
     if use_v2:
         c_cap = probe.c_panel
     else:
         c_cap = 128
         if engine == "pallas":
             while c_cap > 8 and not (
-                    vmem_fit(probe.a_plan.span, c_cap,
-                             probe.a_plan.val.shape[1], "bf16x3")
+                    (dia_a or vmem_fit(probe.a_plan.span, c_cap,
+                                       probe.a_plan.val.shape[1], "bf16x3"))
                     and vmem_fit(probe.r_plan.span, c_cap,
                                  probe.r_plan.val.shape[1], "bf16x3")):
                 c_cap -= 8
@@ -269,6 +325,31 @@ def _rap_probe_numeric_jit(probe: RapProbe, engine: str,
     def _probe_colors(c0: int, C: int) -> jax.Array:
         """(ncp, C) block of W = Pᵀ A P V for colors [c0, c0+C)."""
         pv = _panel_pv(probe, c0, C)
+        if engine == "pallas" and probe.a_dia is not None:
+            # banded-A fast path: A·(P·V) as f32 shift-fma on the panel,
+            # then only the R (=Pᵀ) product runs the one-hot-MXU kernel
+            from .pallas_spmm import spmm_panel_v2, split_bf16
+
+            u = _dia_panel_apply(probe.a_offsets, probe.a_dia, pv)
+            if probe.r_v2 is not None:
+                cp = probe.c_panel
+                if C < cp:
+                    u = jnp.concatenate(
+                        [u, jnp.zeros((u.shape[0], cp - C), u.dtype)],
+                        axis=1)
+                r2 = probe.r_v2
+                ut = pack_panels(u, r2.nxp)
+                wt = spmm_panel_v2(r2, split_bf16(ut, 3),
+                                   precision="bf16x3", interpret=interpret)
+                w = unpack_panels(wt, probe.n_coarse,
+                                  probe.c_panel)[:, :C]
+            else:
+                ut = pack_panels(u, probe.r_plan.nxp)
+                wt = spmm_panel(probe.r_plan, split_bf16(ut, 3), C,
+                                precision="bf16x3", interpret=interpret)
+                w = unpack_panels(wt, probe.n_coarse, C)
+            return jnp.concatenate(
+                [w, jnp.zeros((ncp - w.shape[0], C), w.dtype)], axis=0)
         if engine == "pallas":
             # exact bf16-triple windows: the one-hot is exact 0/1 and a
             # 3-way hi/mid/lo split covers all 24 f32 mantissa bits, so
@@ -314,7 +395,9 @@ def _rap_probe_numeric_jit(probe: RapProbe, engine: str,
                                 C, precision="bf16x3", interpret=interpret)
                 w = unpack_panels(wt, probe.n_coarse, C)
         else:
-            u = spmm_panel_xla(probe.a_plan, pv)
+            u = (_dia_panel_apply(probe.a_offsets, probe.a_dia, pv)
+                 if probe.a_dia is not None
+                 else spmm_panel_xla(probe.a_plan, pv))
             w = spmm_panel_xla(probe.r_plan, u)
         return jnp.concatenate(
             [w, jnp.zeros((ncp - w.shape[0], C), w.dtype)], axis=0)
