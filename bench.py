@@ -228,6 +228,14 @@ def main():
                 import dataclasses as _dc
 
                 prm_p = _dc.replace(prm, coarsening="pmis")
+                if name.startswith("aniso"):
+                    # 9-pt FEM aniso: the corner couplings sit at ratio
+                    # (1+ε)/4 — a hair ABOVE the classical θ=0.25 line —
+                    # and including them destroys the 1D strength
+                    # semantics the config exists to test (126 vs 13
+                    # iters at 128²). θ=0.5 is hypre's recommended
+                    # strong threshold for 9-pt/27-pt operators.
+                    prm_p = _dc.replace(prm_p, theta=0.5)
                 a_c = make()
                 b_c = amg.default_rhs(a_c, "random", seed=0)
                 t0 = time.time()

@@ -12,6 +12,7 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 #ifdef _OPENMP
@@ -745,6 +746,157 @@ void routed_plan_fill(int64_t n_rows, const int64_t* indptr,
       }
     }
   }
+}
+
+// ---------------------------------------------------------------------------
+// PMIS coarsening (amg/host_setup.py pmis_np) — bit-identical native port.
+// All reductions are integer or pure comparisons (max / argmax-by-largest-
+// index), so OpenMP scheduling cannot change the result; the hash01 weights
+// reproduce the numpy lowbias32 mixer exactly.
+// ---------------------------------------------------------------------------
+
+static inline float hash01_u32(uint32_t x) {
+  x = (x ^ (x >> 16)) * 0x7FEB352Du;
+  x = (x ^ (x >> 15)) * 0x846CA68Bu;
+  x = x ^ (x >> 16);
+  return (float)(x >> 8) * (1.0f / (float)(1 << 24));
+}
+
+void strength_mask_f32(int64_t n, int64_t k, const int32_t* col,
+                       const float* val, double theta, uint8_t* mask) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t* c = col + i * k;
+    const float* v = val + i * k;
+    uint8_t* m = mask + i * k;
+    float diag = 0.0f;
+    for (int64_t j = 0; j < k; ++j)
+      if (c[j] == (int32_t)i) diag += v[j];
+    const float sign = diag >= 0.0f ? 1.0f : -1.0f;
+    // row_max = max over ALL k slots of s (non-offdiag slots contribute
+    // 0, exactly like the numpy where() formulation)
+    float row_max = -std::numeric_limits<float>::infinity();
+    for (int64_t j = 0; j < k; ++j) {
+      const bool offd = c[j] != (int32_t)i && v[j] != 0.0f;
+      const float s = offd ? -sign * v[j] : 0.0f;
+      if (s > row_max) row_max = s;
+    }
+    const double thr = theta * (double)row_max;
+    for (int64_t j = 0; j < k; ++j) {
+      const bool offd = c[j] != (int32_t)i && v[j] != 0.0f;
+      const float s = offd ? -sign * v[j] : 0.0f;
+      m[j] = (offd && s > 0.0f && (double)s >= thr && row_max > 0.0f)
+                 ? 1 : 0;
+    }
+  }
+}
+
+int64_t pmis_f32(int64_t n, int64_t k, const int32_t* col,
+                 const uint8_t* mask, int64_t max_rounds, int32_t* state) {
+  const int32_t UNDEC = 0, CPT = 1, FPT = 2;
+  // influence counts (S^T column counts) — atomic integer adds, exact
+  std::vector<int64_t> cnt((size_t)n, 0);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t j = 0; j < k; ++j)
+      if (mask[i * k + j]) {
+#pragma omp atomic
+        cnt[col[i * k + j]]++;
+      }
+  std::vector<float> weight((size_t)n);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i)
+    weight[i] = (float)cnt[i] + hash01_u32((uint32_t)i);
+
+  // reverse (S^T) adjacency lists; per-list order is scheduling-dependent
+  // but every consumer is an order-free max/any reduction
+  std::vector<int64_t> rptr((size_t)n + 1, 0);
+  {
+    std::vector<int64_t> deg((size_t)n, 0);
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i)
+      for (int64_t j = 0; j < k; ++j)
+        if (mask[i * k + j]) {
+#pragma omp atomic
+          deg[col[i * k + j]]++;
+        }
+    for (int64_t i = 0; i < n; ++i) rptr[i + 1] = rptr[i] + deg[i];
+  }
+  std::vector<int32_t> radj((size_t)rptr[n]);
+  {
+    std::vector<int64_t> fill((size_t)n, 0);
+#pragma omp parallel for schedule(static)
+    for (int64_t i = 0; i < n; ++i)
+      for (int64_t j = 0; j < k; ++j)
+        if (mask[i * k + j]) {
+          const int64_t c = col[i * k + j];
+          int64_t p;
+#pragma omp atomic capture
+          p = fill[c]++;
+          radj[rptr[c] + p] = (int32_t)i;
+        }
+  }
+
+  std::vector<float> key((size_t)n);
+  std::vector<uint8_t> cand((size_t)n, 0);
+  for (int64_t i = 0; i < n; ++i) state[i] = UNDEC;
+  int64_t round = 0;
+  for (; round < max_rounds; ++round) {
+    int64_t n_undec = 0;
+#pragma omp parallel for schedule(static) reduction(+ : n_undec)
+    for (int64_t i = 0; i < n; ++i) {
+      key[i] = state[i] == UNDEC ? weight[i] : -1.0f;
+      if (state[i] == UNDEC) n_undec++;
+    }
+    if (n_undec == 0) break;
+#pragma omp parallel for schedule(dynamic, 1024)
+    for (int64_t i = 0; i < n; ++i) {
+      cand[i] = 0;
+      if (state[i] != UNDEC) continue;
+      float nb_key = -1.0f;
+      int64_t nb_idx = -1;
+      for (int64_t j = 0; j < k; ++j)
+        if (mask[i * k + j]) {
+          const int64_t q = col[i * k + j];
+          const float kq = key[q];
+          if (kq > nb_key) { nb_key = kq; nb_idx = q; }
+          else if (kq == nb_key && q > nb_idx) nb_idx = q;
+        }
+      for (int64_t p = rptr[i]; p < rptr[i + 1]; ++p) {
+        const int64_t q = radj[p];
+        const float kq = key[q];
+        if (kq > nb_key) { nb_key = kq; nb_idx = q; }
+        else if (kq == nb_key && q > nb_idx) nb_idx = q;
+      }
+      const float w = weight[i];
+      cand[i] = (w > nb_key || (w == nb_key && i > nb_idx)) ? 1 : 0;
+    }
+#pragma omp parallel for schedule(dynamic, 1024)
+    for (int64_t i = 0; i < n; ++i) {
+      if (state[i] != UNDEC) continue;
+      if (cand[i]) { state[i] = CPT; continue; }
+      bool has_c = false;
+      for (int64_t j = 0; j < k && !has_c; ++j)
+        if (mask[i * k + j] && cand[col[i * k + j]]) has_c = true;
+      for (int64_t p = rptr[i]; p < rptr[i + 1] && !has_c; ++p)
+        if (cand[radj[p]]) has_c = true;
+      if (has_c) state[i] = FPT;
+    }
+  }
+  if (round >= max_rounds) return -1;
+  // stranded-F promotion (forward strong deps, none on a C-point)
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    if (state[i] != FPT) continue;
+    bool any_dep = false, dep_c = false;
+    for (int64_t j = 0; j < k; ++j)
+      if (mask[i * k + j]) {
+        any_dep = true;
+        if (state[col[i * k + j]] == CPT) { dep_c = true; break; }
+      }
+    if (any_dep && !dep_c) state[i] = CPT;
+  }
+  return round;
 }
 
 int native_num_threads() {

@@ -245,8 +245,9 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             if cur_planes is None:
                 cur_planes = ell_planes_from_scipy(a_sp, dtype=np.float32)[:2]
             col, val = cur_planes
-            mask = hs.strength_mask_np(col, val, params.theta)
-            state = hs.pmis_np(col, mask, max_rounds=params.max_coarsen_rounds)
+            mask = hs.strength_mask_host(col, val, params.theta)
+            state = hs.pmis_host(col, mask,
+                                 max_rounds=params.max_coarsen_rounds)
             is_c = (state == hs.CPOINT)
             cmap = np.cumsum(is_c.astype(np.int64)) - 1
             nc = int(is_c.sum())
@@ -272,9 +273,17 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
         # plan to build (the numpy panel planner costs ~7 s at 96³;
         # non-banded levels would spend more planning than the whole
         # host Gustavson product) and whose size amortizes the device
-        # stage floors.
+        # stage floors. Through the AXON RELAY the probe's one-shot XLA
+        # compile is relay-side and uncacheable across processes
+        # (BASELINE.md) — measured +55 s per fresh setup — so auto
+        # resolves to host there; directly-attached TPUs take the device
+        # engine. params.rap == "probe" always forces it.
+        import os as _os
+
+        on_relay = bool(_os.environ.get("PALLAS_AXON_POOL_IPS"))
         use_probe = params.rap == "probe" or (
             params.rap == "auto" and jax.default_backend() == "tpu"
+            and not on_relay
             and len(levels) == 0 and host_ops[-1].nnz >= 1_000_000)
         if use_probe:
             # TPU-resident numeric phase (BASELINE north-star "two-phase

@@ -30,6 +30,27 @@ def hash01_np(idx) -> np.ndarray:
     return (x >> np.uint32(8)).astype(np.float32) * np.float32(1.0 / (1 << 24))
 
 
+def strength_mask_host(col: np.ndarray, val: np.ndarray,
+                       theta: float) -> np.ndarray:
+    """Strength mask via the native OpenMP kernel when built (bit-identical
+    to :func:`strength_mask_np` — pinned in tests), numpy otherwise."""
+    from .. import native
+
+    out = native.strength_mask(col, val, theta)
+    return strength_mask_np(col, val, theta) if out is None else out
+
+
+def pmis_host(col: np.ndarray, mask: np.ndarray,
+              max_rounds: int = 64) -> np.ndarray:
+    """PMIS C/F split via the native OpenMP rounds when built (bit-identical
+    to :func:`pmis_np` — every reduction is an order-free max/any, weights
+    are the same lowbias32 hash), numpy otherwise."""
+    from .. import native
+
+    out = native.pmis(col, mask, max_rounds)
+    return pmis_np(col, mask, max_rounds) if out is None else out
+
+
 def strength_mask_np(col: np.ndarray, val: np.ndarray, theta: float) -> np.ndarray:
     """Boolean (n, K) strong-dependency mask (mirrors strength.strength_mask)."""
     n = col.shape[0]

@@ -46,6 +46,23 @@ def jacobi(a, dinv, x, b, omega: float, sweeps: int,
         for _ in range(sweeps):
             x = jacobi_routed(a, x, b, sv)
         return x
+    from ..sparse.formats import PlaneDia
+
+    if isinstance(a, PlaneDia) and jax.default_backend() == "tpu":
+        # fused sweep on the rolling-plane kernel (the PMIS fine level is
+        # PlaneDia — this was its last unfused V-cycle stage)
+        from ..ops.pallas_spmv import jacobi_plane_dia
+
+        sv = omega * dinv
+        done = True
+        for _ in range(sweeps):
+            xn = jacobi_plane_dia(a, x, b, sv)
+            if xn is None:
+                done = False
+                break
+            x = xn
+        if done:
+            return x
     for _ in range(sweeps):
         x = x + omega * dinv * (b - spmv(a, x))
     return x

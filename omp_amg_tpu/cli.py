@@ -40,9 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pcg", default="standard",
                    choices=["standard", "pipelined"],
                    help="PCG variant (pipelined = single-reduction CG)")
-    p.add_argument("--rap", default="host", choices=["host", "probe"],
-                   help="PMIS Galerkin numeric engine: host OpenMP "
-                        "Gustavson or the colored-probing device RAP")
+    p.add_argument("--rap", default="auto",
+                   choices=["auto", "host", "probe"],
+                   help="PMIS Galerkin numeric engine: auto (device probe "
+                        "on the banded fine level, host elsewhere), host "
+                        "OpenMP Gustavson, or probe (force the "
+                        "colored-probing device RAP on every level)")
     p.add_argument("--interp", default="extpi",
                    choices=["direct", "standard", "extpi"],
                    help="PMIS-path interpolation variant")
@@ -56,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--nu", type=int, default=1, help="pre/post sweeps")
     p.add_argument("--cheby-degree", type=int, default=3)
     p.add_argument("--coarse-size", type=int, default=100)
+    p.add_argument("--coarse-solver", default="chol",
+                   choices=["chol", "inv"],
+                   help="coarsest-level direct solve: Cholesky triangular "
+                        "solves or one matmul with the precomputed inverse "
+                        "(one serialized device stage instead of two)")
     p.add_argument("--max-levels", type=int, default=25)
     p.add_argument("--tol", type=float, default=1e-8)
     p.add_argument("--maxiter", type=int, default=500)
@@ -152,6 +160,7 @@ def main(argv=None) -> int:
                        cheby_degree=args.cheby_degree,
                        coarsening=args.coarsening, interp=args.interp,
                        coarse_size=args.coarse_size,
+                       coarse_solver=args.coarse_solver,
                        max_levels=args.max_levels, rap=args.rap)
 
     host_ops = None

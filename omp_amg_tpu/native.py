@@ -73,6 +73,11 @@ def _load():
         lib.routed_plan_demand.restype = ctypes.c_int64
         lib.routed_plan_fill.argtypes = [ctypes.c_int64, i64p, i32p, f64p,
                                          i32p, i32p, f32p, i32p, i32p]
+        lib.strength_mask_f32.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                          i32p, f32p, ctypes.c_double, u8p]
+        lib.pmis_f32.argtypes = [ctypes.c_int64, ctypes.c_int64, i32p, u8p,
+                                 ctypes.c_int64, i32p]
+        lib.pmis_f32.restype = ctypes.c_int64
         lib.native_num_threads.restype = ctypes.c_int
         _lib = lib
     except Exception:
@@ -350,3 +355,32 @@ def routed_plan(a_csr, s_min: int = 0, s_cap: int = 2048):
         return val4, lidxp, soff
 
     return sbase, bk, span, fill
+
+
+def strength_mask(col: np.ndarray, val: np.ndarray, theta: float):
+    """Native strength-of-connection mask; None when the lib is missing."""
+    lib = _load()
+    if lib is None:
+        return None
+    n, k = col.shape
+    mask = np.empty((n, k), np.uint8)
+    lib.strength_mask_f32(n, k, np.ascontiguousarray(col, np.int32),
+                          np.ascontiguousarray(val, np.float32),
+                          float(theta), mask.reshape(-1))
+    return mask.astype(bool)
+
+
+def pmis(col: np.ndarray, mask: np.ndarray, max_rounds: int = 64):
+    """Native PMIS C/F split (bit-identical to host_setup.pmis_np);
+    None when the lib is missing."""
+    lib = _load()
+    if lib is None:
+        return None
+    n, k = col.shape
+    state = np.empty(n, np.int32)
+    rounds = lib.pmis_f32(n, k, np.ascontiguousarray(col, np.int32),
+                          np.ascontiguousarray(mask, np.uint8),
+                          int(max_rounds), state)
+    if rounds < 0:
+        raise RuntimeError("PMIS did not terminate")
+    return state

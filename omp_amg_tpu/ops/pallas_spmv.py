@@ -141,8 +141,11 @@ def _plane_decompose(offsets, plane):
     return out
 
 
-def _plane_kernel(x_hbm, data_ref, o_ref, xbuf, sems, *, decomp, pr, srows,
-                  ring, nz):
+def _plane_kernel(x_hbm, data_ref, *rest, decomp, pr, srows,
+                  ring, nz, mode="spmv"):
+    n_vec = {"spmv": 0, "residual": 1, "jacobi": 2}[mode]
+    vec_refs = rest[:n_vec]
+    o_ref, xbuf, sems = rest[n_vec:]
     i = pl.program_id(0)
 
     def dma(p):
@@ -234,12 +237,22 @@ def _plane_kernel(x_hbm, data_ref, o_ref, xbuf, sems, *, decomp, pr, srows,
     acc = jnp.zeros((pr, LANES), jnp.float32)
     for k, (pz, q, r) in enumerate(decomp):
         acc = acc + data_ref[k] * shifted_view(pz, q, r)
-    o_ref[:, :] = acc
+    # fused level-stage epilogues (the ConstDia/routed fusion pattern):
+    # the plane's own x rows are already VMEM-resident in the ring
+    # (rows(0,0)), so Jacobi costs no extra x operand.
+    if mode == "residual":
+        (b_ref,) = vec_refs
+        o_ref[:, :] = b_ref[:, :] - acc
+    elif mode == "jacobi":
+        b_ref, s_ref = vec_refs
+        o_ref[:, :] = rows(0, 0) + s_ref[:, :] * (b_ref[:, :] - acc)
+    else:
+        o_ref[:, :] = acc
 
 
 @functools.lru_cache(maxsize=64)
 def _make_plane_call(nz, pr, offsets, plane, dtype_name, interpret=False,
-                     plane_major=False):
+                     plane_major=False, mode="spmv"):
     dtype = jnp.dtype(dtype_name)
     decomp = tuple(_plane_decompose(offsets, plane))
     if any(abs(pz) > 1 or q < -8 or q + 1 > 8 for pz, q, r in decomp):
@@ -247,8 +260,9 @@ def _make_plane_call(nz, pr, offsets, plane, dtype_name, interpret=False,
     ring = 6
     srows = pr + 8
     ndiag = len(offsets)
+    n_vec = {"spmv": 0, "residual": 1, "jacobi": 2}[mode]
     kernel = functools.partial(_plane_kernel, decomp=decomp, pr=pr,
-                               srows=srows, ring=ring, nz=nz)
+                               srows=srows, ring=ring, nz=nz, mode=mode)
     if plane_major:
         # (nz, ndiag, pr, 128): one CONTIGUOUS slab DMA per grid step —
         # measured 2.1× over the strided diag-major reads at 7-pt 256³
@@ -258,16 +272,19 @@ def _make_plane_call(nz, pr, offsets, plane, dtype_name, interpret=False,
     else:
         data_spec = pl.BlockSpec((ndiag, pr, LANES), lambda i: (0, i, 0),
                                  memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((pr, LANES), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_dtype = jnp.float32 if mode != "spmv" else dtype
     return pl.pallas_call(
         kernel,
         grid=(nz,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
             data_spec,
-        ],
+        ] + [vec_spec] * n_vec,
         out_specs=pl.BlockSpec((pr, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nz * pr, LANES), dtype),
+        out_shape=jax.ShapeDtypeStruct((nz * pr, LANES), out_dtype),
         scratch_shapes=[
             pltpu.VMEM((ring, srows, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((ring,)),
@@ -276,20 +293,42 @@ def _make_plane_call(nz, pr, offsets, plane, dtype_name, interpret=False,
     )
 
 
-def spmv_plane_dia(a, x: jax.Array, interpret: bool = False) -> jax.Array:
-    """y = A @ x for a PlaneDia operator (plane-major rolling kernel)."""
+def _plane_call(a, x: jax.Array, vecs, mode: str, interpret: bool):
     nz, ndiag, pr, lanes = a.data4.shape
     plane = pr * lanes
     call = _make_plane_call(nz, pr, tuple(a.offsets), plane,
                             jnp.dtype(x.dtype).name, interpret,
-                            plane_major=True)
+                            plane_major=True, mode=mode)
     if call is None:
+        return None
+    m = a.n_rows // LANES
+    vps = tuple(v.astype(jnp.float32).reshape(m, LANES) for v in vecs)
+    return call(x.reshape(m, LANES), a.data4, *vps).reshape(-1)
+
+
+def spmv_plane_dia(a, x: jax.Array, interpret: bool = False) -> jax.Array:
+    """y = A @ x for a PlaneDia operator (plane-major rolling kernel)."""
+    y = _plane_call(a, x, (), "spmv", interpret)
+    if y is None:
         from ..sparse.formats import plane_to_dia
         from .spmv import spmv_dia
 
         return spmv_dia(plane_to_dia(a), x)
-    m = a.n_rows // LANES
-    return call(x.reshape(m, LANES), a.data4).reshape(-1)
+    return y
+
+
+def residual_plane_dia(a, x: jax.Array, b: jax.Array,
+                       interpret: bool = False):
+    """r = b − A·x fused into the rolling-plane pass (one level stage
+    instead of SpMV + XLA subtract). None when the plane contract fails."""
+    return _plane_call(a, x, (b,), "residual", interpret)
+
+
+def jacobi_plane_dia(a, x: jax.Array, b: jax.Array, s: jax.Array,
+                     interpret: bool = False):
+    """x' = x + s·(b − A·x) in one fused pass; the x term reads the
+    VMEM-resident plane ring (no extra operand)."""
+    return _plane_call(a, x, (b, s), "jacobi", interpret)
 
 
 def spmv_dia_planes(a: Dia, x: jax.Array, interpret: bool = False):

@@ -131,6 +131,14 @@ def residual(a, x: jax.Array, b: jax.Array) -> jax.Array:
         from .pallas_routed import residual_routed
 
         return residual_routed(a, x, b)
+    from ..sparse.formats import PlaneDia
+
+    if isinstance(a, PlaneDia) and jax.default_backend() == "tpu":
+        from .pallas_spmv import residual_plane_dia
+
+        r = residual_plane_dia(a, x, b)
+        if r is not None:
+            return r
     return b - spmv(a, x)
 
 

@@ -439,22 +439,30 @@ def ell_planes_from_scipy(a, width: int | None = None, dtype=np.float32):
     """Host numpy (col, val, n_cols) padded ELL planes from a scipy matrix."""
     import scipy.sparse as sp
 
-    a = sp.csr_matrix(a).copy()
-    a.eliminate_zeros()  # ELL uses val==0 as the padding sentinel
-    a.sort_indices()
+    a = sp.csr_matrix(a)
+    # canonical setup-chain operators (Galerkin products, generators) are
+    # already zero-free and sorted — skip the copy/eliminate/sort passes
+    # (they were 2.4 s of the 3.0 s conversion at PMIS-96³ L1)
+    if a.nnz and (a.data == 0).any():
+        a = a.copy()
+        a.eliminate_zeros()  # ELL uses val==0 as the padding sentinel
+    if not a.has_sorted_indices:
+        a.sort_indices()
     n_rows, n_cols = a.shape
     lengths = np.diff(a.indptr)
     k = int(lengths.max(initial=0)) if width is None else int(width)
     if lengths.max(initial=0) > k:
         raise ValueError(f"row length {lengths.max()} exceeds ELL width {k}")
     col = np.zeros((n_rows, max(k, 1)), dtype=np.int32)
-    val = np.zeros((n_rows, max(k, 1)), dtype=np.float64)
+    # fill the target dtype directly (f64→f32 rounds per element exactly
+    # as the old fill-f64-then-astype did, without the 2× allocation)
+    val = np.zeros((n_rows, max(k, 1)), dtype=dtype)
     # Vectorized fill: position of each nnz within its row.
     pos = np.arange(a.nnz, dtype=np.int64) - np.repeat(a.indptr[:-1].astype(np.int64), lengths)
     rows = np.repeat(np.arange(n_rows, dtype=np.int64), lengths)
     col[rows, pos] = a.indices
     val[rows, pos] = a.data
-    return col, val.astype(dtype), int(n_cols)
+    return col, val, int(n_cols)
 
 
 def ell_from_scipy(a, width: int | None = None, dtype=jnp.float32,

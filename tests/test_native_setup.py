@@ -101,3 +101,37 @@ def test_d2_color_validity(gen, n):
     # bound: greedy needs at most max conflict degree + 1 colors
     deg = int(max((csr != 0).sum(axis=1).max(), 1))
     assert ncolors <= deg * deg + 1
+
+
+def test_native_strength_pmis_bit_identical():
+    """Native strength mask + PMIS rounds == the numpy flavors bit-exactly
+    (the determinism contract extends to the native port)."""
+    import numpy as np
+
+    import omp_amg_tpu as amg
+    from omp_amg_tpu import native
+    from omp_amg_tpu.amg import host_setup as hs
+    from omp_amg_tpu.sparse.formats import dia_to_scipy, ell_planes_from_scipy
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    for gen, n, theta in ((amg.poisson3d_7pt, 20, 0.25),
+                          (amg.poisson2d_5pt, 48, 0.25),
+                          (amg.aniso2d_9pt, 48, 0.25),
+                          (amg.aniso2d_9pt, 48, 0.5),
+                          (amg.poisson3d_27pt, 12, 0.25)):
+        a = gen(n)
+        col, val, _ = ell_planes_from_scipy(dia_to_scipy(a),
+                                            dtype=np.float32)
+        m_np = hs.strength_mask_np(col, val, theta)
+        m_nat = native.strength_mask(col, val, theta)
+        np.testing.assert_array_equal(m_nat, m_np, err_msg=str(gen))
+        s_np = hs.pmis_np(col, m_np)
+        s_nat = native.pmis(col, m_np)
+        np.testing.assert_array_equal(s_nat, s_np, err_msg=str(gen))
+        # the dispatchers take the native path and agree too
+        np.testing.assert_array_equal(hs.pmis_host(col, m_np), s_np)
+        np.testing.assert_array_equal(hs.strength_mask_host(col, val, theta),
+                                      m_np)

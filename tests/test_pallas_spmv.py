@@ -84,3 +84,36 @@ def test_bf16_plane_dia_option():
     ref = amg.dia_to_scipy(a) @ x
     rel = np.abs(np.asarray(y, np.float64) - ref).max() / np.abs(ref).max()
     assert rel < 2e-2  # bf16 operator precision
+
+
+def test_plane_fused_epilogues_interpret():
+    """Fused PlaneDia residual/Jacobi == unfused math (interpret mode) —
+    the PMIS fine level's last unfused V-cycle stages (round 3)."""
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.ops.pallas_spmv import (
+        jacobi_plane_dia, residual_plane_dia, spmv_plane_dia,
+    )
+    from omp_amg_tpu.sparse.formats import dia_to_scipy, to_plane_dia
+
+    a = amg.poisson3d_7pt(48)   # plane (48*48) must clear the pr >= 16 gate
+    pm = to_plane_dia(a, dtype=None)
+    assert pm is not None
+    rng = np.random.default_rng(0)
+    n = a.n_rows
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    s = jnp.asarray(rng.uniform(0.1, 1.0, n).astype(np.float32))
+    y = spmv_plane_dia(pm, x, interpret=True)
+    ref = dia_to_scipy(a) @ np.asarray(x, np.float64)
+    assert np.abs(np.asarray(y, np.float64) - ref).max() < 1e-4
+    r = residual_plane_dia(pm, x, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(r), np.asarray(b - y),
+                               rtol=0, atol=1e-5)
+    xj = jacobi_plane_dia(pm, x, b, s, interpret=True)
+    np.testing.assert_allclose(np.asarray(xj),
+                               np.asarray(x + s * (b - y)),
+                               rtol=0, atol=1e-5)
