@@ -749,6 +749,47 @@ void routed_plan_fill(int64_t n_rows, const int64_t* indptr,
 }
 
 // ---------------------------------------------------------------------------
+// Plane-major packing for PlaneDia (sparse/formats.to_plane_dia):
+// (ndiag, nz*pr*128) f64 diagonals → (nz, ndiag, pr, 128) f32 planes, plus
+// an exact bf16-losslessness test (a f32 is bf16-representable iff its low
+// 16 mantissa bits are zero) and the lossless bf16 repack. The numpy
+// transpose+cast chain cost ~12 s at 27-pt 128³ on this 2-core host.
+// ---------------------------------------------------------------------------
+
+void plane_pack_f32(int64_t ndiag, int64_t nz, int64_t pr,
+                    const double* data, float* out) {
+  const int64_t plane = pr * 128;
+  const int64_t n = nz * plane;
+#pragma omp parallel for collapse(2) schedule(static)
+  for (int64_t z = 0; z < nz; ++z)
+    for (int64_t d = 0; d < ndiag; ++d) {
+      const double* src = data + d * n + z * plane;
+      float* dst = out + (z * ndiag + d) * plane;
+      for (int64_t i = 0; i < plane; ++i) dst[i] = (float)src[i];
+    }
+}
+
+int bf16_lossless_f32(const float* x, int64_t n) {
+  int ok = 1;
+#pragma omp parallel for schedule(static) reduction(&& : ok)
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t b;
+    std::memcpy(&b, x + i, 4);
+    if (b & 0xFFFFu) ok = 0;
+  }
+  return ok;
+}
+
+void bf16_pack_f32(const float* x, int64_t n, uint16_t* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t b;
+    std::memcpy(&b, x + i, 4);
+    out[i] = (uint16_t)(b >> 16);
+  }
+}
+
+// ---------------------------------------------------------------------------
 // PMIS coarsening (amg/host_setup.py pmis_np) — bit-identical native port.
 // All reductions are integer or pure comparisons (max / argmax-by-largest-
 // index), so OpenMP scheduling cannot change the result; the hash01 weights

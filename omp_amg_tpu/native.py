@@ -78,6 +78,12 @@ def _load():
         lib.pmis_f32.argtypes = [ctypes.c_int64, ctypes.c_int64, i32p, u8p,
                                  ctypes.c_int64, i32p]
         lib.pmis_f32.restype = ctypes.c_int64
+        u16p = np.ctypeslib.ndpointer(np.uint16, flags="C")
+        lib.plane_pack_f32.argtypes = [ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_int64, f64p, f32p]
+        lib.bf16_lossless_f32.argtypes = [f32p, ctypes.c_int64]
+        lib.bf16_lossless_f32.restype = ctypes.c_int
+        lib.bf16_pack_f32.argtypes = [f32p, ctypes.c_int64, u16p]
         lib.native_num_threads.restype = ctypes.c_int
         _lib = lib
     except Exception:
@@ -384,3 +390,37 @@ def pmis(col: np.ndarray, mask: np.ndarray, max_rounds: int = 64):
     if rounds < 0:
         raise RuntimeError("PMIS did not terminate")
     return state
+
+
+def plane_pack(data: np.ndarray, nz: int, pr: int):
+    """(ndiag, nz·pr·128) f64 diagonals → (nz, ndiag, pr, 128) f32 planes
+    via the native packer; None when the lib is missing."""
+    lib = _load()
+    if lib is None:
+        return None
+    ndiag = data.shape[0]
+    out = np.empty((nz, ndiag, pr, 128), np.float32)
+    lib.plane_pack_f32(ndiag, nz, pr,
+                       np.ascontiguousarray(data, np.float64),
+                       out.reshape(-1))
+    return out
+
+
+def bf16_lossless(x: np.ndarray):
+    """True iff every f32 is exactly bf16-representable (low mantissa bits
+    zero); None when the lib is missing."""
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    return bool(lib.bf16_lossless_f32(x.reshape(-1), x.size))
+
+
+def bf16_pack(x: np.ndarray) -> np.ndarray:
+    import ml_dtypes
+
+    lib = _load()
+    x = np.ascontiguousarray(x, np.float32)
+    out = np.empty(x.shape, np.uint16)
+    lib.bf16_pack_f32(x.reshape(-1), x.size, out.reshape(-1))
+    return out.view(ml_dtypes.bfloat16)

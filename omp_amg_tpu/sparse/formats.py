@@ -183,17 +183,32 @@ def to_plane_dia(a: Dia, dtype=None, put=None):
         # through the axon relay (measured 4 s at 128³ L1)
         import ml_dtypes
 
-        d4 = np.ascontiguousarray(
-            a.data.reshape(ndiag, nz, pr, 128).transpose(1, 0, 2, 3))
-        if d4.dtype == np.float64 and dtype in (None, "auto") \
-                and not jax.config.jax_enable_x64:
-            # device dtype is f32 (x64 off): drop to f32 here, matching the
-            # device branch; an f64-enabled session keeps f64 planes
-            d4 = d4.astype(np.float32)
+        from .. import native
+
+        want_f32 = (a.data.dtype == np.float64 and dtype in (None, "auto")
+                    and not jax.config.jax_enable_x64)
+        d4 = None
+        if want_f32 and native.available():
+            # native packer: one parallel pass does the plane-major
+            # permutation AND the f64→f32 cast (the numpy transpose+cast
+            # chain cost ~12 s at 27-pt 128³ on this 2-core host)
+            d4 = native.plane_pack(a.data, nz, pr)
+        if d4 is None:
+            d4 = np.ascontiguousarray(
+                a.data.reshape(ndiag, nz, pr, 128).transpose(1, 0, 2, 3))
+            if want_f32:
+                # device dtype is f32 (x64 off): drop to f32 here, matching
+                # the device branch; an f64 session keeps f64 planes
+                d4 = d4.astype(np.float32)
         if dtype == "auto":
-            cast = d4.astype(ml_dtypes.bfloat16)
-            if np.array_equal(cast.astype(d4.dtype), d4):
-                d4 = cast
+            if d4.dtype == np.float32 and native.available():
+                # exact low-mantissa-bits test + shift repack, one pass each
+                if native.bf16_lossless(d4):
+                    d4 = native.bf16_pack(d4)
+            else:
+                cast = d4.astype(ml_dtypes.bfloat16)
+                if np.array_equal(cast.astype(d4.dtype), d4):
+                    d4 = cast
         elif dtype is not None:
             d4 = d4.astype(jnp.dtype(dtype))
         return PlaneDia(data4=(put or jnp.asarray)(d4), offsets=a.offsets,

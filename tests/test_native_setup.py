@@ -135,3 +135,35 @@ def test_native_strength_pmis_bit_identical():
         np.testing.assert_array_equal(hs.pmis_host(col, m_np), s_np)
         np.testing.assert_array_equal(hs.strength_mask_host(col, val, theta),
                                       m_np)
+
+
+def test_native_plane_pack_and_bf16():
+    """Native plane packer == the numpy transpose+cast chain; the bf16
+    losslessness test matches the cast-roundtrip definition exactly."""
+    import numpy as np
+
+    import ml_dtypes
+    import pytest
+
+    import omp_amg_tpu as amg
+    from omp_amg_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    a = amg.poisson3d_7pt(32)
+    data = np.asarray(a.data, np.float64)
+    nz, pr = 32, 32 * 32 // 128
+    ref = np.ascontiguousarray(
+        data.reshape(len(a.offsets), nz, pr, 128).transpose(1, 0, 2, 3)
+    ).astype(np.float32)
+    out = native.plane_pack(data, nz, pr)
+    np.testing.assert_array_equal(out, ref)
+    assert native.bf16_lossless(out) == bool(np.array_equal(
+        ref.astype(ml_dtypes.bfloat16).astype(np.float32), ref))
+    if native.bf16_lossless(out):
+        np.testing.assert_array_equal(np.asarray(native.bf16_pack(out)),
+                                      ref.astype(ml_dtypes.bfloat16))
+    # a genuinely lossy array is detected
+    lossy = ref.copy()
+    lossy.reshape(-1)[7] = np.float32(1.0000001)
+    assert native.bf16_lossless(lossy) is False
