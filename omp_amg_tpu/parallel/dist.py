@@ -414,9 +414,17 @@ def _dist_pcg_local(dh: DistHierarchy, b, tol: float, maxiter: int):
 
 def _check_vma(dh: DistHierarchy) -> bool:
     # the Pallas remote-DMA halo transport needs check_vma=False (kernel
-    # axis-index arithmetic is not vma-traceable)
-    return not any(isinstance(lv.a, SlabDia) and lv.a.transport == "pallas"
-                   for lv in dh.levels)
+    # axis-index arithmetic is not vma-traceable), and so does any level
+    # whose sharded SpMV runs the routed-ELL Pallas kernel on TPU
+    # (pallas_call out_shapes carry no vma annotation — caught on-chip in
+    # round 3; CPU tests run the XLA formulation and never hit it)
+    import jax as _jax
+
+    routed_pallas = _jax.default_backend() == "tpu" and any(
+        getattr(lv.a, "rt_val4", None) is not None for lv in dh.levels)
+    return not routed_pallas and not any(
+        isinstance(lv.a, SlabDia) and lv.a.transport == "pallas"
+        for lv in dh.levels)
 
 
 def make_dist_solver(mesh, dh: DistHierarchy, tol: float = 1e-6,
