@@ -333,10 +333,22 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
         a_lvl = a_dev
         if isinstance(a_dev, Dia) and jax.default_backend() == "tpu":
             # banded fine operator: the plane-major DIA kernel is ~80× the
-            # routed format on stencils — never trade it away
-            from ..sparse.formats import to_plane_dia
+            # routed format on stencils — never trade it away. Route
+            # through HOST planes when the device operator's data lives on
+            # the accelerator: the device to_plane_dia branch compiles a
+            # transpose+bf16-check program relay-side (~50 s at 27-pt
+            # 128³, uncacheable), while the host branch is the native
+            # plane packer (0.14 s) and ships the packed (often bf16)
+            # planes through the ONE batched upload.
+            from ..sparse.formats import dia_planes_from_csr, to_plane_dia
 
-            a_pm = to_plane_dia(a_dev, dtype="auto")
+            a_for_pm = a_dev
+            if not isinstance(a_dev.data, np.ndarray) and a_sp is not None:
+                offs_h, data_h = dia_planes_from_csr(a_sp)
+                if tuple(offs_h) == tuple(a_dev.offsets):
+                    a_for_pm = Dia(data=data_h, offsets=a_dev.offsets,
+                                   dims=a_dev.dims)
+            a_pm = to_plane_dia(a_for_pm, dtype="auto", put=batch.add)
             if a_pm is not None:
                 a_lvl = a_pm
         p_lvl, r_lvl = p, r

@@ -540,6 +540,23 @@ def dia_to_scipy(a: Dia):
     return m
 
 
+def dia_planes_from_csr(a_csr):
+    """(offsets_sorted, f64 planes) straight from CSR — one vectorized
+    pass (the scipy ``dia_matrix`` route cost ~15 s at 27-pt 128³; this is
+    ~2 s). Our plane convention: data[k, i] multiplies x[i + off]."""
+    import numpy as np
+
+    n = a_csr.shape[0]
+    lengths = np.diff(a_csr.indptr)
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+    offs_all = a_csr.indices.astype(np.int64) - row_of
+    offsets = np.unique(offs_all)
+    di = np.searchsorted(offsets, offs_all)
+    data = np.zeros((len(offsets), n), np.float64)
+    data[di, row_of] = a_csr.data
+    return [int(o) for o in offsets], data
+
+
 def dia_planes_from_scipy(a):
     """Host twin of :func:`dia_from_scipy`: (offsets, f64 numpy planes).
 

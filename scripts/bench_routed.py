@@ -47,10 +47,12 @@ def bench_level_spmv(name, rt, ell, n_cols):
     nnz = rt.nnz
     t_rt = timeit_fused(_chainable(spmv_routed), rt, x, iters=20)
     t_ell = timeit_fused(_chainable(spmv_ell), ell, x, iters=20)
+    eff = nnz / (rt.val4.shape[0] * rt.val4.shape[1] * 1024)
     print(f"{name}: routed {t_rt*1e3:8.3f} ms ({nnz/t_rt/1e9:7.2f} Gnnz/s)  "
           f"xla-ell {t_ell*1e3:8.3f} ms ({nnz/t_ell/1e9:7.2f} Gnnz/s)  "
-          f"speedup {t_ell/t_rt:6.1f}x  [K={rt.width} S={rt.span} "
-          f"eff={nnz/(rt.val4.shape[0]*rt.width*1024):.2f}]", flush=True)
+          f"speedup {t_ell/t_rt:6.1f}x  [kmax={rt.kmax} S={rt.span} "
+          f"NC={rt.val4.shape[0]} eff={eff:.2f} res={rt.resident}]",
+          flush=True)
     return dict(name=name, routed_s=t_rt, xla_s=t_ell, nnz=nnz,
                 routed_gnnz=nnz / t_rt / 1e9)
 
