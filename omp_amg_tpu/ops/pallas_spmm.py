@@ -225,6 +225,178 @@ def split_bf16(xt: jax.Array, n: int = 2):
 
 
 # ---------------------------------------------------------------------------
+# v3 "rolling window": the panel analog of the rolling-plane SpMV kernel.
+#
+# The v1 kernel re-DMAs its span window per 128-row block (~46 GB per RAP
+# sweep at 7-pt 96³ — window starts advance ~8 chunks per block while the
+# span is ~290, so ~97% of every DMA repeats the previous one). When the
+# per-block window bases are (near-)monotone — true for R = Pᵀ with coarse
+# ids numbered in fine order — the panel can stream through a CIRCULAR
+# VMEM ring exactly once: each grid step WAITS for the chunks its block
+# needs and ISSUES chunk DMAs up to the next block's high-water mark, with
+# two SMEM counters (issued, waited) carrying the pipeline state across
+# grid steps. Window traffic drops from nb·span·C to nxp·C elements.
+# ---------------------------------------------------------------------------
+
+ROLL_DC = 8       # x-chunks per rolling DMA (C rows each)
+ROLL_NSEM = 8     # in-flight rolling DMAs per split
+
+
+def roll_ring_chunks(plan: dict) -> int:
+    """Ring capacity (chunks) the rolling kernel needs for this plan:
+    max over blocks of (issue high-water at block i) − sbase_i, DC-padded.
+    Monotone-enough plans give ≈ span + one block's advance."""
+    import numpy as np
+
+    nb = plan["val"].shape[0]
+    sbase = plan["sbase"][0, :nb].astype(np.int64)
+    hi = np.maximum(plan["block_hi"], sbase + 1)
+    hi_next = np.empty(nb, np.int64)
+    hi_next[: nb - 1] = hi[1:]
+    hi_next[nb - 1] = hi[nb - 1]
+    water = np.maximum.accumulate(np.maximum(hi, hi_next))
+    need = int((water - sbase).max())
+    return -(-(need + ROLL_DC) // ROLL_DC) * ROLL_DC
+
+
+def _spmm_roll_kernel(sbase_ref, hi_ref, soff_ref, lidx_ref, val_ref, *rest,
+                      kb_slots, s_ring, C, nb, nxp, precision):
+    n_x = _n_split(precision)
+    x_hbms = rest[:n_x]
+    o_ref = rest[n_x]
+    rings = rest[n_x + 1:n_x + 1 + n_x]
+    sems = rest[n_x + 1 + n_x]
+    cnt = rest[n_x + 2 + n_x]          # SMEM (2,): [issued, waited] in DC units
+
+    i = pl.program_id(0)
+    kb = pl.program_id(1)
+    nd_total = -(-nxp // ROLL_DC)
+    nring = s_ring // ROLL_DC
+
+    def issue(d):
+        """Start the rolling DMA for DC-chunk group d (all splits)."""
+        rslot = jax.lax.rem(d, nring)
+        for w in range(n_x):
+            pltpu.make_async_copy(
+                x_hbms[w].at[pl.ds(d * ROLL_DC * C, ROLL_DC * C), :],
+                rings[w].at[pl.ds(rslot * ROLL_DC * C, ROLL_DC * C), :],
+                sems.at[w, jax.lax.rem(d, ROLL_NSEM)]).start()
+
+    def wait(d):
+        rslot = jax.lax.rem(d, nring)
+        for w in range(n_x):
+            pltpu.make_async_copy(
+                x_hbms[w].at[pl.ds(d * ROLL_DC * C, ROLL_DC * C), :],
+                rings[w].at[pl.ds(rslot * ROLL_DC * C, ROLL_DC * C), :],
+                sems.at[w, jax.lax.rem(d, ROLL_NSEM)]).wait()
+
+    @pl.when(jnp.logical_and(i == 0, kb == 0))
+    def _():
+        d0 = sbase_ref[0] // ROLL_DC
+        cnt[0] = d0
+        cnt[1] = d0
+
+    @pl.when(kb == 0)
+    def _():
+        # issue up to the high-water mark of this AND the next block
+        # (bounded in-flight), then wait for this block's needs
+        i_next = jnp.minimum(i + 1, nb - 1)
+        need = jnp.minimum(-(-hi_ref[i] // ROLL_DC), nd_total)
+        target = jnp.maximum(
+            need, jnp.minimum(-(-hi_ref[i_next] // ROLL_DC), nd_total))
+        issued0 = cnt[0]
+        waited0 = cnt[1]
+
+        def issue_body(d, w):
+            # keep ≤ ROLL_NSEM in flight: wait the oldest when saturated
+            w = jax.lax.cond(d - w >= ROLL_NSEM,
+                             lambda ww: (wait(ww), ww + 1)[1],
+                             lambda ww: ww, w)
+            issue(d)
+            return w
+
+        waited1 = jax.lax.fori_loop(issued0, target, issue_body, waited0)
+
+        def wait_body(d, c):
+            wait(d)
+            return c
+
+        jax.lax.fori_loop(waited1, need, wait_body, 0)
+        cnt[0] = jnp.maximum(issued0, target)
+        cnt[1] = jnp.maximum(waited1, need)
+
+    base = sbase_ref[i]
+
+    def win_of(k):
+        # chunk j lives at ring rows (j mod s_ring)·C — consistent with
+        # the group placement (s_ring is a ROLL_DC multiple)
+        j = base + soff_ref[kb, k]
+        rr = jax.lax.rem(j, jnp.int32(s_ring))
+        return tuple(rings[w][pl.ds(rr * C, C), :] for w in range(n_x))
+
+    _accumulate_out(
+        o_ref,
+        _slot_accumulate(win_of, lidx_ref, val_ref, K=kb_slots, C=C,
+                         precision=precision))
+
+
+@functools.lru_cache(maxsize=256)
+def _make_spmm_roll_call(nb, K, s_ring, P, nxp, C, precision,
+                         interpret=False):
+    kb_slots = min(K, K_BLK)
+    nkb = K // kb_slots
+    n_x = _n_split(precision)
+    xdt = jnp.float32 if precision == "f32" else jnp.bfloat16
+    kernel = functools.partial(_spmm_roll_kernel, kb_slots=kb_slots,
+                               s_ring=s_ring, C=C, nb=nb, nxp=nxp,
+                               precision=precision)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,     # sbase (nb,), hi (nb,)
+            grid=(nb, nkb),
+            in_specs=[
+                pl.BlockSpec((None, nkb, P), lambda i, kb, *_: (i, 0, 0),
+                             memory_space=pltpu.SMEM),        # soff
+                pl.BlockSpec((None, kb_slots, LANES),
+                             lambda i, kb, *_: (i, kb, 0),
+                             memory_space=pltpu.VMEM),        # lidx chunk
+                pl.BlockSpec((None, kb_slots, LANES),
+                             lambda i, kb, *_: (i, kb, 0),
+                             memory_space=pltpu.VMEM),        # val chunk
+            ] + [pl.BlockSpec(memory_space=pl.ANY)] * n_x,    # Xt HBM
+            out_specs=pl.BlockSpec((C, LANES), lambda i, kb, *_: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((s_ring * C, LANES), xdt)
+                            for _ in range(n_x)]
+            + [pltpu.SemaphoreType.DMA((n_x, ROLL_NSEM)),
+               pltpu.SMEM((2,), jnp.int32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((nb * C, LANES), jnp.float32),
+        interpret=interpret,
+    )
+
+
+def spmm_panel_roll(a: PanelPlan, hi, s_ring: int, xt, C: int,
+                    precision: str = "bf16x3", interpret: bool = False):
+    """U = A @ X with the rolling-window kernel. ``hi`` is the per-block
+    window high-water chunk array (plan block_hi, int32, length nb);
+    ``s_ring`` from :func:`roll_ring_chunks`. The packed panel must be
+    padded to a ROLL_DC multiple of chunks (the rolling DMAs move whole
+    DC-groups)."""
+    nb, K = a.val.shape[:2]
+    nxp_roll = -(-a.nxp // ROLL_DC) * ROLL_DC
+    first = xt if precision == "f32" else xt[0]
+    assert first.shape[0] == nxp_roll * C, (
+        f"rolling panel wants {nxp_roll}·C rows, got {first.shape[0]}")
+    call = _make_spmm_roll_call(nb, K, int(s_ring), a.soff.shape[2],
+                                nxp_roll, C, precision, interpret)
+    if precision == "f32":
+        return call(a.sbase[0, :nb], hi, a.soff, a.lidx, a.val, xt)
+    return call(a.sbase[0, :nb], hi, a.soff, a.lidx, a.val, *xt)
+
+
+# ---------------------------------------------------------------------------
 # v2: multi-group shared windows + per-block K early exit.
 #
 # The v1 kernel re-DMAs its span window for every 128-row block; on real

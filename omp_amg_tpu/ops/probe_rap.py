@@ -126,6 +126,12 @@ class RapProbe:
     a_offsets: tuple = _static(default=())
     a_dia: object = None      # (ndiag, n) f32 diagonal data | None
     a_nnz: int = _static(default=0)
+    # rolling-window R engine (pallas_spmm v3): per-block window high-water
+    # chunks + ring size; engaged when the plan's window bases are
+    # monotone enough for a circular VMEM ring (R = Pᵀ in fine order is)
+    r_roll_hi: object = None      # (nb,) int32 | None
+    r_roll_ring: int = _static(default=0)
+    r_c_roll: int = _static(default=0)
 
     @property
     def nnz(self) -> int:
@@ -181,6 +187,31 @@ def build_rap_probe(a_sp, p_sp, ac_sp=None, dtype=jnp.float32):
         return None, ac_sp
     a_plan = None if a_dict is None else panel_plan_from_dict(a_dict, dtype)
     r_plan = panel_plan_from_dict(r_dict, dtype)
+
+    # rolling-window R engine (strictly dominates v1 at equal width: one
+    # pass over the panel instead of per-block window re-streams, and no
+    # double buffering so the SAME VMEM affords a wider panel → fewer
+    # one-hot passes, which bound the kernel once traffic is gone)
+    from .pallas_spmm import ROLL_DC, roll_ring_chunks
+
+    r_roll_hi = None
+    r_roll_ring = 0
+    r_c_roll = 0
+    s_ring = roll_ring_chunks(r_dict)
+    if s_ring <= 4096:
+        kb = min(r_dict["K"], 32)
+        for C in range(128, 7, -8):
+            ring_b = s_ring * C * 128 * 2 * 3
+            plan_b = 2 * 2 * kb * 128 * 4 * 2
+            if ring_b + plan_b + C * 128 * 4 <= (12 << 20):
+                r_c_roll = C
+                break
+        if r_c_roll >= 16:
+            nb_r0 = r_dict["val"].shape[0]
+            hi_np = np.maximum(r_dict["block_hi"],
+                               r_dict["sbase"][0, :nb_r0] + 1)
+            r_roll_hi = jnp.asarray(hi_np.astype(np.int32))
+            r_roll_ring = int(s_ring)
 
     # engine selection in TIME, not bytes: window traffic at the measured
     # streaming bandwidth PLUS per-kernel-invocation stage floors (the v2
@@ -249,6 +280,7 @@ def build_rap_probe(a_sp, p_sp, ac_sp=None, dtype=jnp.float32):
         n_colors=ncolors, n_rows=a_sp.shape[0], n_coarse=nc, kc=kc,
         c_panel=c_panel, a_offsets=a_offsets, a_dia=a_dia,
         a_nnz=int(a_sp.nnz),
+        r_roll_hi=r_roll_hi, r_roll_ring=r_roll_ring, r_c_roll=r_c_roll,
     )
     return probe, ac_sp
 
@@ -308,9 +340,12 @@ def _rap_probe_numeric_jit(probe: RapProbe, engine: str,
     from .pallas_spmm import vmem_fit
 
     dia_a = probe.a_dia is not None
+    use_roll = engine == "pallas" and dia_a and probe.r_roll_ring > 0
     use_v2 = engine == "pallas" and probe.r_v2 is not None \
         and (probe.a_v2 is not None or dia_a)
-    if use_v2:
+    if use_roll:
+        c_cap = probe.r_c_roll
+    elif use_v2:
         c_cap = probe.c_panel
     else:
         c_cap = 128
@@ -328,10 +363,26 @@ def _rap_probe_numeric_jit(probe: RapProbe, engine: str,
         if engine == "pallas" and probe.a_dia is not None:
             # banded-A fast path: A·(P·V) as f32 shift-fma on the panel,
             # then only the R (=Pᵀ) product runs the one-hot-MXU kernel
-            from .pallas_spmm import spmm_panel_v2, split_bf16
+            from .pallas_spmm import (
+                ROLL_DC, spmm_panel_roll, spmm_panel_v2, split_bf16,
+            )
 
             u = _dia_panel_apply(probe.a_offsets, probe.a_dia, pv)
-            if probe.r_v2 is not None:
+            if probe.r_roll_ring:
+                # rolling-window R (v3): one pass over the panel
+                cp = probe.r_c_roll
+                if C < cp:
+                    u = jnp.concatenate(
+                        [u, jnp.zeros((u.shape[0], cp - C), u.dtype)],
+                        axis=1)
+                nxp_roll = -(-probe.r_plan.nxp // ROLL_DC) * ROLL_DC
+                ut = pack_panels(u, nxp_roll)
+                wt = spmm_panel_roll(
+                    probe.r_plan, probe.r_roll_hi, probe.r_roll_ring,
+                    split_bf16(ut, 3), cp, precision="bf16x3",
+                    interpret=interpret)
+                w = unpack_panels(wt, probe.n_coarse, cp)[:, :C]
+            elif probe.r_v2 is not None:
                 cp = probe.c_panel
                 if C < cp:
                     u = jnp.concatenate(

@@ -41,7 +41,8 @@ def main():
           f"({a0.nnz/t_host/1e9:.4f} Gnnz/s)", flush=True)
 
     probe, _ = build_rap_probe(a0, p0, ac_sp=ac)
-    print(f"selected: c_panel={probe.c_panel} "
+    print(f"selected: c_panel={probe.c_panel} roll_ring={probe.r_roll_ring} "
+          f"c_roll={probe.r_c_roll} "
           f"r_v2={'yes' if probe.r_v2 is not None else 'no'} "
           f"dia={'yes' if probe.a_dia is not None else 'no'} "
           f"colors={probe.n_colors}", flush=True)
@@ -63,8 +64,9 @@ def main():
           f"({a0.nnz/s_sel/1e9:.4f} Gnnz/s) [{t_host/s_sel:.1f}x host]",
           flush=True)
 
-    # forced v1 (no v2 plans)
-    pr_v1 = dataclasses.replace(probe, a_v2=None, r_v2=None, c_panel=0)
+    # forced v1 (no v2/roll plans)
+    pr_v1 = dataclasses.replace(probe, a_v2=None, r_v2=None, c_panel=0,
+                                r_roll_ring=0, r_roll_hi=None)
     s_v1 = timeit_fused(step, pr_v1, y0, iters=5)
     print(f"forced v1:     {s_v1*1e3:.1f} ms", flush=True)
 
@@ -78,7 +80,8 @@ def main():
         if r2 is None:
             print(f"v2 C={C}: infeasible", flush=True)
             continue
-        pr2 = dataclasses.replace(probe, a_v2=None, r_v2=r2, c_panel=C)
+        pr2 = dataclasses.replace(probe, a_v2=None, r_v2=r2, c_panel=C,
+                                  r_roll_ring=0, r_roll_hi=None)
         s2 = timeit_fused(step, pr2, y0, iters=5)
         print(f"forced v2 C={C}: {s2*1e3:.1f} ms  "
               f"[nsteps={r2.sbases.shape[0]} s_win={r2.s_win} "
