@@ -132,6 +132,9 @@ class RapProbe:
     r_roll_hi: object = None      # (nb,) int32 | None
     r_roll_ring: int = _static(default=0)
     r_c_roll: int = _static(default=0)
+    a_roll_hi: object = None      # same for the A operand (non-banded
+    a_roll_ring: int = _static(default=0)   # levels in forced-probe mode)
+    a_c_roll: int = _static(default=0)
 
     @property
     def nnz(self) -> int:
@@ -194,24 +197,28 @@ def build_rap_probe(a_sp, p_sp, ac_sp=None, dtype=jnp.float32):
     # one-hot passes, which bound the kernel once traffic is gone)
     from .pallas_spmm import ROLL_DC, roll_ring_chunks
 
-    r_roll_hi = None
-    r_roll_ring = 0
-    r_c_roll = 0
-    s_ring = roll_ring_chunks(r_dict)
-    if s_ring <= 4096:
-        kb = min(r_dict["K"], 32)
-        for C in range(128, 7, -8):
-            ring_b = s_ring * C * 128 * 2 * 3
-            plan_b = 2 * 2 * kb * 128 * 4 * 2
-            if ring_b + plan_b + C * 128 * 4 <= (12 << 20):
-                r_c_roll = C
-                break
-        if r_c_roll >= 16:
-            nb_r0 = r_dict["val"].shape[0]
-            hi_np = np.maximum(r_dict["block_hi"],
-                               r_dict["sbase"][0, :nb_r0] + 1)
-            r_roll_hi = jnp.asarray(hi_np.astype(np.int32))
-            r_roll_ring = int(s_ring)
+    def _roll_schedule(d):
+        """(hi_dev, s_ring, c_roll) or (None, 0, 0) when the ring is too
+        large (wildly non-monotone windows) or too narrow to pay."""
+        s_ring = roll_ring_chunks(d)
+        c_roll = 0
+        if s_ring <= 4096:
+            kb = min(d["K"], 32)
+            for C in range(128, 7, -8):
+                ring_b = s_ring * C * 128 * 2 * 3
+                plan_b = 2 * 2 * kb * 128 * 4 * 2
+                if ring_b + plan_b + C * 128 * 4 <= (12 << 20):
+                    c_roll = C
+                    break
+        if c_roll < 16:
+            return None, 0, 0
+        nb0 = d["val"].shape[0]
+        hi_np = np.maximum(d["block_hi"], d["sbase"][0, :nb0] + 1)
+        return jnp.asarray(hi_np.astype(np.int32)), int(s_ring), c_roll
+
+    r_roll_hi, r_roll_ring, r_c_roll = _roll_schedule(r_dict)
+    a_roll_hi, a_roll_ring, a_c_roll = (
+        (None, 0, 0) if a_dict is None else _roll_schedule(a_dict))
 
     # engine selection in TIME, not bytes: window traffic at the measured
     # streaming bandwidth PLUS per-kernel-invocation stage floors (the v2
@@ -281,6 +288,7 @@ def build_rap_probe(a_sp, p_sp, ac_sp=None, dtype=jnp.float32):
         c_panel=c_panel, a_offsets=a_offsets, a_dia=a_dia,
         a_nnz=int(a_sp.nnz),
         r_roll_hi=r_roll_hi, r_roll_ring=r_roll_ring, r_c_roll=r_c_roll,
+        a_roll_hi=a_roll_hi, a_roll_ring=a_roll_ring, a_c_roll=a_c_roll,
     )
     return probe, ac_sp
 
@@ -341,10 +349,14 @@ def _rap_probe_numeric_jit(probe: RapProbe, engine: str,
 
     dia_a = probe.a_dia is not None
     use_roll = engine == "pallas" and dia_a and probe.r_roll_ring > 0
+    use_roll_both = engine == "pallas" and not dia_a \
+        and probe.a_roll_ring > 0 and probe.r_roll_ring > 0
     use_v2 = engine == "pallas" and probe.r_v2 is not None \
         and (probe.a_v2 is not None or dia_a)
     if use_roll:
         c_cap = probe.r_c_roll
+    elif use_roll_both:
+        c_cap = min(probe.a_c_roll, probe.r_c_roll)
     elif use_v2:
         c_cap = probe.c_panel
     else:
@@ -369,19 +381,16 @@ def _rap_probe_numeric_jit(probe: RapProbe, engine: str,
 
             u = _dia_panel_apply(probe.a_offsets, probe.a_dia, pv)
             if probe.r_roll_ring:
-                # rolling-window R (v3): one pass over the panel
-                cp = probe.r_c_roll
-                if C < cp:
-                    u = jnp.concatenate(
-                        [u, jnp.zeros((u.shape[0], cp - C), u.dtype)],
-                        axis=1)
+                # rolling-window R (v3): one pass over the panel; the
+                # roll kernel takes the width as a call argument, so the
+                # tile runs at C directly (C ≤ c_cap = r_c_roll)
                 nxp_roll = -(-probe.r_plan.nxp // ROLL_DC) * ROLL_DC
                 ut = pack_panels(u, nxp_roll)
                 wt = spmm_panel_roll(
                     probe.r_plan, probe.r_roll_hi, probe.r_roll_ring,
-                    split_bf16(ut, 3), cp, precision="bf16x3",
+                    split_bf16(ut, 3), C, precision="bf16x3",
                     interpret=interpret)
-                w = unpack_panels(wt, probe.n_coarse, cp)[:, :C]
+                w = unpack_panels(wt, probe.n_coarse, C)
             elif probe.r_v2 is not None:
                 cp = probe.c_panel
                 if C < cp:
@@ -408,9 +417,28 @@ def _rap_probe_numeric_jit(probe: RapProbe, engine: str,
             # reduced-precision MXU passes on TPU — measured 3.6e-3
             # relative error on a real level; the 2-way split compounds
             # to ~1e-5 over the chained A/R products.)
-            from .pallas_spmm import spmm_panel_v2, split_bf16
+            from .pallas_spmm import (
+                ROLL_DC, spmm_panel_roll, spmm_panel_v2, split_bf16,
+            )
 
-            if use_v2:
+            if use_roll_both:
+                # both operands roll (non-banded A in forced-probe mode):
+                # one panel pass each, re-densified between products
+                nxp_a = -(-probe.a_plan.nxp // ROLL_DC) * ROLL_DC
+                xt = pack_panels(pv, nxp_a)
+                ut = spmm_panel_roll(
+                    probe.a_plan, probe.a_roll_hi, probe.a_roll_ring,
+                    split_bf16(xt, 3), C, precision="bf16x3",
+                    interpret=interpret)
+                u = unpack_panels(ut, probe.n_rows, C)
+                nxp_r = -(-probe.r_plan.nxp // ROLL_DC) * ROLL_DC
+                ut2 = pack_panels(u, nxp_r)
+                wt = spmm_panel_roll(
+                    probe.r_plan, probe.r_roll_hi, probe.r_roll_ring,
+                    split_bf16(ut2, 3), C, precision="bf16x3",
+                    interpret=interpret)
+                w = unpack_panels(wt, probe.n_coarse, C)
+            elif use_v2:
                 a2, r2 = probe.a_v2, probe.r_v2
                 cp = probe.c_panel        # v2 kernels have static width
                 if C < cp:

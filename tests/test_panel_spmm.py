@@ -107,3 +107,63 @@ def test_pallas_kernel_kchunked_interpret():
     u = np.asarray(unpack_panels(ut, n, C))
     ref = np.asarray(a @ x.astype(np.float64))
     np.testing.assert_allclose(u, ref, rtol=0, atol=4e-4 * abs(ref).max())
+
+
+def test_roll_kernel_matches_v1(monkeypatch):
+    """Rolling-window panel SpMM == the per-block-window kernel (interpret
+    mode), including a non-monotone-base operator (the ring sizes itself
+    from the issue high-water accounting)."""
+    import numpy as np
+    import scipy.sparse as sp
+
+    import jax.numpy as jnp
+
+    from omp_amg_tpu.ops.pallas_spmm import (
+        ROLL_DC, roll_ring_chunks, spmm_panel, spmm_panel_roll, split_bf16,
+    )
+    from omp_amg_tpu.sparse.panels import (
+        pack_panels, panel_plan_from_dict, plan_panel_spmm, unpack_panels,
+    )
+
+    rng = np.random.default_rng(11)
+
+    def make(n, nc, band, shuffle=False):
+        rows = np.repeat(np.arange(n), 5)
+        cols = np.clip(rows * nc // n + rng.integers(-band, band + 1,
+                                                     len(rows)), 0, nc - 1)
+        if shuffle:
+            # a few rows far from their band → non-monotone block windows
+            sel = rng.integers(0, len(rows), len(rows) // 50)
+            cols[sel] = rng.integers(0, nc, len(sel))
+        m = sp.csr_matrix((rng.standard_normal(len(rows)), (rows, cols)),
+                          shape=(n, nc))
+        m.sum_duplicates()
+        return m
+
+    for shuffle in (False, True):
+        m = make(2048, 3000, 60, shuffle)
+        d = plan_panel_spmm(m, dtype=np.float64)
+        assert d is not None
+        plan = panel_plan_from_dict(d, jnp.float32)
+        C = 16
+        x = rng.standard_normal((m.shape[1], C)).astype(np.float32)
+        xt = pack_panels(jnp.asarray(x), plan.nxp)
+        u1 = spmm_panel(plan, split_bf16(xt, 3), C, precision="bf16x3",
+                        interpret=True)
+        ref = unpack_panels(u1, m.shape[0], C)
+        s_ring = roll_ring_chunks(d)
+        nb = d["val"].shape[0]
+        hi = jnp.asarray(np.maximum(d["block_hi"],
+                                    d["sbase"][0, :nb] + 1).astype(np.int32))
+        nxp_roll = -(-plan.nxp // ROLL_DC) * ROLL_DC
+        xt_r = pack_panels(jnp.asarray(x), nxp_roll)
+        ur = spmm_panel_roll(plan, hi, s_ring, split_bf16(xt_r, 3), C,
+                             precision="bf16x3", interpret=True)
+        got = unpack_panels(ur, m.shape[0], C)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-5,
+                                   err_msg=f"shuffle={shuffle}")
+        # sanity against scipy too
+        dense_ref = m @ x
+        scale = np.abs(dense_ref).max()
+        assert np.abs(np.asarray(got) - dense_ref).max() < 3e-6 * scale
