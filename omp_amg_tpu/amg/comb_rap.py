@@ -516,11 +516,22 @@ def structured_rap(offsets, data, dims, coarse_dims, coarsened):
             rng = np.random.default_rng(0)
             nc = int(np.prod(coarse_dims))
             x = rng.standard_normal(nc)
-            y1 = dia_apply(offs_c, data_c, x, np)
-            y2 = restrict(dia_apply(offsets, data,
-                                    prolong(x, dims, coarse_dims,
-                                            coarsened)),
-                          dims, coarse_dims, coarsened)
+            if native.available():
+                # the probe is a full fine-grid RAP apply — run it through
+                # the native f64 kernels (it was 4–5 s of numpy at 256³ L0)
+                y1 = native.dia_apply(offs_c, np.asarray(data_c, np.float64),
+                                      x)
+                y2 = native.restrict(
+                    native.dia_apply(offsets, np.asarray(data, np.float64),
+                                     native.prolong(x, dims, coarse_dims,
+                                                    coarsened)),
+                    dims, coarse_dims, coarsened)
+            else:
+                y1 = dia_apply(offs_c, data_c, x, np)
+                y2 = restrict(dia_apply(offsets, data,
+                                        prolong(x, dims, coarse_dims,
+                                                coarsened)),
+                              dims, coarse_dims, coarsened)
             err = float(np.max(np.abs(y1 - y2)))
             scale = float(np.max(np.abs(y2))) + 1e-30
             if err <= 1e-8 * scale:
