@@ -231,7 +231,11 @@ def build_rap_probe(a_sp, p_sp, ac_sp=None, dtype=jnp.float32):
     c_panel = 0
     c_want = min(128, -(-ncolors // 8) * 8)
     best = None
-    for C in range(c_want, 7, -8):
+    # rolling engines cover every operand → skip the v1/v2 scheduling
+    # sweep entirely (it costs host seconds per level at scale)
+    roll_covers = r_roll_ring > 0 and (a_dia is not None
+                                       or a_roll_ring > 0)
+    for C in () if roll_covers else range(c_want, 7, -8):
         a2 = None if a_dia is not None else schedule_plan_v2(a_dict, C)
         r2 = schedule_plan_v2(r_dict, C)
         if r2 is None or (a_dia is None and a2 is None):
