@@ -130,3 +130,33 @@ def test_pmis_all_isolated_nodes_become_C():
     assert not np.asarray(mask).any()
     state = np.asarray(pmis(a_ell, mask))
     np.testing.assert_array_equal(state, CPOINT)
+
+
+def test_aniso_pmis_theta_semantics():
+    """Config-3 strength semantics through the CLASSICAL pipeline: the 9-pt
+    FEM aniso operator's corner couplings sit at ratio (1+eps)/4 — a hair
+    above the classical theta=0.25 line — and including them destroys the
+    1D strength graph the config exists to test (~10x the iterations).
+    theta=0.5 (hypre's 9-pt recommendation) must stay fast; pin both so a
+    planner/strength change can't silently regress either behavior."""
+    import numpy as np
+
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.amg.hierarchy import amg_setup
+    from omp_amg_tpu.amg.params import AMGParams
+    from omp_amg_tpu.solvers.cg import amg_pcg
+
+    a = amg.aniso2d_9pt(64)
+    b = amg.default_rhs(a, "random", seed=0)
+    h5 = amg_setup(a, AMGParams(coarsening="pmis", theta=0.5))
+    r5 = amg_pcg(a, b, h5, tol=1e-6, maxiter=200)
+    assert int(r5.iters) <= 20, int(r5.iters)
+    # strength graph at theta=0.5 is essentially 1D: strong couplings
+    # per interior row = the two y-neighbors only
+    from omp_amg_tpu.amg import host_setup as hs
+    from omp_amg_tpu.sparse.formats import dia_to_scipy, ell_planes_from_scipy
+
+    col, val, _ = ell_planes_from_scipy(dia_to_scipy(a), dtype=np.float32)
+    mask = hs.strength_mask_host(col, val, 0.5)
+    interior = np.flatnonzero(mask.sum(axis=1) > 0)
+    assert mask[interior].sum(axis=1).max() == 2
