@@ -749,6 +749,31 @@ void routed_plan_fill(int64_t n_rows, const int64_t* indptr,
 }
 
 // ---------------------------------------------------------------------------
+// CSR → DIA extraction (sparse/formats.dia_planes_from_csr): mark present
+// offsets, then fill the (ndiag, n) planes — two parallel passes.
+// ---------------------------------------------------------------------------
+
+void dia_mark_offsets(int64_t n, const int64_t* indptr,
+                      const int32_t* indices, uint8_t* seen /* 2n-1 */) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p)
+      seen[(int64_t)indices[p] - i + (n - 1)] = 1;  // benign byte race
+}
+
+void dia_fill_planes(int64_t n, const int64_t* indptr,
+                     const int32_t* indices, const double* data,
+                     const int32_t* lookup /* 2n-1: offset → diag idx */,
+                     double* out /* (ndiag, n), zeroed */) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i)
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+      const int64_t k = lookup[(int64_t)indices[p] - i + (n - 1)];
+      out[k * n + i] = data[p];
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Plane-major packing for PlaneDia (sparse/formats.to_plane_dia):
 // (ndiag, nz*pr*128) f64 diagonals → (nz, ndiag, pr, 128) f32 planes, plus
 // an exact bf16-losslessness test (a f32 is bf16-representable iff its low

@@ -84,6 +84,9 @@ def _load():
         lib.bf16_lossless_f32.argtypes = [f32p, ctypes.c_int64]
         lib.bf16_lossless_f32.restype = ctypes.c_int
         lib.bf16_pack_f32.argtypes = [f32p, ctypes.c_int64, u16p]
+        lib.dia_mark_offsets.argtypes = [ctypes.c_int64, i64p, i32p, u8p]
+        lib.dia_fill_planes.argtypes = [ctypes.c_int64, i64p, i32p, f64p,
+                                        i32p, f64p]
         lib.native_num_threads.restype = ctypes.c_int
         _lib = lib
     except Exception:
@@ -424,3 +427,23 @@ def bf16_pack(x: np.ndarray) -> np.ndarray:
     out = np.empty(x.shape, np.uint16)
     lib.bf16_pack_f32(x.reshape(-1), x.size, out.reshape(-1))
     return out.view(ml_dtypes.bfloat16)
+
+
+def dia_planes(a_csr):
+    """(offsets_sorted, f64 planes) from CSR via the native two-pass
+    extractor; None when the lib is missing."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = a_csr.shape[0]
+    indptr = np.ascontiguousarray(a_csr.indptr, np.int64)
+    indices = np.ascontiguousarray(a_csr.indices, np.int32)
+    data = np.ascontiguousarray(a_csr.data, np.float64)
+    seen = np.zeros(2 * n - 1, np.uint8)
+    lib.dia_mark_offsets(n, indptr, indices, seen)
+    offs = np.flatnonzero(seen).astype(np.int64) - (n - 1)
+    lookup = np.zeros(2 * n - 1, np.int32)
+    lookup[offs + (n - 1)] = np.arange(len(offs), dtype=np.int32)
+    out = np.zeros((len(offs), n), np.float64)
+    lib.dia_fill_planes(n, indptr, indices, data, lookup, out.reshape(-1))
+    return [int(o) for o in offs], out

@@ -541,11 +541,17 @@ def dia_to_scipy(a: Dia):
 
 
 def dia_planes_from_csr(a_csr):
-    """(offsets_sorted, f64 planes) straight from CSR — one vectorized
-    pass (the scipy ``dia_matrix`` route cost ~15 s at 27-pt 128³; this is
-    ~2 s). Our plane convention: data[k, i] multiplies x[i + off]."""
+    """(offsets_sorted, f64 planes) straight from CSR — native two-pass
+    extractor when built, vectorized numpy otherwise (the scipy
+    ``dia_matrix`` route cost ~15 s at 27-pt 128³; numpy ~3.5 s, native
+    ~1 s). Our plane convention: data[k, i] multiplies x[i + off]."""
     import numpy as np
 
+    from .. import native
+
+    out = native.dia_planes(a_csr)
+    if out is not None:
+        return out
     n = a_csr.shape[0]
     lengths = np.diff(a_csr.indptr)
     row_of = np.repeat(np.arange(n, dtype=np.int64), lengths)

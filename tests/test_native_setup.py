@@ -167,3 +167,32 @@ def test_native_plane_pack_and_bf16():
     lossy = ref.copy()
     lossy.reshape(-1)[7] = np.float32(1.0000001)
     assert native.bf16_lossless(lossy) is False
+
+
+def test_native_dia_planes_matches_numpy():
+    """Native CSR→DIA extractor == the numpy twin (offsets + planes)."""
+    import numpy as np
+    import pytest
+    import scipy.sparse as sp
+
+    import omp_amg_tpu as amg
+    from omp_amg_tpu import native
+    from omp_amg_tpu.sparse.formats import dia_to_scipy
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    for gen, n in ((amg.poisson3d_27pt, 12), (amg.aniso2d_9pt, 40),
+                   (amg.poisson3d_7pt, 16)):
+        a_sp = sp.csr_matrix(dia_to_scipy(gen(n)))
+        a_sp.sort_indices()
+        o_nat, d_nat = native.dia_planes(a_sp)
+        nn = a_sp.shape[0]
+        lengths = np.diff(a_sp.indptr)
+        row_of = np.repeat(np.arange(nn, dtype=np.int64), lengths)
+        offs_all = a_sp.indices.astype(np.int64) - row_of
+        offsets = np.unique(offs_all)
+        di = np.searchsorted(offsets, offs_all)
+        d_np = np.zeros((len(offsets), nn), np.float64)
+        d_np[di, row_of] = a_sp.data
+        assert o_nat == [int(o) for o in offsets]
+        np.testing.assert_array_equal(d_nat, d_np)
