@@ -847,12 +847,14 @@ void strength_mask_f32(int64_t n, int64_t k, const int32_t* col,
       const float s = offd ? -sign * v[j] : 0.0f;
       if (s > row_max) row_max = s;
     }
-    const double thr = theta * (double)row_max;
+    // f32 threshold semantics, exactly like the numpy flavor (NEP-50:
+    // python-float theta casts to f32, compare runs in f32) — an f64
+    // compare can flip exact-tie rows for non-dyadic theta (ADVICE r3).
+    const float thr = (float)theta * row_max;
     for (int64_t j = 0; j < k; ++j) {
       const bool offd = c[j] != (int32_t)i && v[j] != 0.0f;
       const float s = offd ? -sign * v[j] : 0.0f;
-      m[j] = (offd && s > 0.0f && (double)s >= thr && row_max > 0.0f)
-                 ? 1 : 0;
+      m[j] = (offd && s > 0.0f && s >= thr && row_max > 0.0f) ? 1 : 0;
     }
   }
 }
@@ -950,7 +952,14 @@ int64_t pmis_f32(int64_t n, int64_t k, const int32_t* col,
     }
   }
   if (round >= max_rounds) return -1;
-  // stranded-F promotion (forward strong deps, none on a C-point)
+  // stranded-F promotion (forward strong deps, none on a C-point).
+  // Dependencies are tested against a PRE-promotion snapshot, exactly like
+  // pmis_np (host_setup.py:127-130, is_c taken before the where()): testing
+  // live state would make chained stranded-F outcomes depend on OpenMP
+  // scheduling and diverge from the numpy flavor (ADVICE r3 high).
+  std::vector<uint8_t> was_c((size_t)n);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) was_c[i] = state[i] == CPT ? 1 : 0;
 #pragma omp parallel for schedule(static)
   for (int64_t i = 0; i < n; ++i) {
     if (state[i] != FPT) continue;
@@ -958,7 +967,7 @@ int64_t pmis_f32(int64_t n, int64_t k, const int32_t* col,
     for (int64_t j = 0; j < k; ++j)
       if (mask[i * k + j]) {
         any_dep = true;
-        if (state[col[i * k + j]] == CPT) { dep_c = true; break; }
+        if (was_c[col[i * k + j]]) { dep_c = true; break; }
       }
     if (any_dep && !dep_c) state[i] = CPT;
   }

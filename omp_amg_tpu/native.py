@@ -435,6 +435,10 @@ def dia_planes(a_csr):
     lib = _load()
     if lib is None:
         return None
+    if a_csr.shape[0] != a_csr.shape[1]:
+        # the native offset table is sized 2n-1 from rows only; a wider
+        # matrix would write past it (ADVICE r3 medium) — numpy fallback
+        return None
     n = a_csr.shape[0]
     indptr = np.ascontiguousarray(a_csr.indptr, np.int64)
     indices = np.ascontiguousarray(a_csr.indices, np.int32)

@@ -200,6 +200,13 @@ def build_rap_probe(a_sp, p_sp, ac_sp=None, dtype=jnp.float32):
     def _roll_schedule(d):
         """(hi_dev, s_ring, c_roll) or (None, 0, 0) when the ring is too
         large (wildly non-monotone windows) or too narrow to pay."""
+        nb0 = d["val"].shape[0]
+        sb = d["sbase"][0, :nb0]
+        if nb0 and int(sb.min()) < int(sb[0]):
+            # the kernel seeds its DMA counters at block 0's base; a later
+            # block dipping below it would read never-issued ring chunks
+            # (ADVICE r3) — such plans take the v1/v2 engines instead
+            return None, 0, 0
         s_ring = roll_ring_chunks(d)
         c_roll = 0
         if s_ring <= 4096:

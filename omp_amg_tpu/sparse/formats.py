@@ -458,10 +458,17 @@ def ell_planes_from_scipy(a, width: int | None = None, dtype=np.float32):
     # canonical setup-chain operators (Galerkin products, generators) are
     # already zero-free and sorted — skip the copy/eliminate/sort passes
     # (they were 2.4 s of the 3.0 s conversion at PMIS-96³ L1)
+    owned = False
     if a.nnz and (a.data == 0).any():
         a = a.copy()
+        owned = True
         a.eliminate_zeros()  # ELL uses val==0 as the padding sentinel
     if not a.has_sorted_indices:
+        if not owned:
+            # sp.csr_matrix(csr) shares the index/data arrays — sorting in
+            # place would silently canonicalize the CALLER's matrix
+            # (ADVICE r3); copy before mutating
+            a = a.copy()
         a.sort_indices()
     n_rows, n_cols = a.shape
     lengths = np.diff(a.indptr)

@@ -196,3 +196,48 @@ def test_native_dia_planes_matches_numpy():
         d_np[di, row_of] = a_sp.data
         assert o_nat == [int(o) for o in offsets]
         np.testing.assert_array_equal(d_nat, d_np)
+
+
+def test_native_pmis_directed_mask_fuzz():
+    """ADVICE r3 (high): chained stranded-F promotion on DIRECTED strength
+    masks must match pmis_np bit-exactly. The pre-fix native kernel read
+    live state inside the promotion loop, so chains of stranded F-points
+    resolved schedule-dependently; the numpy flavor promotes from a
+    pre-promotion snapshot. Fuzz asymmetric masks to exercise chains."""
+    rng = np.random.default_rng(7)
+    for trial in range(60):
+        n = int(rng.integers(20, 200))
+        k = int(rng.integers(2, 6))
+        col = rng.integers(0, n, size=(n, k)).astype(np.int32)
+        # directed mask: row i may strongly depend on j without j -> i
+        mask = rng.random((n, k)) < rng.uniform(0.1, 0.6)
+        # self-edges are never strong
+        mask &= col != np.arange(n, dtype=np.int32)[:, None]
+        s_np = hs.pmis_np(col, mask)
+        s_nat = native.pmis(col, mask)
+        np.testing.assert_array_equal(
+            s_nat, s_np, err_msg=f"trial {trial} n={n} k={k}")
+
+
+def test_native_strength_nondyadic_theta_tie():
+    """ADVICE r3 (low): exact-threshold couplings at non-dyadic theta must
+    compare in f32 like numpy (an f64 compare flips the tie row)."""
+    # row 0: diag 2, off-diagonals -1.0 (max) and -f32(0.7) (the tie)
+    col = np.array([[0, 1, 2], [1, 0, 0], [2, 0, 0]], np.int32)
+    val = np.array([[2.0, -1.0, -np.float32(0.7)],
+                    [2.0, -1.0, 0.0],
+                    [2.0, -np.float32(0.7), 0.0]], np.float32)
+    theta = 0.7
+    m_np = hs.strength_mask_np(col, val, theta)
+    m_nat = native.strength_mask(col, val, theta)
+    np.testing.assert_array_equal(m_nat, m_np)
+    # the tie entry IS strong under f32 semantics
+    assert m_np[0, 2]
+
+
+def test_native_dia_planes_rejects_nonsquare():
+    """ADVICE r3 (medium): the native extractor's offset table is sized from
+    rows only — non-square input must fall back (None), not corrupt heap."""
+    a = sp.csr_matrix(np.array([[1.0, 0, 2.0, 3.0],
+                                [0, 4.0, 0, 5.0]]))
+    assert native.dia_planes(a) is None

@@ -108,3 +108,30 @@ def test_device_backend_generator_matches_host():
         assert a_h.offsets == a_d.offsets
         np.testing.assert_allclose(np.asarray(a_d.data), np.asarray(a_h.data),
                                    rtol=1e-6, atol=0)
+
+
+def test_ell_planes_from_scipy_does_not_mutate_caller():
+    """ADVICE r3 (low): an unsorted CSR input must not be canonicalized in
+    place (sp.csr_matrix(csr) shares the caller's arrays)."""
+    import scipy.sparse as sp
+
+    rows = np.array([0, 0, 1, 1])
+    cols = np.array([2, 0, 1, 0])
+    vals = np.array([1.0, 2.0, 3.0, 4.0])
+    a = sp.csr_matrix((vals, (rows, cols)), shape=(2, 3)).tocsr()
+    # force an unsorted-indices CSR
+    a.indices[:2] = a.indices[:2][::-1]
+    a.data[:2] = a.data[:2][::-1]
+    a.has_sorted_indices = False
+    idx_before = a.indices.copy()
+    from omp_amg_tpu.sparse.formats import ell_planes_from_scipy
+
+    col, val, nc = ell_planes_from_scipy(a)
+    np.testing.assert_array_equal(a.indices, idx_before)  # untouched
+    # and the conversion itself is correct
+    b = np.zeros((2, 3))
+    for i in range(2):
+        for j in range(col.shape[1]):
+            if val[i, j] != 0:
+                b[i, col[i, j]] += val[i, j]
+    np.testing.assert_array_equal(b, a.toarray())
