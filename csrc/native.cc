@@ -618,9 +618,12 @@ int64_t d2_color_greedy(int64_t n_rows, int64_t n_cols,
 
 // Pass 1: per-block span base and slot demand. Returns the global span
 // (pad8, >= s_min, >= 8) or -1 when a block's local span exceeds s_cap.
+// ws > 1 pads every (group, chunk) slot run to a ws multiple (window-share
+// packing: the kernel reads one x-chunk per ws slots).
 int64_t routed_plan_demand(int64_t n_rows, const int64_t* indptr,
                            const int32_t* indices, int64_t s_min,
-                           int64_t s_cap, int32_t* sbase, int32_t* bk) {
+                           int64_t s_cap, int64_t ws, int32_t* sbase,
+                           int32_t* bk) {
   const int64_t nb = (n_rows + 1023) / 1024;
   int64_t span = s_min > 8 ? s_min : 8;
   bool overflow = false;
@@ -667,7 +670,10 @@ int64_t routed_plan_demand(int64_t n_rows, const int64_t* indptr,
           }
         }
         int32_t total = 0;
-        for (int32_t j : touched) { total += dem[j]; dem[j] = 0; }
+        for (int32_t j : touched) {
+          total += (int32_t)((dem[j] + ws - 1) / ws * ws);
+          dem[j] = 0;
+        }
         if (total > bkmax) bkmax = total;
       }
       bk[b] = bkmax;
@@ -685,7 +691,7 @@ int64_t routed_plan_demand(int64_t n_rows, const int64_t* indptr,
 // Arrays arrive zero-initialized.
 void routed_plan_fill(int64_t n_rows, const int64_t* indptr,
                       const int32_t* indices, const double* data,
-                      const int32_t* sbase, const int32_t* cbase,
+                      const int32_t* sbase, const int32_t* cbase, int64_t ws,
                       float* val4, int32_t* lidxp, int32_t* soff) {
   const int64_t nb = (n_rows + 1023) / 1024;
 #pragma omp parallel
@@ -719,9 +725,17 @@ void routed_plan_fill(int64_t n_rows, const int64_t* indptr,
         if ((int64_t)slot_base.size() < (int64_t)dem.size())
           slot_base.resize(dem.size());
         int32_t acc = 0;
+        const int64_t cb128 = cb * 128;
         for (int32_t j : touched) {
           slot_base[j] = acc;
-          acc += dem[j];
+          const int32_t pad = (int32_t)((dem[j] + ws - 1) / ws * ws);
+          // padded run slots carry j with val = 0, so the kernel's
+          // one-window-per-ws-slots read stays valid (numpy twin fills
+          // the whole padded run the same way)
+          if (ws > 1)
+            for (int32_t q = acc; q < acc + pad; ++q)
+              soff[cb128 + (q >> 4) * 128 + (q & 15) * 8 + s] = j;
+          acc += pad;
         }
         // fill entries
         for (int64_t r = g0; r < g1; ++r) {

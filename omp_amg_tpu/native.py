@@ -69,10 +69,11 @@ def _load():
         lib.d2_color_greedy.restype = ctypes.c_int64
         lib.routed_plan_demand.argtypes = [ctypes.c_int64, i64p, i32p,
                                            ctypes.c_int64, ctypes.c_int64,
-                                           i32p, i32p]
+                                           ctypes.c_int64, i32p, i32p]
         lib.routed_plan_demand.restype = ctypes.c_int64
         lib.routed_plan_fill.argtypes = [ctypes.c_int64, i64p, i32p, f64p,
-                                         i32p, i32p, f32p, i32p, i32p]
+                                         i32p, i32p, ctypes.c_int64, f32p,
+                                         i32p, i32p]
         lib.strength_mask_f32.argtypes = [ctypes.c_int64, ctypes.c_int64,
                                           i32p, f32p, ctypes.c_double, u8p]
         lib.pmis_f32.argtypes = [ctypes.c_int64, ctypes.c_int64, i32p, u8p,
@@ -329,14 +330,15 @@ def spgemm(a, b):
     return sp.csr_matrix((c_val, c_idx, c_indptr), shape=(n, m))
 
 
-def routed_plan(a_csr, s_min: int = 0, s_cap: int = 2048):
+def routed_plan(a_csr, s_min: int = 0, s_cap: int = 2048, ws: int = 1):
     """Native two-pass routed-ELL planner (compact-chunk layout).
 
     Returns ``(sbase, bk, span)`` demand info and a ``fill(cbase) ->
     (val4_f32, lidx_packed, soff)`` closure, or None when the native lib is
     unavailable or a block overflows ``s_cap`` (caller uses the numpy
-    planner / XLA fallback). Output is bit-identical to the numpy planner
-    (tests/test_routed.py pins it).
+    planner / XLA fallback). ``ws`` pads every (group, chunk) slot run to a
+    ws multiple (window-share packing). Output is bit-identical to the
+    numpy planner (tests/test_routed.py pins it).
     """
     lib = _load()
     if lib is None:
@@ -349,7 +351,7 @@ def routed_plan(a_csr, s_min: int = 0, s_cap: int = 2048):
     sbase = np.zeros(nb, np.int32)
     bk = np.zeros(nb, np.int32)
     span = int(lib.routed_plan_demand(n_rows, indptr, indices, int(s_min),
-                                      int(s_cap), sbase, bk))
+                                      int(s_cap), int(ws), sbase, bk))
     if span < 0:
         return "overflow"
 
@@ -358,7 +360,7 @@ def routed_plan(a_csr, s_min: int = 0, s_cap: int = 2048):
         lidxp = np.zeros((n_chunks, 4, 8, 128), np.int32)
         soff = np.zeros((n_chunks, 128), np.int32)
         lib.routed_plan_fill(n_rows, indptr, indices, data, sbase,
-                             np.ascontiguousarray(cbase, np.int32),
+                             np.ascontiguousarray(cbase, np.int32), int(ws),
                              val4.reshape(-1), lidxp.reshape(-1),
                              soff.reshape(-1))
         return val4, lidxp, soff

@@ -61,23 +61,31 @@ def _make_epilogue(mode, vec_refs, row):
                       * (b_ref[pl.ds(row, 8), :] - y))
 
 
-def _chunk_accum(win_read, sbuf, lbuf, vbuf, slot, acc):
+def _chunk_accum(win_read, sbuf, lbuf, vbuf, slot, acc, ws=1):
     """acc += Σ_{k<KC} val[k] · win(soff[k])[lidx[k]] for one slot-chunk.
 
     ``lbuf`` holds 4 slots' 7-bit lane indices per int32 word
     (sparse/routed.pack_lidx4) — the unpack shift/mask runs on the VPU and
-    buys a ¾ plan-stream reduction in the bandwidth-bound hot loop."""
-    for k in range(KC):
-        word = lbuf[slot, k // 4]
-        lane = jnp.right_shift(word, 8 * (k % 4)) & 0x7F
+    buys a ¾ plan-stream reduction in the bandwidth-bound hot loop.
+
+    ``ws`` = window-share run length: the planner packs each (sublane-
+    group, x-chunk) slot run ws-aligned, so slots k0..k0+ws-1 share one
+    x-chunk per sublane and the (8,128) window stack — whose 8 dynamic
+    sublane slices dominate the per-slot cost — is built once per ws
+    takes."""
+    for k0 in range(0, KC, ws):
         win = jnp.concatenate(
-            [win_read(sbuf[slot, k * 8 + s]) for s in range(8)], axis=0)
-        g = jnp.take_along_axis(win, lane, axis=1)
-        acc = acc + vbuf[slot, k].astype(jnp.float32) * g
+            [win_read(sbuf[slot, k0 * 8 + s]) for s in range(8)], axis=0)
+        for k in range(k0, k0 + ws):
+            word = lbuf[slot, k // 4]
+            lane = jnp.right_shift(word, 8 * (k % 4)) & 0x7F
+            g = jnp.take_along_axis(win, lane, axis=1)
+            acc = acc + vbuf[slot, k].astype(jnp.float32) * g
     return acc
 
 
-def _kloop_kernel(kch_ref, cb_ref, *args, mode, rb, nbb, span_s, streamed):
+def _kloop_kernel(kch_ref, cb_ref, *args, mode, rb, nbb, span_s, streamed,
+                  ws=1):
     """The flattened chunk-loop kernel (resident and streamed flavors)."""
     n_vec = _N_VEC[mode]
     if streamed:
@@ -187,7 +195,7 @@ def _kloop_kernel(kch_ref, cb_ref, *args, mode, rb, nbb, span_s, streamed):
                 return x_ref[pl.ds(srow, 1), :]
 
         acc0 = jnp.where(lc == 0, jnp.zeros((8, LANES), jnp.float32), acc)
-        acc1 = _chunk_accum(win_read, sbuf, lbuf, vbuf, slot, acc0)
+        acc1 = _chunk_accum(win_read, sbuf, lbuf, vbuf, slot, acc0, ws=ws)
 
         @pl.when(lc == kch_ref[g] - 1)
         def _():
@@ -202,12 +210,12 @@ def _kloop_kernel(kch_ref, cb_ref, *args, mode, rb, nbb, span_s, streamed):
 
 @functools.lru_cache(maxsize=256)
 def _make_kloop_call(nc, nbg, rb, nxp, span_s, dtype_name, streamed,
-                     interpret=False, mode="spmv"):
+                     interpret=False, mode="spmv", ws=1):
     n_vec = _N_VEC[mode]
     nbb = nbg * rb
     dtype = jnp.dtype(dtype_name)
     kernel = functools.partial(_kloop_kernel, mode=mode, rb=rb, nbb=nbb,
-                               span_s=span_s, streamed=streamed)
+                               span_s=span_s, streamed=streamed, ws=ws)
     vec_spec = pl.BlockSpec((8 * rb, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
     x_spec = (pl.BlockSpec(memory_space=pl.ANY) if streamed else
@@ -270,7 +278,7 @@ def _routed_call(a: RoutedEll, x: jax.Array, vecs, mode: str,
     cb = a.cbase[0, :nbb].reshape(-1)
     call = _make_kloop_call(a.val4.shape[0], nbg, rb, a.nxp, a.span, dt,
                             streamed=not a.resident, interpret=interpret,
-                            mode=mode)
+                            mode=mode, ws=a.ws)
     if a.resident:
         y = call(kch, cb, a.soff, a.lidx4, a.val4, _pad_x(a, x), *vps)
     else:

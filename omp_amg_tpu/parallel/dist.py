@@ -429,10 +429,14 @@ def _check_vma(dh: DistHierarchy) -> bool:
 
 def make_dist_solver(mesh, dh: DistHierarchy, tol: float = 1e-6,
                      maxiter: int = 200, variant: str = "standard"):
-    """Build the jitted sharded AMG-PCG: (dh, b_padded) → (x, iters, rel).
+    """Build the jitted sharded AMG-PCG: (dh, b_padded[, tol]) →
+    (x, iters, rel).
 
     ``variant="pipelined"`` uses single-reduction CG: one fused psum per
-    iteration instead of three global sync points.
+    iteration instead of three global sync points. ``tol`` is the default
+    tolerance; the returned callable also accepts a per-call tolerance as a
+    TRACED scalar (third argument), so tolerance sweeps — the distributed
+    IR outer loop — reuse one compile.
     """
     specs = dist_specs(dh)
     cv = _check_vma(dh)
@@ -440,15 +444,20 @@ def make_dist_solver(mesh, dh: DistHierarchy, tol: float = 1e-6,
              else _dist_pcg_local)
 
     @jax.jit
-    def solve(dh, b):
+    def solve_t(dh, b, tol_s):
         fn = jax.shard_map(
-            partial(local, tol=tol, maxiter=maxiter),
+            partial(local, maxiter=maxiter),
             mesh=mesh,
-            in_specs=(specs, P(AXIS)),
+            in_specs=(specs, P(AXIS), P()),
             out_specs=(P(AXIS), P(), P()),
             check_vma=cv,
         )
-        return fn(dh, b)
+        return fn(dh, b, tol_s)
+
+    def solve(dh, b, tol_s=None):
+        if tol_s is None:
+            tol_s = tol
+        return solve_t(dh, b, jnp.asarray(tol_s, jnp.float32))
 
     return solve
 

@@ -39,8 +39,9 @@ class AMGSolver:
     classical/PMIS problems the per-shard distributed setup
     (:func:`~omp_amg_tpu.parallel.dist_pmis_setup.dist_pmis_setup`); only
     on cap violations is a hierarchy built centrally and partitioned.
-    ``certify`` is unavailable distributed (the f64 outer loop is
-    host-side).
+    Distributed solves certify through the sharded df64 refinement loop
+    (:mod:`~omp_amg_tpu.parallel.dist_ir`) — device-resident (hi, lo)
+    residuals, no host SpMV.
     """
 
     def __init__(self, a, params: AMGParams = AMGParams(), *, grid=None,
@@ -140,23 +141,40 @@ class AMGSolver:
         """
         if self.mesh is not None:
             from .parallel.dist import make_dist_solver
+            from .parallel.dist_ir import make_dist_ir_solver, supports_df64
             from .parallel.partition import pad_vector, unpad_vector
 
+            n = np.asarray(b).shape[0]
+            bp = pad_vector(b, self.hierarchy, int(self.mesh.devices.size))
+            if certify and supports_df64(self.hierarchy):
+                # distributed df64 iterative refinement: device-resident
+                # (hi, lo) residuals inside shard_map, one psum'd norm per
+                # outer — the true-f64 1e-8 contract without host SpMV
+                key = ("ir", int(maxiter))
+                if self._dist is None or self._dist[0] != key:
+                    self._dist = (key, make_dist_ir_solver(
+                        self.mesh, self.hierarchy, tol=tol,
+                        maxiter=maxiter))
+                res = self._dist[1](self.hierarchy, np.asarray(bp,
+                                                               np.float64))
+                self.last_info = {"iters": sum(res.inner_iters),
+                                  "outer_iters": res.outer_iters,
+                                  "rel_residual": res.rel_residual,
+                                  "certified_f64": True,
+                                  "distributed": True}
+                return unpad_vector(np.asarray(res.x), n)
             if certify:
                 import warnings
 
                 warnings.warn(
-                    "distributed solve is f32-only (the f64 refinement loop "
-                    "is host-side); returning the uncertified device "
-                    "residual — pass certify=False to silence",
-                    stacklevel=2)
-            key = (float(tol), int(maxiter))
+                    "distributed solve is f32-only for this fine-operator "
+                    "type; returning the uncertified device residual — "
+                    "pass certify=False to silence", stacklevel=2)
+            key = (int(maxiter),)
             if self._dist is None or self._dist[0] != key:
                 self._dist = (key, make_dist_solver(self.mesh, self.hierarchy,
                                                     tol=tol, maxiter=maxiter))
-            n = np.asarray(b).shape[0]
-            bp = pad_vector(b, self.hierarchy, int(self.mesh.devices.size))
-            x, iters, rel = self._dist[1](self.hierarchy, bp)
+            x, iters, rel = self._dist[1](self.hierarchy, bp, tol)
             self.last_info = {"iters": int(iters),
                               "rel_residual": float(rel),
                               "certified_f64": False,

@@ -108,6 +108,9 @@ class RoutedEll:
     nnz: int = _static()    # structural nonzeros (metrics)
     kmax: int = _static(default=KC)  # max slot capacity of any block
     resident: bool = _static(default=False)  # x fully VMEM-resident kernel
+    ws: int = _static(default=1)  # window-share run: ws consecutive slots of
+    # a sublane-group share one x-chunk, so the kernel builds each (8,128)
+    # window stack once per ws takes (slices are the dominant slot cost)
 
     @property
     def shape(self) -> Tuple[int, int]:
@@ -137,14 +140,14 @@ def plan_lidx_packed(plan: dict) -> np.ndarray:
     return pack_lidx4(plan["lidx4"])
 
 
-def _plan_native(m, s_min, n_rows, n_cols, nb, nbp, nc2):
+def _plan_native(m, s_min, n_rows, n_cols, nb, nbp, nc2, ws=1):
     """Native OpenMP planner (csrc/native.cc) — bit-identical layout to the
     numpy path below, ~15× faster at PMIS-96³ scale; f32 values, packed
     lanes. Returns None to fall through to numpy (lib unavailable),
     "overflow" when the span cap is hit (plan impossible)."""
     from .. import native
 
-    nat = native.routed_plan(m, s_min=s_min, s_cap=S_CAP)
+    nat = native.routed_plan(m, s_min=s_min, s_cap=S_CAP, ws=ws)
     if nat is None or nat == "overflow":
         return nat
     sbase_b, bk, span, fill = nat
@@ -165,21 +168,25 @@ def _plan_native(m, s_min, n_rows, n_cols, nb, nbp, nc2):
         val4=val4, lidx4p=lidxp, soff=soff, cbase=cbase, kch=kch,
         sbase=sbase, n_rows=n_rows, n_cols=n_cols, span=span, nxp=nxp,
         nnz=m.nnz, kmax=int(kch_b.max()) * KC,
-        eff=m.nnz / (nchunks * KC * BLOCK_ROWS),
+        eff=m.nnz / (nchunks * KC * BLOCK_ROWS), ws=ws,
     )
 
 
-def plan_routed(m, dtype=np.float32, s_min: int = 0):
+def plan_routed(m, dtype=np.float32, s_min: int = 0, ws: int = 1):
     """Build compact routed-ELL plan arrays from a scipy sparse matrix.
 
     Returns a dict of plan arrays + stats, or None if the operator exceeds
     the format caps. ``s_min`` forces a minimum span so multiple plans
-    (e.g. per-shard local windows) can share one static span. f32 plans
-    run through the native OpenMP planner when built; other dtypes (and
-    environments without the toolchain) use the vectorized-numpy twin —
-    the layouts are bit-identical (tested)."""
+    (e.g. per-shard local windows) can share one static span. ``ws`` packs
+    each (sublane-group, x-chunk) slot run ws-aligned so the kernel can
+    share one window stack across ws takes (KC % ws == 0 required). f32
+    plans run through the native OpenMP planner when built; other dtypes
+    (and environments without the toolchain) use the vectorized-numpy twin
+    — the layouts are bit-identical (tested)."""
     import scipy.sparse as sp
 
+    if ws not in (1, 2, 4, 8, 16) or KC % ws:
+        raise ValueError(f"ws={ws} must divide KC={KC}")
     m = sp.csr_matrix(m)
     m.sort_indices()
     n_rows, n_cols = m.shape
@@ -190,7 +197,8 @@ def plan_routed(m, dtype=np.float32, s_min: int = 0):
     nc2_early = max(1, -(-n_cols // LANES))
 
     if np.dtype(dtype) == np.float32 and m.nnz > 0:
-        plan = _plan_native(m, s_min, n_rows, n_cols, nb, nbp, nc2_early)
+        plan = _plan_native(m, s_min, n_rows, n_cols, nb, nbp, nc2_early,
+                            ws=ws)
         if plan == "overflow":
             return None
         if plan is not None:
@@ -216,7 +224,7 @@ def plan_routed(m, dtype=np.float32, s_min: int = 0):
             cbase=cbase, kch=kch,
             sbase=np.zeros((1, nbp), np.int32),
             n_rows=n_rows, n_cols=n_cols, span=S, nxp=max(S, nc2), nnz=0,
-            kmax=KC, eff=0.0,
+            kmax=KC, eff=0.0, ws=ws,
         )
 
     b = rows // BLOCK_ROWS
@@ -251,6 +259,11 @@ def plan_routed(m, dtype=np.float32, s_min: int = 0):
     gj_of_run = gj_id[run_starts]
     m_gj = np.zeros(n_gj, np.int64)
     np.maximum.at(m_gj, gj_of_run, run_len)
+    if ws > 1:
+        # ws-aligned runs: the kernel reads soff once per ws slots, so every
+        # (g, j) run is padded to a ws multiple (padding slots keep j with
+        # val = 0 — "0·finite" reads, the usual routed invariant)
+        m_gj = -(-m_gj // ws) * ws
     # slot base: exclusive cumsum of m_gj, reset at each new g
     csum = np.cumsum(m_gj)
     slot_base = csum - m_gj
@@ -302,7 +315,7 @@ def plan_routed(m, dtype=np.float32, s_min: int = 0):
     return dict(
         val4=val4, lidx4=lidx4, soff=soff, cbase=cbase, kch=kch,
         sbase=sbase, n_rows=n_rows, n_cols=n_cols, span=S, nxp=nxp,
-        nnz=nnz, kmax=kmax, eff=nnz / (nchunks * KC * BLOCK_ROWS),
+        nnz=nnz, kmax=kmax, eff=nnz / (nchunks * KC * BLOCK_ROWS), ws=ws,
     )
 
 
@@ -343,14 +356,28 @@ def absolute_soff(plan: dict) -> np.ndarray:
     return plan["soff"] + plan["sbase"][0, blk_of_chunk, None]
 
 
-def routed_from_scipy(m, dtype=jnp.float32, put=None):
+def auto_ws(m) -> int:
+    """Window-share run length for an operator (chip-calibrated).
+
+    The routed kernel's dominant per-slot cost is the 8 dynamic sublane
+    slices that build each window stack; sharing one stack across ws slots
+    divides that cost by ws at the price of the measured slot inflation
+    F(ws) (scripts/analyze_wshare.py). Placeholder until the round-4 chip
+    probe: ws = 1 (the round-3 behavior)."""
+    return 1
+
+
+def routed_from_scipy(m, dtype=jnp.float32, put=None, ws: int | None = None):
     """scipy sparse → RoutedEll device operator (None if uneconomical).
 
     ``put`` overrides the host→device transfer (e.g. a
     ``DeferredUpload.add`` to batch all plan arrays of a hierarchy into
     one relay transfer — see utils/pack.py). Compact chunk arrays are
     ~50–80% dense, so they ship as plain dense parts (the round-2 sparse
-    scatter-fill path is no longer a win)."""
+    scatter-fill path is no longer a win). ``ws`` selects the window-share
+    run length (None = auto per operator shape)."""
+    if ws is None:
+        ws = auto_ws(m)
     if put is None:
         put = jnp.asarray
     # feature-detect the batched-upload sparse path (DeferredUpload.add):
@@ -368,7 +395,7 @@ def routed_from_scipy(m, dtype=jnp.float32, put=None):
         np_dt = np.dtype(jnp.dtype(dtype).name)  # f32 → native planner
     except TypeError:
         np_dt = np.float64                       # bf16 etc.: plan in f64
-    plan = plan_routed(m, dtype=np_dt)
+    plan = plan_routed(m, dtype=np_dt, ws=ws)
     if plan is None:
         return None
     soff = plan["soff"]
@@ -384,7 +411,7 @@ def routed_from_scipy(m, dtype=jnp.float32, put=None):
         sbase=put(plan["sbase"]),
         n_rows=plan["n_rows"], n_cols=plan["n_cols"],
         span=plan["span"], nxp=plan["nxp"], nnz=plan["nnz"],
-        kmax=plan["kmax"], resident=resident,
+        kmax=plan["kmax"], resident=resident, ws=plan.get("ws", 1),
     )
 
 

@@ -72,7 +72,7 @@ def _from_plan(plan, resident=False):
                      sbase=plan["sbase"], n_rows=plan["n_rows"],
                      n_cols=plan["n_cols"], span=plan["span"],
                      nxp=plan["nxp"], nnz=plan["nnz"], kmax=plan["kmax"],
-                     resident=resident)
+                     resident=resident, ws=plan.get("ws", 1))
 
 
 @pytest.mark.parametrize("i", range(len(CASES)))
@@ -277,3 +277,61 @@ def test_skewed_kch_kernel_matches_xla():
         r = residual_routed(rt, x, b, interpret=True)
         np.testing.assert_allclose(np.asarray(r), np.asarray(b - y1),
                                    rtol=0, atol=1e-4)
+
+
+@pytest.mark.parametrize("ws", [2, 4, 8])
+@pytest.mark.parametrize("i", [0, 1, 3, 4, 6, 7])
+def test_ws_plan_roundtrip_exact(i, ws):
+    """Window-share packing (ws-aligned slot runs) is still an exact
+    re-encoding; padded slots carry valid windows with val == 0."""
+    m = CASES[i]
+    plan = plan_routed(m, dtype=np.float64, ws=ws)
+    assert plan is not None
+    assert plan["ws"] == ws
+    back = routed_to_scipy(_from_plan(plan))
+    assert (back != m).nnz == 0
+    # every ws-boundary slot that any active slot maps to shares its window:
+    # soff within a run is constant by construction — verified via the
+    # roundtrip above plus demand never shrinking below the ws=1 plan
+    p1 = plan_routed(m, dtype=np.float64, ws=1)
+    assert plan["val4"].shape[0] >= p1["val4"].shape[0]
+
+
+@pytest.mark.parametrize("ws", [2, 4])
+@pytest.mark.parametrize("i", [0, 2, 3, 7])
+def test_ws_native_plan_matches_numpy(i, ws):
+    from omp_amg_tpu import native
+
+    if not native.available():
+        pytest.skip("native lib unavailable")
+    m = CASES[i]
+    p_np = plan_routed(m, dtype=np.float64, ws=ws)
+    p_nat = plan_routed(m, dtype=np.float32, ws=ws)
+    assert "lidx4p" in p_nat, "native path was not taken"
+    np.testing.assert_array_equal(p_nat["val4"],
+                                  p_np["val4"].astype(np.float32))
+    np.testing.assert_array_equal(p_nat["lidx4p"], plan_lidx_packed(p_np))
+    for key in ("soff", "cbase", "kch", "sbase"):
+        np.testing.assert_array_equal(p_nat[key], p_np[key])
+    for key in ("span", "nxp", "kmax", "nnz", "ws"):
+        assert p_nat[key] == p_np[key], key
+
+
+@pytest.mark.parametrize("mode", ["resident", "streamed"])
+@pytest.mark.parametrize("ws", [2, 4])
+def test_ws_kernel_interpret_matches_scipy(ws, mode, monkeypatch):
+    if mode == "streamed":
+        import omp_amg_tpu.sparse.routed as routed_mod
+        monkeypatch.setattr(routed_mod, "RESIDENT_CAP_BYTES", 0)
+    for i in (0, 3, 7):
+        m = CASES[i]
+        a = routed_from_scipy(m, ws=ws)
+        assert a.ws == ws
+        x = np.random.default_rng(40 + i).standard_normal(m.shape[1])
+        y = spmv_routed(a, jnp.asarray(x, jnp.float32), interpret=True)
+        ref = m @ x
+        scale = max(1.0, np.abs(ref).max())
+        assert np.abs(np.asarray(y) - ref).max() / scale < 5e-6
+        # XLA oracle agrees on the same ws plan
+        y2 = spmv_routed_xla(a, jnp.asarray(x, jnp.float32))
+        assert np.abs(np.asarray(y2) - ref).max() / scale < 5e-6
