@@ -34,10 +34,18 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..sparse.routed import BLOCK_ROWS, KC, LANES, RB, RoutedEll
+from ..sparse.routed import BLOCK_ROWS, DMA_PAD, KC, LANES, RB, RoutedEll
 
-RING = 4          # chunk-DMA ring depth (val/lidx/soff move together)
+RING = 4          # chunk-group-DMA ring depth (val/lidx/soff move together)
 SPAN_RING = 2     # per-block span buffers (streamed mode)
+
+# Chunks per DMA group. cbase is a cumsum, so a grid step's chunks are
+# globally contiguous in the plan arrays — the kernel moves DG chunks per
+# async copy (3 DMAs per DG chunks instead of 3 per chunk). The round-4
+# decomposition probe measured the v3 kernel DMA-overhead-bound: dmaonly
+# ≈ base ≈ 660 ns/chunk vs 80.5 KB of payload (≈120 GB/s effective).
+# Plans carry DMA_PAD zero tail chunks so the last group may over-read.
+DG = 4
 
 _N_VEC = {"spmv": 0, "residual": 1, "correct": 1, "jacobi": 3}
 
@@ -61,31 +69,37 @@ def _make_epilogue(mode, vec_refs, row):
                       * (b_ref[pl.ds(row, 8), :] - y))
 
 
-def _chunk_accum(win_read, sbuf, lbuf, vbuf, slot, acc, ws=1):
+def _chunk_accum(win_read, sbuf, lbuf, vbuf, slot, sub, acc, ws=1):
     """acc += Σ_{k<KC} val[k] · win(soff[k])[lidx[k]] for one slot-chunk.
 
     ``lbuf`` holds 4 slots' 7-bit lane indices per int32 word
     (sparse/routed.pack_lidx4) — the unpack shift/mask runs on the VPU and
-    buys a ¾ plan-stream reduction in the bandwidth-bound hot loop.
+    the words are hoisted once per chunk into vregs.
+
+    ``(slot, sub)`` address the chunk inside the DMA-group ring buffers.
 
     ``ws`` = window-share run length: the planner packs each (sublane-
     group, x-chunk) slot run ws-aligned, so slots k0..k0+ws-1 share one
-    x-chunk per sublane and the (8,128) window stack — whose 8 dynamic
-    sublane slices dominate the per-slot cost — is built once per ws
+    x-chunk per sublane and the (8,128) window stack is built once per ws
     takes."""
+    words = [lbuf[slot, sub, w] for w in range(KC // 4)]
+    # independent partial accumulators break the serial take→fma→add chain
+    # (the adds otherwise serialize all 16 slot contributions per chunk)
+    parts = [jnp.zeros((8, LANES), jnp.float32) for _ in range(4)]
     for k0 in range(0, KC, ws):
         win = jnp.concatenate(
-            [win_read(sbuf[slot, k0 * 8 + s]) for s in range(8)], axis=0)
+            [win_read(sbuf[slot, sub, k0 * 8 + s]) for s in range(8)],
+            axis=0)
         for k in range(k0, k0 + ws):
-            word = lbuf[slot, k // 4]
-            lane = jnp.right_shift(word, 8 * (k % 4)) & 0x7F
+            lane = jnp.right_shift(words[k // 4], 8 * (k % 4)) & 0x7F
             g = jnp.take_along_axis(win, lane, axis=1)
-            acc = acc + vbuf[slot, k].astype(jnp.float32) * g
-    return acc
+            parts[k % 4] = parts[k % 4] + \
+                vbuf[slot, sub, k].astype(jnp.float32) * g
+    return acc + (parts[0] + parts[1]) + (parts[2] + parts[3])
 
 
 def _kloop_kernel(kch_ref, cb_ref, *args, mode, rb, nbb, span_s, streamed,
-                  ws=1):
+                  ws=1, dg=DG):
     """The flattened chunk-loop kernel (resident and streamed flavors)."""
     n_vec = _N_VEC[mode]
     if streamed:
@@ -111,6 +125,8 @@ def _kloop_kernel(kch_ref, cb_ref, *args, mode, rb, nbb, span_s, streamed,
     for r in range(rb):
         cums.append(cums[-1] + ka[r])
     T = cums[rb]
+    c0 = cb_ref[g0]   # first global chunk of this step (cbase is a cumsum,
+    # so the step's T chunks live at [c0, c0 + T) — globally contiguous)
 
     def locate(c):
         r = jnp.int32(0)
@@ -122,18 +138,20 @@ def _kloop_kernel(kch_ref, cb_ref, *args, mode, rb, nbb, span_s, streamed,
         lc = c - start
         return r, lc
 
-    def chunk_dma(c, k):
-        r, lc = locate(c)
-        gc = cb_ref[g0 + r] + lc
-        slot = jax.lax.rem(c, RING)
+    def group_dma(cg, k):
+        """DMA chunk-group cg (dg chunks at c0 + cg·dg; plans carry DMA_PAD
+        zero tail chunks so the final group may over-read)."""
+        gc = c0 + cg * dg
+        slot = jax.lax.rem(cg, RING)
         return pltpu.make_async_copy(
-            (val_hbm.at[gc], lidx_hbm.at[gc], soff_hbm.at[gc])[k],
+            (val_hbm.at[pl.ds(gc, dg)], lidx_hbm.at[pl.ds(gc, dg)],
+             soff_hbm.at[pl.ds(gc, dg)])[k],
             (vbuf.at[slot], lbuf.at[slot], sbuf.at[slot])[k],
             sems.at[slot, k])
 
-    def start_chunk(c):
+    def start_group(cg):
         for k in range(3):
-            chunk_dma(c, k).start()
+            group_dma(cg, k).start()
 
     def span_dma(g):
         return pltpu.make_async_copy(
@@ -155,9 +173,9 @@ def _kloop_kernel(kch_ref, cb_ref, *args, mode, rb, nbb, span_s, streamed,
 
     pre = RING - 1
     for j in range(pre):
-        @pl.when(j < T)
+        @pl.when(j * dg < T)
         def _(j=j):
-            start_chunk(jnp.int32(j))
+            start_group(jnp.int32(j))
     if streamed:
         # Span prefetch is ONE block ahead (SPAN_RING = 2): block g's body
         # waits span(g) then immediately starts span(g+1) — slot (g+1)%2
@@ -170,10 +188,18 @@ def _kloop_kernel(kch_ref, cb_ref, *args, mode, rb, nbb, span_s, streamed,
     def body(c, acc):
         r, lc = locate(c)
         g = g0 + r
+        cg = jax.lax.div(c, dg)
+        sub = jax.lax.rem(c, dg)
 
-        @pl.when(c + pre < T)
+        @pl.when(sub == 0)
         def _():
-            start_chunk(c + pre)
+            # entering group cg: wait its three transfers, refill the slot
+            # that frees RING−1 groups ahead
+            @pl.when((cg + pre) * dg < T)
+            def _():
+                start_group(cg + pre)
+            for k in range(3):
+                group_dma(cg, k).wait()
 
         if streamed:
             @pl.when(lc == 0)
@@ -181,9 +207,7 @@ def _kloop_kernel(kch_ref, cb_ref, *args, mode, rb, nbb, span_s, streamed,
                 span_dma(g).wait()
                 start_span(g + 1)
 
-        slot = jax.lax.rem(c, RING)
-        for k in range(3):
-            chunk_dma(c, k).wait()
+        slot = jax.lax.rem(cg, RING)
 
         if streamed:
             sp = jax.lax.rem(g, SPAN_RING)
@@ -195,7 +219,8 @@ def _kloop_kernel(kch_ref, cb_ref, *args, mode, rb, nbb, span_s, streamed,
                 return x_ref[pl.ds(srow, 1), :]
 
         acc0 = jnp.where(lc == 0, jnp.zeros((8, LANES), jnp.float32), acc)
-        acc1 = _chunk_accum(win_read, sbuf, lbuf, vbuf, slot, acc0, ws=ws)
+        acc1 = _chunk_accum(win_read, sbuf, lbuf, vbuf, slot, sub, acc0,
+                            ws=ws)
 
         @pl.when(lc == kch_ref[g] - 1)
         def _():
@@ -210,21 +235,22 @@ def _kloop_kernel(kch_ref, cb_ref, *args, mode, rb, nbb, span_s, streamed,
 
 @functools.lru_cache(maxsize=256)
 def _make_kloop_call(nc, nbg, rb, nxp, span_s, dtype_name, streamed,
-                     interpret=False, mode="spmv", ws=1):
+                     interpret=False, mode="spmv", ws=1, dg=DG):
     n_vec = _N_VEC[mode]
     nbb = nbg * rb
     dtype = jnp.dtype(dtype_name)
     kernel = functools.partial(_kloop_kernel, mode=mode, rb=rb, nbb=nbb,
-                               span_s=span_s, streamed=streamed, ws=ws)
+                               span_s=span_s, streamed=streamed, ws=ws,
+                               dg=dg)
     vec_spec = pl.BlockSpec((8 * rb, LANES), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
     x_spec = (pl.BlockSpec(memory_space=pl.ANY) if streamed else
               pl.BlockSpec((nxp, LANES), lambda i, *_: (0, 0),
                            memory_space=pltpu.VMEM))
     scratch = [
-        pltpu.VMEM((RING, KC, 8, LANES), dtype),      # val ring
-        pltpu.VMEM((RING, KC // 4, 8, LANES), jnp.int32),  # lidx ring
-        pltpu.SMEM((RING, 8 * KC), jnp.int32),        # soff ring
+        pltpu.VMEM((RING, dg, KC, 8, LANES), dtype),      # val ring
+        pltpu.VMEM((RING, dg, KC // 4, 8, LANES), jnp.int32),  # lidx ring
+        pltpu.SMEM((RING, dg, 8 * KC), jnp.int32),        # soff ring
         pltpu.SemaphoreType.DMA((RING, 3)),
     ]
     if streamed:
@@ -269,7 +295,10 @@ def _pad_vec(a: RoutedEll, nbb: int, v: jax.Array) -> jax.Array:
 def _routed_call(a: RoutedEll, x: jax.Array, vecs, mode: str,
                  interpret: bool):
     nb = a.n_blocks
-    rb = min(RB, nb) if nb < RB else RB
+    # many-block operators (P/R shapes) amortize the per-grid-step pipeline
+    # overhead across 16 row-blocks; locate()'s per-chunk select unroll
+    # grows with rb, so small/dense operators stay at 8
+    rb = 16 if nb >= 512 else (min(RB, nb) if nb < RB else RB)
     nbg = -(-nb // rb)
     nbb = nbg * rb
     dt = jnp.dtype(a.val4.dtype).name
@@ -278,7 +307,8 @@ def _routed_call(a: RoutedEll, x: jax.Array, vecs, mode: str,
     cb = a.cbase[0, :nbb].reshape(-1)
     call = _make_kloop_call(a.val4.shape[0], nbg, rb, a.nxp, a.span, dt,
                             streamed=not a.resident, interpret=interpret,
-                            mode=mode, ws=a.ws)
+                            mode=mode, ws=a.ws,
+                            dg=DG if a.val4.shape[0] > DMA_PAD else 1)
     if a.resident:
         y = call(kch, cb, a.soff, a.lidx4, a.val4, _pad_x(a, x), *vps)
     else:

@@ -66,9 +66,19 @@ KC = 16
 # nb/RB times and the DMA pipeline runs across block boundaries.
 RB = 8
 
+# Tail padding chunks appended to the plan arrays: cbase is a cumsum, so a
+# grid step's chunks are GLOBALLY contiguous and the kernel DMAs DG chunks
+# per transfer (round-4: the kernel was measured DMA-overhead-bound at 3
+# small DMAs/chunk); the last group of the last step may read up to
+# DMA_PAD − 1 chunks past the real count.
+DMA_PAD = 8
+
 # Caps: beyond these the plan would strain SMEM/HBM — fall back to XLA.
 S_CAP = 2048     # span chunks (2 × S × 512 B of VMEM scratch, streamed)
-NB_CAP = 8192    # blocks (cbase/kch/sbase live fully in SMEM)
+# blocks: cbase/kch/sbase live fully in SMEM as scalar-prefetch arrays
+# (~64 KB each at 16 k blocks — chip-validated at the 256³ scale, round 4;
+# was 8192, which shut the classical pipeline out of the 256³ headline)
+NB_CAP = 32768
 NC_CAP = 1 << 20  # total chunks (plan arrays ≈ NC × 82 KB of HBM)
 
 # Resident mode: when padded x plus the chunk rings fit VMEM (~16 MB/core),
@@ -156,7 +166,7 @@ def _plan_native(m, s_min, n_rows, n_cols, nb, nbp, nc2, ws=1):
     if nchunks > NC_CAP:
         return "overflow"
     cbase_b = np.concatenate([[0], np.cumsum(kch_b)[:-1]]).astype(np.int32)
-    val4, lidxp, soff = fill(cbase_b, nchunks)
+    val4, lidxp, soff = fill(cbase_b, nchunks + DMA_PAD)
     sbase = np.zeros((1, nbp), np.int32)
     sbase[0, :nb] = sbase_b
     cbase = np.zeros((1, nbp), np.int32)
@@ -218,9 +228,9 @@ def plan_routed(m, dtype=np.float32, s_min: int = 0, ws: int = 1):
         cbase = np.zeros((1, nbp), np.int32)
         cbase[0, :nb] = np.arange(nb)
         return dict(
-            val4=np.zeros((nb, KC, 8, LANES), dtype),
-            lidx4=np.zeros((nb, KC, 8, LANES), np.int32),
-            soff=np.zeros((nb, LANES), np.int32),
+            val4=np.zeros((nb + DMA_PAD, KC, 8, LANES), dtype),
+            lidx4=np.zeros((nb + DMA_PAD, KC, 8, LANES), np.int32),
+            soff=np.zeros((nb + DMA_PAD, LANES), np.int32),
             cbase=cbase, kch=kch,
             sbase=np.zeros((1, nbp), np.int32),
             n_rows=n_rows, n_cols=n_cols, span=S, nxp=max(S, nc2), nnz=0,
@@ -286,16 +296,16 @@ def plan_routed(m, dtype=np.float32, s_min: int = 0, ws: int = 1):
 
     slot = slot_base[gj_id] + t  # per sorted nnz
 
-    # ---- fill compact plan arrays ----------------------------------------
+    # ---- fill compact plan arrays (+DMA_PAD zero tail chunks) -----------
     b_o, s_o = g_o // 8, g_o % 8
     ci = cbase_b[b_o] + slot // KC     # chunk index per sorted nnz
     ks = slot % KC                     # slot-in-chunk
-    val4 = np.zeros((nchunks, KC, 8, LANES), dtype)
-    lidx4 = np.zeros((nchunks, KC, 8, LANES), np.int32)
+    val4 = np.zeros((nchunks + DMA_PAD, KC, 8, LANES), dtype)
+    lidx4 = np.zeros((nchunks + DMA_PAD, KC, 8, LANES), np.int32)
     val4[ci, ks, s_o, lane[order]] = vals[order]
     lidx4[ci, ks, s_o, lane[order]] = lid[order]
 
-    soff = np.zeros((nchunks, LANES), np.int32)
+    soff = np.zeros((nchunks + DMA_PAD, LANES), np.int32)
     # each gj group fills slots [slot_base, slot_base + m) of (b, s) with j
     rep_b = np.repeat(b_o[gj_starts], m_gj)
     rep_s = np.repeat(s_o[gj_starts], m_gj)
@@ -353,17 +363,22 @@ def absolute_soff(plan: dict) -> np.ndarray:
     kch_b = plan["kch"][0]
     nb = int(np.max(np.nonzero(kch_b)[0])) + 1
     blk_of_chunk = np.repeat(np.arange(nb), kch_b[:nb])
+    pad = plan["soff"].shape[0] - len(blk_of_chunk)
+    if pad:  # DMA_PAD tail chunks (all-zero) fold in block 0's base
+        blk_of_chunk = np.r_[blk_of_chunk, np.zeros(pad, np.int64)]
     return plan["soff"] + plan["sbase"][0, blk_of_chunk, None]
 
 
 def auto_ws(m) -> int:
-    """Window-share run length for an operator (chip-calibrated).
+    """Window-share run length for an operator (chip-calibrated, round 4).
 
-    The routed kernel's dominant per-slot cost is the 8 dynamic sublane
-    slices that build each window stack; sharing one stack across ws slots
-    divides that cost by ws at the price of the measured slot inflation
-    F(ws) (scripts/analyze_wshare.py). Placeholder until the round-4 chip
-    probe: ws = 1 (the round-3 behavior)."""
+    ws > 1 shares one window stack across ws takes at the price of the slot
+    inflation F(ws) (scripts/analyze_wshare.py: A[1]@96³ F(2)=1.12,
+    F(4)=1.38). The chip sweep (scripts/bench_ws_sweep.py) measured the
+    kernel DMA/take-bound, NOT slice-bound — with the v4 grouped-DMA kernel
+    every ws > 1 lost to its own inflation (A[1]: 6.6 → 6.1 → 5.95 Gnnz/s
+    at ws 1/2/4). ws = 1 is the calibrated answer; the machinery stays for
+    operators whose F(ws) ≈ 1 (none among the PMIS family measured)."""
     return 1
 
 

@@ -93,7 +93,7 @@ def test_compact_chunks_scale_with_local_demand():
     nb = -(-CASES[7].shape[0] // 1024)
     kch = plan["kch"][0, :nb]
     assert kch.max() > kch.min()          # skew is present
-    assert plan["val4"].shape[0] == kch.sum()   # chunks are compact
+    assert plan["val4"].shape[0] == kch.sum() + 8   # compact + DMA_PAD tail
     assert plan["kmax"] == int(kch.max()) * KC
 
 
