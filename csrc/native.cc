@@ -689,10 +689,11 @@ int64_t routed_plan_demand(int64_t n_rows, const int64_t* indptr,
 // (kch = max(ceil(bk/16), 1)); val4 (NC,16,8,128) f32, lidxp
 // (NC,4,8,128) int32 with 4 slots' lanes packed per word, soff (NC,128).
 // Arrays arrive zero-initialized.
-void routed_plan_fill(int64_t n_rows, const int64_t* indptr,
-                      const int32_t* indices, const double* data,
-                      const int32_t* sbase, const int32_t* cbase, int64_t ws,
-                      float* val4, int32_t* lidxp, int32_t* soff) {
+static void routed_fill_impl(int64_t n_rows, const int64_t* indptr,
+                             const int32_t* indices, const double* data,
+                             const int32_t* sbase, const int32_t* cbase,
+                             int64_t ws, float* val4, int32_t* lidxp,
+                             int32_t* soff, int64_t* pos /* nullable */) {
   const int64_t nb = (n_rows + 1023) / 1024;
 #pragma omp parallel
   {
@@ -750,7 +751,9 @@ void routed_plan_fill(int64_t n_rows, const int64_t* indptr,
             const int64_t slot = slot_base[j] + t;
             const int64_t ci = cb + (slot >> 4);
             const int64_t ks = slot & 15;
-            val4[((ci * 16 + ks) * 8 + s) * 128 + l] = (float)data[p];
+            const int64_t vp = ((ci * 16 + ks) * 8 + s) * 128 + l;
+            val4[vp] = (float)data[p];
+            if (pos) pos[p] = vp;  // value-refresh scatter map (CSR order)
             lidxp[((ci * 4 + (ks >> 2)) * 8 + s) * 128 + l] |=
                 (int32_t)(c & 127) << (8 * (ks & 3));
             soff[ci * 128 + ks * 8 + s] = (int32_t)j;
@@ -760,6 +763,25 @@ void routed_plan_fill(int64_t n_rows, const int64_t* indptr,
       }
     }
   }
+}
+
+void routed_plan_fill(int64_t n_rows, const int64_t* indptr,
+                      const int32_t* indices, const double* data,
+                      const int32_t* sbase, const int32_t* cbase, int64_t ws,
+                      float* val4, int32_t* lidxp, int32_t* soff) {
+  routed_fill_impl(n_rows, indptr, indices, data, sbase, cbase, ws, val4,
+                   lidxp, soff, nullptr);
+}
+
+// Variant emitting the value-refresh scatter map: pos[p] = flat val4 index
+// of CSR entry p (amg/refresh.py re-fills plan values device-side).
+void routed_plan_fill_map(int64_t n_rows, const int64_t* indptr,
+                          const int32_t* indices, const double* data,
+                          const int32_t* sbase, const int32_t* cbase,
+                          int64_t ws, float* val4, int32_t* lidxp,
+                          int32_t* soff, int64_t* pos) {
+  routed_fill_impl(n_rows, indptr, indices, data, sbase, cbase, ws, val4,
+                   lidxp, soff, pos);
 }
 
 // ---------------------------------------------------------------------------

@@ -154,7 +154,7 @@ def _estimate_lmax_host(a_sp, dinv: np.ndarray, iters: int = 20) -> float:
 
 
 def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
-              flavor: str = "host", grid=None):
+              flavor: str = "host", grid=None, cache=None):
     """Build the AMG hierarchy for operator ``a`` (Dia, Ell, or scipy CSR).
 
     ``flavor`` selects the setup-kernel implementation (equivalent results):
@@ -167,6 +167,12 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
     :mod:`omp_amg_tpu.amg.structured`) — the TPU fast path. Selection
     follows ``params.coarsening`` ("auto" = structured iff ``grid`` given
     and the operator is banded).
+
+    ``cache`` (a :class:`omp_amg_tpu.amg.refresh.SetupCache`) records the
+    setup's symbolic decisions (strength mask, C/F split, patterns, plan
+    scatter maps) so :func:`omp_amg_tpu.amg.refresh.amg_refresh` can
+    rebuild the hierarchy VALUES for a same-sparsity operator without
+    re-running pattern discovery (host PMIS flavor only).
 
     Returns ``Hierarchy`` (and with ``keep_host=True`` also the per-level
     host scipy operators, used by tests and the mixed-precision outer loop).
@@ -197,6 +203,11 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
         or (params.coarsening == "auto" and grid is not None
             and isinstance(a_dev, Dia))
     )
+    if cache is not None and (structured or flavor != "host"):
+        raise ValueError(
+            "setup cache records the host-flavor classical (PMIS) setup "
+            "only — structured hierarchies refresh by re-running their "
+            "already-cheap setup")
     if structured:
         if grid is None or int(np.prod(grid)) != a_dev.shape[0]:
             raise ValueError("structured coarsening requires a matching grid")
@@ -253,6 +264,9 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             nc = int(is_c.sum())
             if nc == 0 or n / max(nc, 1) < params.min_coarsen_factor:
                 break
+            if cache is not None:
+                cache.levels.append(dict(mask=mask, state=state, cmap=cmap,
+                                         nc=nc))
             if params.interp == "standard":
                 p_col, p_val = hs.standard_interpolation_np(
                     col, val, mask, state, cmap, nc,
@@ -266,8 +280,23 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                                                           state, cmap, nc)
             p_sp = ell_planes_to_scipy(p_col, p_val, nc)
             p = None   # host flavor: device P form chosen at level build
+            if cache is not None:
+                cache.levels[-1]["p_col"] = p_col.copy()
+                cache.levels[-1]["p_valid"] = p_val != 0
         trace.mark(f"L{len(levels)} n={n} strength/pmis/interp")
         ac_sp = galerkin_product(host_ops[-1], p_sp)
+        if cache is not None:
+            import scipy.sparse as _sp
+
+            lc = cache.levels[-1]
+            lc["ac_indptr"] = ac_sp.indptr.copy()
+            lc["ac_indices"] = ac_sp.indices.copy()
+            # p-CSR → pᵀ-CSR data permutation (refresh derives R values
+            # from P values without a per-refresh transpose)
+            tag = _sp.csr_matrix(
+                (np.arange(p_sp.nnz, dtype=np.int64), p_sp.indices,
+                 p_sp.indptr), shape=p_sp.shape)
+            lc["pt_perm"] = tag.T.tocsr().data.copy()
         # "auto": device probe where it pays — the fine (banded/stencil)
         # level, whose A-side runs the shift-fma dia path with NO panel
         # plan to build (the numpy panel planner costs ~7 s at 96³;
@@ -358,14 +387,22 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             # Only replaces ELL (gather-path) operators; DIA stays banded.
             from ..sparse.routed import routed_from_scipy
 
+            def _mo(key):
+                if cache is None:
+                    return None
+                return cache.levels[-1].setdefault(key, {})
+
             if a_lvl is None or isinstance(a_lvl, Ell):
-                rt = routed_from_scipy(a_sp, dtype=dtype, put=batch.add)
+                rt = routed_from_scipy(a_sp, dtype=dtype, put=batch.add,
+                                       map_out=_mo("a_map"))
                 if rt is not None:
                     a_lvl = rt
-            rt = routed_from_scipy(p_sp, dtype=dtype, put=batch.add)
+            rt = routed_from_scipy(p_sp, dtype=dtype, put=batch.add,
+                                   map_out=_mo("p_map"))
             if rt is not None:
                 p_lvl = rt
-            rt = routed_from_scipy(pt_sp, dtype=dtype, put=batch.add)
+            rt = routed_from_scipy(pt_sp, dtype=dtype, put=batch.add,
+                                   map_out=_mo("r_map"))
             if rt is not None:
                 r_lvl = rt
         if a_lvl is None:  # deferred host-flavor ELL upload (no routed)
@@ -378,6 +415,11 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             r_lvl = ell_from_scipy(pt_sp, dtype=dtype, put=batch.add)
         trace.mark(f"L{len(levels)} operator form")
         levels.append(Level(a=a_lvl, dinv=dinv, p=p_lvl, r=r_lvl, lmax=lmax))
+        if cache is not None:
+            lc = cache.levels[-1]
+            lc["a_kind"] = type(a_lvl).__name__
+            lc["p_kind"] = type(p_lvl).__name__
+            lc["r_kind"] = type(r_lvl).__name__
         a_sp = ac_sp
         if flavor == "device":
             a_dev = ell_from_scipy(ac_sp, dtype=dtype)
@@ -396,6 +438,8 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
         coarse_a=batch.add(dense, np_dt),
         params=params,
     ))
+    if cache is not None:
+        cache.finish(hier, params, dtype)
     if keep_host:
         return hier, host_ops
     return hier

@@ -371,3 +371,94 @@ def _csr_to_padded(m, kmax):
     col[rr, pos] = m.indices
     val[rr, pos] = m.data
     return col, val, lengths
+
+
+def extpi_pinned_rows(col, val, mask, state, cmap, nc, rows, pin_col,
+                      pin_valid):
+    """Ext+i VALUES for a row subset, pinned to a cached column pattern.
+
+    Recomputes the untruncated ext+i weight row (the formulas of
+    :func:`extpi_interpolation_np`) for ``rows`` only, then keeps exactly
+    the cached columns ``pin_col``/``pin_valid`` (the first setup's
+    truncation selection) and applies the sign-class row-sum rescale on
+    that kept set. Used by :mod:`omp_amg_tpu.amg.refresh` when new values
+    flip near-tie truncation decisions: the refreshed P keeps the cached
+    pattern by construction. Returns the (len(rows), pin_col.shape[1])
+    value planes. Raises KeyError-like ValueError when a cached column has
+    no support in the recomputed weights (a genuine pattern change).
+    """
+    from ..native import spgemm
+    from ..sparse.formats import ell_planes_to_scipy
+
+    n, k = col.shape
+    rows = np.asarray(rows, np.int64)
+    is_c = state == CPOINT
+
+    # full-matrix quantities feeding transpose lookups / F-row distribution
+    rows_full = np.arange(n, dtype=col.dtype)[:, None]
+    is_diag_full = col == rows_full
+    neg_full = (val < 0) & ~is_diag_full
+    a_neg_sp = ell_planes_to_scipy(np.where(neg_full, col, 0),
+                                   val * neg_full, n)
+    a_neg_t = a_neg_sp.T.tocsr()
+    strong_c_full = mask & is_c[col]
+    aneg_strong_c_full = val * (strong_c_full & neg_full)
+    d_base = aneg_strong_c_full.sum(axis=1)
+    aneg_c_sp = ell_planes_to_scipy(
+        np.where(strong_c_full & neg_full, col, 0), aneg_strong_c_full, n)
+
+    m = len(rows)
+    colS, valS, maskS = col[rows], val[rows], mask[rows]
+    is_diagS = colS == rows[:, None].astype(colS.dtype)
+    diagS = (valS * is_diagS).sum(axis=1)
+    strong_cS = maskS & is_c[colS]
+    strong_fS = maskS & (state == FPOINT)[colS]
+    weakS = ~is_diagS & ~strong_cS & ~strong_fS & (valS != 0)
+
+    rr = np.repeat(rows, k)
+    cc = np.asarray(colS, np.int64).ravel()
+    a_ki = np.asarray(a_neg_t[rr, cc]).reshape(m, k)
+    d_ik = d_base[colS] + a_ki
+    ok = strong_fS & (d_ik != 0)
+    weakS = weakS | (strong_fS & ~ok)
+    b = np.where(ok, valS / np.where(d_ik != 0, d_ik, 1.0), 0.0)
+
+    a_scS = ell_planes_to_scipy(np.where(strong_cS, colS, 0),
+                                valS * strong_cS, n)
+    b_spS = ell_planes_to_scipy(np.where(ok, colS, 0), b, n)
+    nmat = (a_scS + spgemm(b_spS, aneg_c_sp)).tocsr()
+    nmat.sum_duplicates()
+    dtil = diagS + (valS * weakS).sum(axis=1) + (b * a_ki * ok).sum(axis=1)
+
+    kmax = int(np.diff(nmat.indptr).max(initial=1))
+    ncol, nval, _ = _csr_to_padded(nmat, kmax)
+    wmat = -nval / dtil[:, None]
+    wvalid = nval != 0
+
+    pc = np.asarray(pin_col[rows], np.int64)          # (m, kp) coarse ids
+    pv = np.asarray(pin_valid[rows], bool)
+    # match cached coarse columns against the recomputed support
+    wcoarse = np.asarray(cmap, np.int64)[ncol]        # (m, kw)
+    eq = ((wcoarse[:, None, :] == pc[:, :, None])
+          & wvalid[:, None, :] & pv[:, :, None])      # (m, kp, kw)
+    found = eq.any(axis=2)
+    if not np.array_equal(found, pv & ~is_c[rows][:, None]):
+        missing = pv & ~found & ~is_c[rows][:, None]
+        raise ValueError(
+            f"pinned ext+i: {int(missing.sum())} cached entries have no "
+            "support in the recomputed weights (pattern changed)")
+    idx = eq.argmax(axis=2)
+    wsel = np.take_along_axis(wmat, idx, axis=1)
+    wsel = np.where(found, wsel, 0.0)
+    for sign in (1.0, -1.0):
+        full = (wmat * (np.sign(wmat) == sign)).sum(axis=1)
+        kept = (wsel * (np.sign(wsel) == sign)).sum(axis=1)
+        fac = np.where(kept != 0, full / np.where(kept != 0, kept, 1.0),
+                       1.0)
+        wsel = np.where(np.sign(wsel) == sign, wsel * fac[:, None], wsel)
+    # C rows in the subset: identity (value-independent)
+    c_rows = is_c[rows]
+    if c_rows.any():
+        wsel[c_rows] = 0.0
+        wsel[c_rows, 0] = 1.0
+    return wsel.astype(val.dtype)

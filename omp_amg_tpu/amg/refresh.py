@@ -1,0 +1,260 @@
+"""Value-only hierarchy refresh (two-phase symbolic+numeric setup).
+
+Parity: the reference's amortized two-phase SpGEMM contract (SURVEY.md §2
+#3 [B] "two-phase symbolic+numeric"; VERDICT r3 #4): time-dependent
+coefficients re-solve on the SAME sparsity, so the symbolic work —
+strength graph, PMIS C/F split, interpolation pattern, Galerkin pattern,
+routed-ELL plan geometry, device plan uploads — is paid once by
+``amg_setup(..., cache=SetupCache())`` and every subsequent
+``amg_refresh(a_new, cache)`` recomputes VALUES only:
+
+- strength/PMIS rounds: skipped (cached mask/state/cmap);
+- interpolation: numeric re-run on the cached pattern (native ext+i) with
+  a pattern-equality guard — value changes that flip the strength or
+  truncation decisions raise :class:`PatternChangedError` (callers fall
+  back to a fresh setup);
+- Galerkin products: host numeric with a pattern guard;
+- routed-ELL device plans: GEOMETRY (lidx/soff/cbase/kch/sbase) is reused
+  from the cached hierarchy — only the CSR value streams cross the
+  host→device boundary (4 B/nnz instead of the full ~16 B/nnz plan
+  re-upload) and a jitted scatter re-fills each ``val4`` in place via the
+  planner's position map (csrc ``routed_plan_fill_map``);
+- R values are derived from P values through the cached transpose
+  permutation (no per-refresh host transpose).
+
+The refreshed hierarchy matches a fresh setup exactly in structure and to
+f32-roundoff in values (tests pin both).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..sparse.formats import Dia
+from .params import AMGParams
+
+
+class PatternChangedError(RuntimeError):
+    """The new values changed a symbolic decision (strength, interpolation
+    truncation, or Galerkin pattern); the cache cannot be applied."""
+
+
+class SetupCache:
+    """Symbolic record of a host-flavor PMIS setup (see amg_setup(cache=))."""
+
+    def __init__(self):
+        self.levels: List[dict] = []
+        self.hier = None
+        self.params: Optional[AMGParams] = None
+        self.dtype = None
+
+    def finish(self, hier, params, dtype):
+        self.hier = hier
+        self.params = params
+        self.dtype = dtype
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def _scatter_vals(pos, vals, size):
+    return jnp.zeros((size,), jnp.float32).at[pos].set(vals)
+
+
+def _refill_routed(old, mp: dict, stream_dev) -> object:
+    """New RoutedEll sharing geometry with ``old``; val4 from the scatter."""
+    shape = mp["val4_shape"]
+    size = int(np.prod(shape))
+    if "pos_dev" not in mp:
+        pos = mp["pos"]
+        assert size < (1 << 31)
+        mp["pos_dev"] = jnp.asarray(pos.astype(np.int32))
+    flat = _scatter_vals(mp["pos_dev"], stream_dev, size)
+    return dataclasses.replace(old, val4=flat.reshape(shape))
+
+
+def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True):
+    """Rebuild the cached hierarchy's VALUES for a same-sparsity operator.
+
+    ``a_new``: Dia (same offsets/dims as the cached setup's fine operator)
+    or scipy CSR with the same sparsity pattern. Returns a new
+    ``Hierarchy`` sharing plan geometry with the cached one.
+
+    ``verify_mask=True`` recomputes the strength mask per level and
+    compares with the cache (catches silent strength drift at the cost of
+    the native strength pass, ~1 s @96³); the interpolation-pattern and
+    Galerkin-pattern guards are always on.
+    """
+    import scipy.sparse as sp
+
+    from ..ops.rap import galerkin_product
+    from ..sparse.formats import (
+        dia_to_scipy, ell_planes_from_scipy, ell_planes_to_scipy,
+        to_const_dia, to_plane_dia,
+    )
+    from ..utils.pack import DeferredUpload
+    from . import host_setup as hs
+    from .hierarchy import (
+        Hierarchy, Level, _coarse_factor, _estimate_lmax_host,
+    )
+
+    if cache.hier is None:
+        raise ValueError("cache was not finished by amg_setup")
+    params = cache.params
+    dtype = cache.dtype
+    np_dt = np.dtype(jnp.dtype(dtype).name)
+
+    if isinstance(a_new, Dia):
+        a_sp = sp.csr_matrix(dia_to_scipy(a_new))
+        # f32 planes, like the structured-path packers expect (the setup's
+        # own operator-form section packs f32/bf16 from the f64 planes)
+        host_dia0 = Dia(data=np.ascontiguousarray(a_new.data, np_dt),
+                        offsets=tuple(a_new.offsets), dims=a_new.dims)
+    else:
+        a_sp = sp.csr_matrix(a_new)
+        host_dia0 = None
+
+    batch = DeferredUpload()
+    # (build-op, args...) thunks resolved after the ONE batched upload
+    new_levels: List[dict] = []
+    cur_planes = None
+    for li, c in enumerate(cache.levels):
+        old = cache.hier.levels[li]
+        if cur_planes is None:
+            cur_planes = ell_planes_from_scipy(a_sp, dtype=np.float32)[:2]
+        col, val = cur_planes
+        if col.shape != c["mask"].shape:
+            raise PatternChangedError(f"L{li}: ELL width changed")
+        mask, state, cmap, nc = c["mask"], c["state"], c["cmap"], c["nc"]
+        if verify_mask:
+            m2 = hs.strength_mask_host(col, val, params.theta)
+            if not np.array_equal(m2, mask):
+                raise PatternChangedError(f"L{li}: strength mask changed")
+        if params.interp == "standard":
+            p_col, p_val = hs.standard_interpolation_np(
+                col, val, mask, state, cmap, nc,
+                max_elements=params.interp_max_elements)
+        elif params.interp == "extpi":
+            p_col, p_val = hs.extpi_interpolation(
+                col, val, mask, state, cmap, nc,
+                max_elements=params.interp_max_elements)
+        else:
+            p_col, p_val = hs.direct_interpolation_np(col, val, mask,
+                                                      state, cmap, nc)
+        if not np.array_equal(p_col, c["p_col"]):
+            if params.interp != "extpi":
+                raise PatternChangedError(f"L{li}: interpolation pattern "
+                                          "changed")
+            # near-tie truncation flips: recompute JUST those rows with
+            # the selection pinned to the cached pattern (the refresh
+            # contract is "cached pattern, new values")
+            bad = np.flatnonzero((p_col != c["p_col"]).any(axis=1)
+                                 | ((p_val != 0) != c["p_valid"]).any(
+                                     axis=1))
+            try:
+                pv_rows = hs.extpi_pinned_rows(
+                    col, val, mask, state, cmap, nc, bad, c["p_col"],
+                    c["p_valid"])
+            except ValueError as e:
+                raise PatternChangedError(f"L{li}: {e}") from e
+            p_col = c["p_col"]
+            p_val = p_val.copy()
+            p_val[bad] = pv_rows
+            p_val[~c["p_valid"]] = 0
+        p_sp = ell_planes_to_scipy(p_col, p_val, nc)
+        ac_sp = galerkin_product(a_sp, p_sp)
+        if (len(ac_sp.indices) != len(c["ac_indices"])
+                or not np.array_equal(ac_sp.indices, c["ac_indices"])):
+            raise PatternChangedError(f"L{li}: Galerkin pattern changed")
+
+        if params.smoother == "l1jacobi":
+            dinv_np = 1.0 / np.asarray(np.abs(a_sp).sum(axis=1)).ravel()
+        else:
+            dinv_np = 1.0 / a_sp.diagonal()
+        lmax = batch.add(np.asarray(_estimate_lmax_host(a_sp, dinv_np),
+                                    np_dt))
+        dinv = batch.add(dinv_np, np_dt)
+
+        lv: dict = dict(dinv=dinv, lmax=lmax)
+
+        def _guard_stream(stream, mp, what):
+            # scatter maps are positional in CSR order: an nnz drift (a
+            # weight rounding to exactly 0, a cancelled product entry)
+            # would silently misalign every later value
+            if len(stream) != len(mp["pos"]):
+                raise PatternChangedError(
+                    f"L{li}: {what} nnz changed "
+                    f"({len(stream)} vs {len(mp['pos'])})")
+        # A-operator values
+        a_kind = c["a_kind"]
+        if a_kind in ("PlaneDia", "ConstDia", "Dia"):
+            hd = host_dia0 if li == 0 else None
+            if hd is None:
+                raise PatternChangedError(
+                    f"L{li}: cached {a_kind} operator without Dia input")
+            a_built = None
+            if a_kind == "ConstDia":
+                a_built = to_const_dia(hd, put=batch.add)
+            elif a_kind == "PlaneDia":
+                a_built = to_plane_dia(hd, dtype="auto", put=batch.add)
+            if a_built is None and a_kind != "Dia":
+                raise PatternChangedError(
+                    f"L{li}: operator no longer {a_kind}-eligible")
+            if a_built is None:
+                a_built = Dia(data=batch.add(np.asarray(hd.data, np_dt)),
+                              offsets=hd.offsets, dims=hd.dims)
+            lv["a"] = ("done", a_built)
+        elif a_kind == "RoutedEll":
+            stream = a_sp.data.astype(np.float32)
+            _guard_stream(stream, c["a_map"], "A")
+            lv["a"] = ("routed", c["a_map"], batch.add(stream), old.a)
+        else:   # Ell
+            lv["a"] = ("ell", batch.add(val, np_dt), old.a)
+
+        p_stream = p_sp.data.astype(np.float32)
+        if c["p_kind"] == "RoutedEll":
+            _guard_stream(p_stream, c["p_map"], "P")
+            lv["p"] = ("routed", c["p_map"], batch.add(p_stream), old.p)
+        else:
+            lv["p"] = ("ell", batch.add(p_val.astype(np_dt)), old.p)
+        r_stream = p_stream[c["pt_perm"]]
+        if c["r_kind"] == "RoutedEll":
+            _guard_stream(r_stream, c["r_map"], "R")
+            lv["r"] = ("routed", c["r_map"], batch.add(r_stream), old.r)
+        else:
+            pt_sp = p_sp.T.tocsr()
+            rc, rv, _ = ell_planes_from_scipy(pt_sp, dtype=np_dt)
+            lv["r"] = ("ell", batch.add(rv), old.r)
+        new_levels.append(lv)
+        a_sp = ac_sp
+        cur_planes = ell_planes_from_scipy(ac_sp, dtype=np.float32)[:2]
+
+    dense = np.asarray(a_sp.toarray(), dtype=np.float64)
+    fac = _coarse_factor(dense, params)
+    coarse_chol = batch.add(fac, np_dt)
+    coarse_a = batch.add(dense, np_dt)
+
+    # resolve the ONE upload, then run the geometry-reusing refills
+    tree = batch.resolve((new_levels, coarse_chol, coarse_a))
+    new_levels, coarse_chol, coarse_a = tree
+
+    def build(spec):
+        kind = spec[0]
+        if kind == "done":
+            return spec[1]
+        if kind == "routed":
+            _, mp, stream, old_op = spec
+            return _refill_routed(old_op, mp, stream)
+        _, valp, old_op = spec
+        return dataclasses.replace(old_op, val=valp)
+
+    levels = tuple(
+        Level(a=build(lv["a"]), dinv=lv["dinv"], p=build(lv["p"]),
+              r=build(lv["r"]), lmax=lv["lmax"])
+        for lv in new_levels)
+    return Hierarchy(levels=levels, coarse_chol=coarse_chol,
+                     coarse_a=coarse_a, params=params)

@@ -74,6 +74,10 @@ def _load():
         lib.routed_plan_fill.argtypes = [ctypes.c_int64, i64p, i32p, f64p,
                                          i32p, i32p, ctypes.c_int64, f32p,
                                          i32p, i32p]
+        lib.routed_plan_fill_map.argtypes = [ctypes.c_int64, i64p, i32p,
+                                             f64p, i32p, i32p,
+                                             ctypes.c_int64, f32p, i32p,
+                                             i32p, i64p]
         lib.strength_mask_f32.argtypes = [ctypes.c_int64, ctypes.c_int64,
                                           i32p, f32p, ctypes.c_double, u8p]
         lib.pmis_f32.argtypes = [ctypes.c_int64, ctypes.c_int64, i32p, u8p,
@@ -355,13 +359,20 @@ def routed_plan(a_csr, s_min: int = 0, s_cap: int = 2048, ws: int = 1):
     if span < 0:
         return "overflow"
 
-    def fill(cbase: np.ndarray, n_chunks: int):
+    def fill(cbase: np.ndarray, n_chunks: int, want_map: bool = False):
         val4 = np.zeros((n_chunks, 16, 8, 128), np.float32)
         lidxp = np.zeros((n_chunks, 4, 8, 128), np.int32)
         soff = np.zeros((n_chunks, 128), np.int32)
-        lib.routed_plan_fill(n_rows, indptr, indices, data, sbase,
-                             np.ascontiguousarray(cbase, np.int32), int(ws),
-                             val4.reshape(-1), lidxp.reshape(-1),
+        cb = np.ascontiguousarray(cbase, np.int32)
+        if want_map:
+            pos = np.empty(int(a_csr.nnz), np.int64)
+            lib.routed_plan_fill_map(n_rows, indptr, indices, data, sbase,
+                                     cb, int(ws), val4.reshape(-1),
+                                     lidxp.reshape(-1), soff.reshape(-1),
+                                     pos)
+            return val4, lidxp, soff, pos
+        lib.routed_plan_fill(n_rows, indptr, indices, data, sbase, cb,
+                             int(ws), val4.reshape(-1), lidxp.reshape(-1),
                              soff.reshape(-1))
         return val4, lidxp, soff
 

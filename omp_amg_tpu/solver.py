@@ -46,17 +46,26 @@ class AMGSolver:
 
     def __init__(self, a, params: AMGParams = AMGParams(), *, grid=None,
                  mesh=None, transport: str = "ppermute",
-                 agg_rows_per_dev: int = 2048, flavor: str = "host"):
+                 agg_rows_per_dev: int = 2048, flavor: str = "host",
+                 refreshable: bool = False):
         self.a = a
         self.params = params
         self.mesh = mesh
         self._a_sp = None
         self._dist = None
         self._dist_vcycle = None
+        self._cache = None
         self.last_info: dict = {}
         if mesh is None:
+            if refreshable:
+                # record the symbolic setup so refresh(a_new) re-fills
+                # values only (amg/refresh.py; classical PMIS host setup)
+                from .amg.refresh import SetupCache
+
+                self._cache = SetupCache()
             self.hierarchy: Hierarchy = amg_setup(a, params, grid=grid,
-                                                  flavor=flavor)
+                                                  flavor=flavor,
+                                                  cache=self._cache)
             return
         from .parallel.dist_setup import dist_structured_setup
         from .parallel.partition import partition_hierarchy, place_hierarchy
@@ -210,6 +219,38 @@ class AMGSolver:
             "certified_f64": False,
         }
         return res.x
+
+    def refresh(self, a_new):
+        """Value-only re-setup: same sparsity, new operator values.
+
+        Reuses every symbolic decision and device plan geometry of the
+        original setup (requires ``refreshable=True`` at construction);
+        falls back to a full fresh setup — with a warning — when the new
+        values change a strength/interpolation/Galerkin pattern.
+        """
+        if self.mesh is not None:
+            raise NotImplementedError("refresh is single-device (rebuild "
+                                      "the solver for distributed setups)")
+        if self._cache is None:
+            raise ValueError("construct AMGSolver(..., refreshable=True) "
+                             "to enable refresh")
+        from .amg.refresh import PatternChangedError, amg_refresh
+
+        try:
+            self.hierarchy = amg_refresh(a_new, self._cache)
+        except PatternChangedError as e:
+            import warnings
+
+            warnings.warn(f"refresh pattern guard tripped ({e}); running "
+                          "a full re-setup", stacklevel=2)
+            from .amg.refresh import SetupCache
+
+            self._cache = SetupCache()
+            self.hierarchy = amg_setup(a_new, self.params,
+                                       cache=self._cache)
+        self.a = a_new
+        self._a_sp = None
+        return self
 
     def precondition(self, r):
         """Apply one V-cycle: z = M⁻¹ r (for use in external Krylov loops)."""

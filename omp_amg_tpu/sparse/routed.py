@@ -150,7 +150,8 @@ def plan_lidx_packed(plan: dict) -> np.ndarray:
     return pack_lidx4(plan["lidx4"])
 
 
-def _plan_native(m, s_min, n_rows, n_cols, nb, nbp, nc2, ws=1):
+def _plan_native(m, s_min, n_rows, n_cols, nb, nbp, nc2, ws=1,
+                 want_map=False):
     """Native OpenMP planner (csrc/native.cc) — bit-identical layout to the
     numpy path below, ~15× faster at PMIS-96³ scale; f32 values, packed
     lanes. Returns None to fall through to numpy (lib unavailable),
@@ -166,7 +167,12 @@ def _plan_native(m, s_min, n_rows, n_cols, nb, nbp, nc2, ws=1):
     if nchunks > NC_CAP:
         return "overflow"
     cbase_b = np.concatenate([[0], np.cumsum(kch_b)[:-1]]).astype(np.int32)
-    val4, lidxp, soff = fill(cbase_b, nchunks + DMA_PAD)
+    pos = None
+    if want_map:
+        val4, lidxp, soff, pos = fill(cbase_b, nchunks + DMA_PAD,
+                                      want_map=True)
+    else:
+        val4, lidxp, soff = fill(cbase_b, nchunks + DMA_PAD)
     sbase = np.zeros((1, nbp), np.int32)
     sbase[0, :nb] = sbase_b
     cbase = np.zeros((1, nbp), np.int32)
@@ -174,15 +180,19 @@ def _plan_native(m, s_min, n_rows, n_cols, nb, nbp, nc2, ws=1):
     kch = np.zeros((1, nbp), np.int32)
     kch[0, :nb] = kch_b
     nxp = max(int(sbase_b.max(initial=0)) + span, nc2)
-    return dict(
+    out = dict(
         val4=val4, lidx4p=lidxp, soff=soff, cbase=cbase, kch=kch,
         sbase=sbase, n_rows=n_rows, n_cols=n_cols, span=span, nxp=nxp,
         nnz=m.nnz, kmax=int(kch_b.max()) * KC,
         eff=m.nnz / (nchunks * KC * BLOCK_ROWS), ws=ws,
     )
+    if pos is not None:
+        out["pos"] = pos
+    return out
 
 
-def plan_routed(m, dtype=np.float32, s_min: int = 0, ws: int = 1):
+def plan_routed(m, dtype=np.float32, s_min: int = 0, ws: int = 1,
+                want_map: bool = False):
     """Build compact routed-ELL plan arrays from a scipy sparse matrix.
 
     Returns a dict of plan arrays + stats, or None if the operator exceeds
@@ -208,7 +218,7 @@ def plan_routed(m, dtype=np.float32, s_min: int = 0, ws: int = 1):
 
     if np.dtype(dtype) == np.float32 and m.nnz > 0:
         plan = _plan_native(m, s_min, n_rows, n_cols, nb, nbp, nc2_early,
-                            ws=ws)
+                            ws=ws, want_map=want_map)
         if plan == "overflow":
             return None
         if plan is not None:
@@ -235,6 +245,7 @@ def plan_routed(m, dtype=np.float32, s_min: int = 0, ws: int = 1):
             sbase=np.zeros((1, nbp), np.int32),
             n_rows=n_rows, n_cols=n_cols, span=S, nxp=max(S, nc2), nnz=0,
             kmax=KC, eff=0.0, ws=ws,
+            **({"pos": np.zeros(0, np.int64)} if want_map else {}),
         )
 
     b = rows // BLOCK_ROWS
@@ -322,11 +333,19 @@ def plan_routed(m, dtype=np.float32, s_min: int = 0, ws: int = 1):
     kch[0, :nb] = kch_b
     nxp = max(int(base.max()) + S, nc2)
 
-    return dict(
+    out = dict(
         val4=val4, lidx4=lidx4, soff=soff, cbase=cbase, kch=kch,
         sbase=sbase, n_rows=n_rows, n_cols=n_cols, span=S, nxp=nxp,
         nnz=nnz, kmax=kmax, eff=nnz / (nchunks * KC * BLOCK_ROWS), ws=ws,
     )
+    if want_map:
+        # value-refresh scatter map: flat val4 index of CSR entry p
+        # (m.tocoo() of the sorted CSR walks entries in CSR order)
+        flat = ((ci * KC + ks) * 8 + s_o) * LANES + lane[order]
+        pos = np.empty(nnz, np.int64)
+        pos[order] = flat
+        out["pos"] = pos
+    return out
 
 
 def pack_lidx4(lidx4: np.ndarray) -> np.ndarray:
@@ -382,7 +401,8 @@ def auto_ws(m) -> int:
     return 1
 
 
-def routed_from_scipy(m, dtype=jnp.float32, put=None, ws: int | None = None):
+def routed_from_scipy(m, dtype=jnp.float32, put=None, ws: int | None = None,
+                      map_out: dict | None = None):
     """scipy sparse → RoutedEll device operator (None if uneconomical).
 
     ``put`` overrides the host→device transfer (e.g. a
@@ -390,7 +410,9 @@ def routed_from_scipy(m, dtype=jnp.float32, put=None, ws: int | None = None):
     one relay transfer — see utils/pack.py). Compact chunk arrays are
     ~50–80% dense, so they ship as plain dense parts (the round-2 sparse
     scatter-fill path is no longer a win). ``ws`` selects the window-share
-    run length (None = auto per operator shape)."""
+    run length (None = auto per operator shape). ``map_out`` (a dict, when
+    given) receives the value-refresh scatter map: ``pos`` (flat val4
+    index per CSR entry) and the val4 shape — see amg/refresh.py."""
     if ws is None:
         ws = auto_ws(m)
     if put is None:
@@ -410,9 +432,12 @@ def routed_from_scipy(m, dtype=jnp.float32, put=None, ws: int | None = None):
         np_dt = np.dtype(jnp.dtype(dtype).name)  # f32 → native planner
     except TypeError:
         np_dt = np.float64                       # bf16 etc.: plan in f64
-    plan = plan_routed(m, dtype=np_dt, ws=ws)
+    plan = plan_routed(m, dtype=np_dt, ws=ws, want_map=map_out is not None)
     if plan is None:
         return None
+    if map_out is not None:
+        map_out["pos"] = plan["pos"]
+        map_out["val4_shape"] = plan["val4"].shape
     soff = plan["soff"]
     resident = _resident(plan["nxp"], plan["kmax"])
     if resident:

@@ -49,30 +49,32 @@ _SCATTER_BIT = 1 << 60
 
 
 @functools.lru_cache(maxsize=64)
-def _unpack_fn(spec, scatter_spec):
+def _unpack_fn(spec, scatter_spec, n_dense):
     """spec: (buf_index, offset, size, shape) per dense part.
-    scatter_spec: per dtype-group of sparse parts,
-    (dtype_str, total_size, parts=((off, size, shape), ...)) — ONE fused
-    scatter per dtype (sorted unique global indices), then static slices.
+    scatter_spec: per (dtype, cap-run) group of sparse parts,
+    (dtype_str, total_size, parts=((off, size, shape), ...)) — one fused
+    scatter per group (sorted unique global indices), then static slices.
     Scatter operands arrive as extra trailing bufs: idx0, val0, idx1, ...
-    Keeping the program to a couple of scatters is what keeps the
-    relay-side XLA compile of the unpack bounded."""
+    Keeping the program to a few scatters is what keeps the relay-side XLA
+    compile of the unpack bounded. All inputs are DONATED so the packed
+    staging buffers free as the outputs materialize (256³-scale plans
+    approach HBM capacity)."""
 
     def unpack(*bufs):
         parts = tuple(bufs[g][off:off + size].reshape(shape)
                       for g, off, size, shape in spec)
         scat = []
-        sb = len(set(g for g, *_ in spec)) if spec else 0
         for gi, (dts, total, sparts) in enumerate(scatter_spec):
-            idx = bufs[sb + 2 * gi]
-            val = bufs[sb + 2 * gi + 1]
+            idx = bufs[n_dense + 2 * gi]
+            val = bufs[n_dense + 2 * gi + 1]
             filled = jnp.zeros(total, np.dtype(dts)).at[idx].set(
                 val, indices_are_sorted=True, unique_indices=True)
             for off, size, shape in sparts:
                 scat.append(filled[off:off + size].reshape(shape))
         return parts, tuple(scat)
 
-    return jax.jit(unpack)
+    nbufs = n_dense + 2 * len(scatter_spec)
+    return jax.jit(unpack, donate_argnums=tuple(range(nbufs)))
 
 
 class DeferredUpload:
@@ -131,49 +133,74 @@ class DeferredUpload:
 
         timers = os.environ.get("OMP_AMG_SETUP_TIMERS") == "1"
         t0 = time.perf_counter()
+        # Cap each fused buffer/scatter group: at 256³-scale hierarchies the
+        # plan arrays alone approach HBM capacity, so ONE giant packed
+        # buffer + its unpacked copies OOM the chip (and a fused scatter
+        # group must stay under int32 indexing anyway). Groups are split at
+        # the cap and the unpack donates its inputs so the packed staging
+        # buffers can be reclaimed as the outputs materialize.
+        cap_elems = 1 << 28
         groups: dict = {}
         for i, a in enumerate(self._parts):
             groups.setdefault(np.dtype(a.dtype).str, []).append(i)
         keys = sorted(groups)
         spec = [None] * len(self._parts)
         bufs = []
-        for g, key in enumerate(keys):
-            off = 0
-            flats = []
-            for i in groups[key]:
-                a = self._parts[i]
-                spec[i] = (g, off, a.size, a.shape)
-                flats.append(a.ravel())
-                off += a.size
-            bufs.append(np.concatenate(flats) if flats
-                        else np.zeros(0, np.dtype(key)))
-        # fuse sparse parts: one global scatter per dtype (indices are
-        # globally offset host-side, stay sorted and unique)
+
+        def _runs(idx_list, size_of):
+            run, total = [], 0
+            for i in idx_list:
+                s = size_of(i)
+                if run and total + s > cap_elems:
+                    yield run
+                    run, total = [], 0
+                run.append(i)
+                total += s
+            if run:
+                yield run
+
+        for key in keys:
+            for run in _runs(groups[key], lambda i: self._parts[i].size):
+                g = len(bufs)
+                off = 0
+                flats = []
+                for i in run:
+                    a = self._parts[i]
+                    spec[i] = (g, off, a.size, a.shape)
+                    flats.append(a.ravel())
+                    off += a.size
+                bufs.append(np.concatenate(flats) if flats
+                            else np.zeros(0, np.dtype(key)))
+        n_dense_bufs = len(bufs)
+        # fuse sparse parts: one scatter per (dtype, cap run) — indices are
+        # globally offset host-side, stay sorted and unique
         sgroups: dict = {}
         for si, (idx, val, size, shape, dts) in enumerate(self._scatter):
             sgroups.setdefault(dts, []).append(si)
         scatter_spec = []
         order = []
         for dts in sorted(sgroups):
-            off = 0
-            sparts = []
-            idxs, vals = [], []
-            for si in sgroups[dts]:
-                idx, val, size, shape, _ = self._scatter[si]
-                sparts.append((off, size, shape))
-                idxs.append(idx + off)
-                vals.append(val)
-                order.append(si)
-                off += size
-            if off >= 2 ** 31:
-                raise ValueError("scatter group exceeds int32 indexing")
-            scatter_spec.append((dts, off, tuple(sparts)))
-            bufs.append(np.concatenate(idxs).astype(np.int32) if idxs
-                        else np.zeros(0, np.int32))
-            bufs.append(np.concatenate(vals) if vals
-                        else np.zeros(0, np.dtype(dts)))
+            for run in _runs(sgroups[dts],
+                             lambda si: self._scatter[si][2]):
+                off = 0
+                sparts = []
+                idxs, vals = [], []
+                for si in run:
+                    idx, val, size, shape, _ = self._scatter[si]
+                    sparts.append((off, size, shape))
+                    idxs.append(idx + off)
+                    vals.append(val)
+                    order.append(si)
+                    off += size
+                if off >= 2 ** 31:
+                    raise ValueError("scatter group exceeds int32 indexing")
+                scatter_spec.append((dts, off, tuple(sparts)))
+                bufs.append(np.concatenate(idxs).astype(np.int32) if idxs
+                            else np.zeros(0, np.int32))
+                bufs.append(np.concatenate(vals) if vals
+                            else np.zeros(0, np.dtype(dts)))
         t1 = time.perf_counter()
-        fn = _unpack_fn(tuple(spec), tuple(scatter_spec))
+        fn = _unpack_fn(tuple(spec), tuple(scatter_spec), n_dense_bufs)
         parts_out, scat_out = fn(*bufs)
         self.resolved = parts_out
         inv = [0] * len(self._scatter)

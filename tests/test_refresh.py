@@ -1,0 +1,196 @@
+"""Value-only hierarchy refresh (amg/refresh.py) vs fresh setups.
+
+The refresh contract: for a same-sparsity operator whose values preserve
+every symbolic decision, ``amg_refresh`` must reproduce a FRESH setup's
+hierarchy — same structure, same plan geometry, values equal to f32
+roundoff — while skipping strength/PMIS/planning. Pattern drift must be
+detected, never silently mis-applied.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import omp_amg_tpu as amg
+from omp_amg_tpu.amg.hierarchy import amg_setup
+from omp_amg_tpu.amg.params import AMGParams
+from omp_amg_tpu.amg.refresh import (
+    PatternChangedError, SetupCache, amg_refresh,
+)
+from omp_amg_tpu.sparse.formats import Dia, dia_to_scipy
+from omp_amg_tpu.sparse.routed import RoutedEll, routed_to_scipy
+
+
+def _scale_dia(a, s):
+    return Dia(data=np.asarray(a.data) * s, offsets=a.offsets, dims=a.dims)
+
+
+def _compare_hier(h_ref, h_new, rtol=2e-6):
+    assert len(h_ref.levels) == len(h_new.levels)
+    for lr, ln in zip(h_ref.levels, h_new.levels):
+        assert type(lr.a) is type(ln.a)
+        np.testing.assert_allclose(np.asarray(ln.dinv), np.asarray(lr.dinv),
+                                   rtol=rtol)
+        np.testing.assert_allclose(float(ln.lmax), float(lr.lmax),
+                                   rtol=1e-4)
+        for attr in ("a", "p", "r"):
+            opr, opn = getattr(lr, attr), getattr(ln, attr)
+            if isinstance(opr, RoutedEll):
+                # identical geometry...
+                for f in ("soff", "cbase", "kch", "sbase", "lidx4"):
+                    np.testing.assert_array_equal(
+                        np.asarray(getattr(opn, f)),
+                        np.asarray(getattr(opr, f)), err_msg=f)
+                # ...and values to f32 roundoff
+                np.testing.assert_allclose(
+                    np.asarray(opn.val4), np.asarray(opr.val4),
+                    rtol=rtol, atol=1e-7)
+            elif hasattr(opr, "val"):
+                np.testing.assert_array_equal(np.asarray(opn.col),
+                                              np.asarray(opr.col))
+                np.testing.assert_allclose(np.asarray(opn.val),
+                                           np.asarray(opr.val), rtol=rtol,
+                                           atol=1e-7)
+    np.testing.assert_allclose(np.asarray(h_new.coarse_chol),
+                               np.asarray(h_ref.coarse_chol), rtol=1e-5,
+                               atol=1e-8)
+
+
+@pytest.mark.parametrize("gen,n,prm", [
+    (amg.poisson3d_7pt, 20, AMGParams(coarsening="pmis")),
+    (amg.poisson2d_5pt, 48, AMGParams(coarsening="pmis")),
+    (amg.aniso2d_9pt, 48, AMGParams(coarsening="pmis", theta=0.5)),
+])
+def test_refresh_matches_fresh_setup(gen, n, prm):
+    # ×2 is exact in f32: no rounding, hence no truncation-tie flips — the
+    # fresh setup and the refresh must agree to f32 roundoff everywhere
+    a = gen(n)
+    cache = SetupCache()
+    amg_setup(a, prm, cache=cache)
+    a2 = _scale_dia(a, 2.0)
+    h_fresh = amg_setup(a2, prm)
+    h_ref = amg_refresh(a2, cache)
+    _compare_hier(h_fresh, h_ref)
+
+
+def test_refresh_pinned_pattern_on_tie_flips():
+    """Non-dyadic scaling perturbs f32 ratios enough to flip ext+i
+    truncation near-ties; the refresh must PIN the cached pattern (not
+    fail), and the result must still solve to full accuracy."""
+    a = amg.poisson3d_7pt(20)
+    prm = AMGParams(coarsening="pmis")
+    cache = SetupCache()
+    h0 = amg_setup(a, prm, cache=cache)
+    a2 = _scale_dia(a, 1.7)
+    h = amg_refresh(a2, cache)   # raised PatternChangedError pre-pinning
+    # identical geometry with the ORIGINAL hierarchy (shared plans)
+    for l0, ln in zip(h0.levels, h.levels):
+        if isinstance(l0.a, RoutedEll):
+            assert ln.a.lidx4 is l0.a.lidx4   # geometry arrays shared
+    from omp_amg_tpu.solvers.cg import amg_pcg
+
+    b = amg.default_rhs(a2, "random", seed=5)
+    res = amg_pcg(a2, b, h, tol=1e-6, maxiter=100)
+    h2 = amg_setup(a2, prm)
+    res2 = amg_pcg(a2, b, h2, tol=1e-6, maxiter=100)
+    assert abs(int(res.iters) - int(res2.iters)) <= 1
+    a_sp = dia_to_scipy(a2)
+    b64 = np.asarray(b, np.float64)
+    rel = np.linalg.norm(b64 - a_sp @ np.asarray(res.x, np.float64)) \
+        / np.linalg.norm(b64)
+    assert rel < 5e-5
+
+
+def test_refresh_solves_identically():
+    a = amg.poisson3d_7pt(20)
+    prm = AMGParams(coarsening="pmis")
+    cache = SetupCache()
+    amg_setup(a, prm, cache=cache)
+    a2 = _scale_dia(a, 0.35)
+    h = amg_refresh(a2, cache)
+    from omp_amg_tpu.solvers.cg import amg_pcg
+
+    b = amg.default_rhs(a2, "random", seed=3)
+    res = amg_pcg(a2, b, h, tol=1e-6, maxiter=100)
+    h2 = amg_setup(a2, prm)
+    res2 = amg_pcg(a2, b, h2, tol=1e-6, maxiter=100)
+    assert int(res.iters) == int(res2.iters)
+    a_sp = dia_to_scipy(a2)
+    b64 = np.asarray(b, np.float64)
+    rel = np.linalg.norm(b64 - a_sp @ np.asarray(res.x, np.float64)) \
+        / np.linalg.norm(b64)
+    assert rel < 5e-5
+
+
+def test_refresh_roundtrip_operator_values():
+    """The refreshed routed operators encode exactly the new matrices."""
+    a = amg.poisson3d_7pt(16)
+    prm = AMGParams(coarsening="pmis")
+    cache = SetupCache()
+    h0, ops = amg_setup(a, prm, cache=cache, keep_host=True)
+    a2 = _scale_dia(a, 2.5)
+    h = amg_refresh(a2, cache)
+    _, ops2 = amg_setup(a2, prm, keep_host=True)
+    for li, lv in enumerate(h.levels):
+        if isinstance(lv.a, RoutedEll):
+            back = routed_to_scipy(lv.a)
+            d = abs(back - ops2[li].astype(np.float32)).max()
+            assert d < 1e-5 * abs(ops2[li]).max()
+
+
+def test_refresh_detects_pattern_change():
+    a = amg.poisson2d_5pt(32)
+    prm = AMGParams(coarsening="pmis")
+    cache = SetupCache()
+    amg_setup(a, prm, cache=cache)
+    # break the strength pattern: weaken the ±1 bands massively (the
+    # operator becomes strongly 1D along the other axis)
+    data = np.asarray(a.data).copy()
+    for i, o in enumerate(a.offsets):
+        if abs(o) == 1:
+            data[i] *= 1e-6
+    a_bad = Dia(data=data, offsets=a.offsets, dims=a.dims)
+    with pytest.raises(PatternChangedError):
+        amg_refresh(a_bad, cache)
+
+
+def test_cache_rejects_structured_and_device_flavors():
+    a = amg.poisson3d_7pt(16)
+    with pytest.raises(ValueError):
+        amg_setup(a, AMGParams(coarsening="structured"), grid=(16,) * 3,
+                  cache=SetupCache())
+
+
+def test_facade_refresh():
+    a = amg.poisson3d_7pt(16)
+    s = amg.AMGSolver(a, AMGParams(coarsening="pmis"), refreshable=True)
+    b = amg.default_rhs(a, "random", seed=0)
+    x1 = s.solve(b, tol=1e-8)
+    a2 = _scale_dia(a, 4.0)
+    s.refresh(a2)
+    x2 = s.solve(b, tol=1e-8)
+    # exact scaling: x2 == x1 / 4 (same rhs)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1) / 4.0,
+                               rtol=1e-6, atol=1e-9)
+    assert s.last_info["certified_f64"]
+
+
+def test_facade_refresh_falls_back_on_pattern_change():
+    a = amg.poisson2d_5pt(32)
+    s = amg.AMGSolver(a, AMGParams(coarsening="pmis"), refreshable=True)
+    data = np.asarray(a.data).copy()
+    # weaken the ±1 bands SYMMETRICALLY (keeps SPD, breaks the strength
+    # pattern: the operator becomes strongly 1D in the other direction)
+    for i, o in enumerate(a.offsets):
+        if abs(o) == 1:
+            data[i] *= 1e-6
+    a_bad = Dia(data=data, offsets=a.offsets, dims=a.dims)
+    with pytest.warns(UserWarning, match="pattern guard"):
+        s.refresh(a_bad)
+    b = amg.default_rhs(a_bad, "random", seed=1)
+    x = s.solve(b, tol=1e-8)
+    rel = np.linalg.norm(np.asarray(b, np.float64)
+                         - dia_to_scipy(a_bad) @ np.asarray(x, np.float64)) \
+        / np.linalg.norm(np.asarray(b))
+    assert rel <= 1e-7
