@@ -392,19 +392,52 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                     return None
                 return cache.levels[-1].setdefault(key, {})
 
+            def _warn_unrouted(what, m):
+                # VERDICT r3 #8: the XLA-ELL gather fallback runs at
+                # ~0.1 Gelem/s on this chip — effectively unusable. Never
+                # fall there silently.
+                if (params.routed != "force"
+                        and jax.default_backend() != "tpu"):
+                    return
+                import warnings
+
+                warnings.warn(
+                    f"L{len(levels)} {what} (n={m.shape[0]}, nnz={m.nnz}) "
+                    "exceeds the routed-ELL plan caps (sparse/routed.py "
+                    "NB/S/NC) and falls back to the XLA gather path — "
+                    "~100× slower on TPU. Consider reordering/partitioning "
+                    "the operator or raising the caps.", stacklevel=3)
+
             if a_lvl is None or isinstance(a_lvl, Ell):
                 rt = routed_from_scipy(a_sp, dtype=dtype, put=batch.add,
                                        map_out=_mo("a_map"))
                 if rt is not None:
                     a_lvl = rt
-            rt = routed_from_scipy(p_sp, dtype=dtype, put=batch.add,
+                else:
+                    _warn_unrouted("A", a_sp)
+            # transfer operators at headline scale store bf16 values: P/R
+            # weights tolerate half precision (the preconditioner changes
+            # by ~1e-3 relative; the f64 IR outer certifies the solution
+            # regardless) and the full-f32 256³ plan set exceeds HBM.
+            # OMP_AMG_PR_BF16: 1 = always, 0 = never, auto = n ≥ 2^22.
+            import os as _os2
+
+            _pr_gate = _os2.environ.get("OMP_AMG_PR_BF16", "auto")
+            pr_dt = dtype
+            if _pr_gate == "1" or (_pr_gate == "auto" and n >= (1 << 22)):
+                pr_dt = jnp.bfloat16
+            rt = routed_from_scipy(p_sp, dtype=pr_dt, put=batch.add,
                                    map_out=_mo("p_map"))
             if rt is not None:
                 p_lvl = rt
-            rt = routed_from_scipy(pt_sp, dtype=dtype, put=batch.add,
+            else:
+                _warn_unrouted("P", p_sp)
+            rt = routed_from_scipy(pt_sp, dtype=pr_dt, put=batch.add,
                                    map_out=_mo("r_map"))
             if rt is not None:
                 r_lvl = rt
+            else:
+                _warn_unrouted("R", pt_sp)
         if a_lvl is None:  # deferred host-flavor ELL upload (no routed)
             a_lvl = Ell(col=batch.add(cur_planes[0]),
                         val=batch.add(cur_planes[1], np_dt), n_cols=n)

@@ -60,9 +60,9 @@ class SetupCache:
         self.dtype = dtype
 
 
-@functools.partial(jax.jit, static_argnames=("size",))
-def _scatter_vals(pos, vals, size):
-    return jnp.zeros((size,), jnp.float32).at[pos].set(vals)
+@functools.partial(jax.jit, static_argnames=("size", "dt"))
+def _scatter_vals(pos, vals, size, dt):
+    return jnp.zeros((size,), dt).at[pos].set(vals.astype(dt))
 
 
 def _refill_routed(old, mp: dict, stream_dev) -> object:
@@ -73,7 +73,8 @@ def _refill_routed(old, mp: dict, stream_dev) -> object:
         pos = mp["pos"]
         assert size < (1 << 31)
         mp["pos_dev"] = jnp.asarray(pos.astype(np.int32))
-    flat = _scatter_vals(mp["pos_dev"], stream_dev, size)
+    dt = jnp.dtype(old.val4.dtype).name
+    flat = _scatter_vals(mp["pos_dev"], stream_dev, size, dt)
     return dataclasses.replace(old, val4=flat.reshape(shape))
 
 

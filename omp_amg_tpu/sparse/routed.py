@@ -74,7 +74,12 @@ RB = 8
 DMA_PAD = 8
 
 # Caps: beyond these the plan would strain SMEM/HBM — fall back to XLA.
-S_CAP = 2048     # span chunks (2 × S × 512 B of VMEM scratch, streamed)
+# span: 2 × S × 512 B of streamed-mode VMEM scratch (4 MB at the cap).
+# 4096 admits the 256³ restriction operators, whose ext+i windows span ~4
+# fine z-planes = ~2080 chunks (measured round 4 — 2048 shut ALL of R[0]'s
+# blocks out by ~1%, dropping R to the XLA-ELL path whose padded gather
+# temps then OOM'd the V-cycle at the headline size).
+S_CAP = 4096
 # blocks: cbase/kch/sbase live fully in SMEM as scalar-prefetch arrays
 # (~64 KB each at 16 k blocks — chip-validated at the 256³ scale, round 4;
 # was 8192, which shut the classical pipeline out of the 256³ headline)
@@ -431,7 +436,11 @@ def routed_from_scipy(m, dtype=jnp.float32, put=None, ws: int | None = None,
     try:
         np_dt = np.dtype(jnp.dtype(dtype).name)  # f32 → native planner
     except TypeError:
-        np_dt = np.float64                       # bf16 etc.: plan in f64
+        # bf16 (and friends): PLAN with the fast native f32 path and cast
+        # val4 at put time — the half-width values halve plan HBM and DMA
+        # bytes (used for P/R transfer operators at 256³ scale, where the
+        # full-f32 plan set exceeds the chip's 16 GB)
+        np_dt = np.float32
     plan = plan_routed(m, dtype=np_dt, ws=ws, want_map=map_out is not None)
     if plan is None:
         return None
