@@ -850,6 +850,18 @@ void bf16_pack_f32(const float* x, int64_t n, uint16_t* out) {
   }
 }
 
+// Round-to-nearest-even variant (lossy compression of plan values — the
+// truncating pack above is reserved for verified-lossless data).
+void bf16_round_pack_f32(const float* x, int64_t n, uint16_t* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    uint32_t b;
+    std::memcpy(&b, x + i, 4);
+    const uint32_t r = ((b >> 16) & 1u) + 0x7FFFu;
+    out[i] = (uint16_t)((b + r) >> 16);
+  }
+}
+
 // ---------------------------------------------------------------------------
 // PMIS coarsening (amg/host_setup.py pmis_np) — bit-identical native port.
 // All reductions are integer or pure comparisons (max / argmax-by-largest-

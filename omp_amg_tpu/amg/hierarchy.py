@@ -257,8 +257,10 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                 cur_planes = ell_planes_from_scipy(a_sp, dtype=np.float32)[:2]
             col, val = cur_planes
             mask = hs.strength_mask_host(col, val, params.theta)
+            trace.mark(f"L{len(levels)} n={n} strength")
             state = hs.pmis_host(col, mask,
                                  max_rounds=params.max_coarsen_rounds)
+            trace.mark(f"L{len(levels)} pmis")
             is_c = (state == hs.CPOINT)
             cmap = np.cumsum(is_c.astype(np.int64)) - 1
             nc = int(is_c.sum())
@@ -283,7 +285,7 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             if cache is not None:
                 cache.levels[-1]["p_col"] = p_col.copy()
                 cache.levels[-1]["p_valid"] = p_val != 0
-        trace.mark(f"L{len(levels)} n={n} strength/pmis/interp")
+        trace.mark(f"L{len(levels)} interp")
         ac_sp = galerkin_product(host_ops[-1], p_sp)
         if cache is not None:
             import scipy.sparse as _sp

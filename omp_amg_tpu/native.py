@@ -89,6 +89,7 @@ def _load():
         lib.bf16_lossless_f32.argtypes = [f32p, ctypes.c_int64]
         lib.bf16_lossless_f32.restype = ctypes.c_int
         lib.bf16_pack_f32.argtypes = [f32p, ctypes.c_int64, u16p]
+        lib.bf16_round_pack_f32.argtypes = [f32p, ctypes.c_int64, u16p]
         lib.dia_mark_offsets.argtypes = [ctypes.c_int64, i64p, i32p, u8p]
         lib.dia_fill_planes.argtypes = [ctypes.c_int64, i64p, i32p, f64p,
                                         i32p, f64p]
@@ -439,6 +440,19 @@ def bf16_pack(x: np.ndarray) -> np.ndarray:
     x = np.ascontiguousarray(x, np.float32)
     out = np.empty(x.shape, np.uint16)
     lib.bf16_pack_f32(x.reshape(-1), x.size, out.reshape(-1))
+    return out.view(ml_dtypes.bfloat16)
+
+
+def bf16_round_pack(x: np.ndarray):
+    """Round-to-nearest bf16 repack (None when the lib is missing)."""
+    import ml_dtypes
+
+    lib = _load()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float32)
+    out = np.empty(x.shape, np.uint16)
+    lib.bf16_round_pack_f32(x.reshape(-1), x.size, out.reshape(-1))
     return out.view(ml_dtypes.bfloat16)
 
 

@@ -434,12 +434,15 @@ def routed_from_scipy(m, dtype=jnp.float32, put=None, ws: int | None = None,
         sparse_ok = False
     sput = (lambda a: put(a, sparse=True)) if sparse_ok else put
     try:
-        np_dt = np.dtype(jnp.dtype(dtype).name)  # f32 → native planner
+        np_dt = np.dtype(jnp.dtype(dtype).name)
     except TypeError:
+        np_dt = np.float32
+    if np_dt not in (np.float32, np.float64):
         # bf16 (and friends): PLAN with the fast native f32 path and cast
         # val4 at put time — the half-width values halve plan HBM and DMA
         # bytes (used for P/R transfer operators at 256³ scale, where the
-        # full-f32 plan set exceeds the chip's 16 GB)
+        # full-f32 plan set exceeds the chip's 16 GB). The numpy planner
+        # in an ml_dtypes dtype ran ~20× slower (software arithmetic).
         np_dt = np.float32
     plan = plan_routed(m, dtype=np_dt, ws=ws, want_map=map_out is not None)
     if plan is None:
@@ -451,8 +454,28 @@ def routed_from_scipy(m, dtype=jnp.float32, put=None, ws: int | None = None,
     resident = _resident(plan["nxp"], plan["kmax"])
     if resident:
         soff = absolute_soff(plan)
+    val4_h = plan["val4"]
+    if jnp.dtype(dtype) != val4_h.dtype:
+        if jnp.dtype(dtype) == jnp.bfloat16 and val4_h.dtype == np.float32:
+            # round-to-nearest-even repack (native OpenMP; numpy uint
+            # fallback) — the ml_dtypes elementwise cast of a multi-GB
+            # val4 ran at ~10 MB/s (219 s in the 256³ L0 operator form)
+            from .. import native
+
+            packed = native.bf16_round_pack(val4_h)
+            if packed is None:
+                import ml_dtypes
+
+                b = val4_h.view(np.uint32)
+                rnd = ((b >> np.uint32(16)) & np.uint32(1)) \
+                    + np.uint32(0x7FFF)
+                packed = ((b + rnd) >> np.uint32(16)).astype(
+                    np.uint16).view(ml_dtypes.bfloat16)
+            val4_h = packed
+        else:
+            val4_h = np.asarray(val4_h, jnp.dtype(dtype))
     return RoutedEll(
-        val4=sput(np.asarray(plan["val4"], jnp.dtype(dtype))),
+        val4=sput(val4_h),
         lidx4=sput(plan_lidx_packed(plan)),
         soff=put(np.ascontiguousarray(soff)),
         cbase=put(plan["cbase"]),

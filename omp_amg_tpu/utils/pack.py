@@ -108,7 +108,13 @@ class DeferredUpload:
                 "Create a fresh DeferredUpload for late registrations.")
         if sparse:
             flat = arr.ravel()
-            idx = np.flatnonzero(flat)
+            probe = flat
+            if flat.dtype.itemsize == 2 and flat.dtype.num >= 100:
+                # ml_dtypes (bfloat16 etc.): elementwise compares run at
+                # ~10 MB/s — the bit pattern's nonzeroness is equivalent
+                # (−0.0 ships as an extra explicit zero, harmless)
+                probe = flat.view(np.uint16)
+            idx = np.flatnonzero(probe)
             # ship sparse when ≥1.35× smaller: transfer through the relay
             # (~15–35 MB/s) dwarfs the one fused scatter the sparse path
             # adds, so even modest compression wins (round-3 measurement:
@@ -118,7 +124,7 @@ class DeferredUpload:
                 h = Handle(self, len(self._scatter) | _SCATTER_BIT,
                            arr.shape, arr.dtype)
                 self._scatter.append((idx, flat[idx], arr.size, arr.shape,
-                                      np.dtype(arr.dtype).str))
+                                      np.dtype(arr.dtype).name))
                 return h
         h = Handle(self, len(self._parts), arr.shape, arr.dtype)
         self._parts.append(arr)   # ravel() at materialize handles layout
@@ -142,7 +148,7 @@ class DeferredUpload:
         cap_elems = 1 << 28
         groups: dict = {}
         for i, a in enumerate(self._parts):
-            groups.setdefault(np.dtype(a.dtype).str, []).append(i)
+            groups.setdefault(np.dtype(a.dtype).name, []).append(i)
         keys = sorted(groups)
         spec = [None] * len(self._parts)
         bufs = []
