@@ -785,6 +785,26 @@ void routed_plan_fill_map(int64_t n_rows, const int64_t* indptr,
 }
 
 // ---------------------------------------------------------------------------
+// CSR → padded ELL planes (sparse/formats.ell_planes_from_scipy): the numpy
+// fancy-index fill cost ~5 s on the 43 M-nnz 27-pt coarse operator.
+// Arrays arrive zeroed; CSR entries land at positions 0..len-1 per row.
+// ---------------------------------------------------------------------------
+
+void ell_fill_f32(int64_t n, int64_t k, const int64_t* indptr,
+                  const int32_t* indices, const double* data, int32_t* col,
+                  float* val) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const int64_t base = i * k;
+    int64_t j = 0;
+    for (int64_t p = indptr[i]; p < indptr[i + 1]; ++p, ++j) {
+      col[base + j] = indices[p];
+      val[base + j] = (float)data[p];
+    }
+  }
+}
+
+// ---------------------------------------------------------------------------
 // CSR → DIA extraction (sparse/formats.dia_planes_from_csr): mark present
 // offsets, then fill the (ndiag, n) planes — two parallel passes.
 // ---------------------------------------------------------------------------

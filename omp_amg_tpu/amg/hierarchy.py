@@ -180,7 +180,9 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
     import scipy.sparse as sp
 
     from ..ops.rap import galerkin_product
-    from ..sparse.formats import ell_planes_from_scipy, ell_planes_to_scipy
+    from ..sparse.formats import (
+        ell_planes_from_dia, ell_planes_from_scipy, ell_planes_to_scipy,
+    )
     from . import host_setup as hs
 
     if isinstance(a, (Dia, Ell)):
@@ -218,8 +220,21 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             a_sp = _to_scipy(a_dev)
         return _amg_setup_structured(a_dev, a_sp, tuple(int(g) for g in grid),
                                      params, keep_host, dtype)
+    cur_planes = None  # (col, val) reused between host-flavor iterations
     if a_sp is None:
-        a_sp = _to_scipy(a_dev)
+        if (isinstance(a_dev, Dia) and isinstance(a_dev.data, np.ndarray)
+                and flavor == "host"):
+            # fast path: ELL planes + CSR straight from the diagonals —
+            # index math instead of scipy's dia→csr conversion plus the
+            # fancy-index ELL fill (~14 s of the 27-pt 128³ setup). The
+            # f64 planes keep host_ops/Galerkin numerically identical to
+            # the dia_to_scipy route (tested).
+            c0, v64, _ = ell_planes_from_dia(a_dev, dtype=np.float64)
+            a_sp = ell_planes_to_scipy(c0, v64, a_dev.n_rows)
+            cur_planes = (c0, v64.astype(np.float32))
+            del v64
+        else:
+            a_sp = _to_scipy(a_dev)
 
     from ..utils.pack import DeferredUpload
 
@@ -228,7 +243,6 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
     levels = []
     host_ops = [a_sp]
     trace = _SetupTrace()
-    cur_planes = None  # (col, val) reused between host-flavor iterations
     while (
         a_sp.shape[0] > params.coarse_size
         and len(levels) < params.max_levels - 1

@@ -90,6 +90,8 @@ def _load():
         lib.bf16_lossless_f32.restype = ctypes.c_int
         lib.bf16_pack_f32.argtypes = [f32p, ctypes.c_int64, u16p]
         lib.bf16_round_pack_f32.argtypes = [f32p, ctypes.c_int64, u16p]
+        lib.ell_fill_f32.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                     i32p, f64p, i32p, f32p]
         lib.dia_mark_offsets.argtypes = [ctypes.c_int64, i64p, i32p, u8p]
         lib.dia_fill_planes.argtypes = [ctypes.c_int64, i64p, i32p, f64p,
                                         i32p, f64p]
@@ -441,6 +443,23 @@ def bf16_pack(x: np.ndarray) -> np.ndarray:
     out = np.empty(x.shape, np.uint16)
     lib.bf16_pack_f32(x.reshape(-1), x.size, out.reshape(-1))
     return out.view(ml_dtypes.bfloat16)
+
+
+def ell_fill(a_csr, k: int):
+    """CSR → zero-padded (col int32, val f32) ELL planes via the parallel
+    native fill; None when the lib is missing (numpy fallback)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = a_csr.shape[0]
+    col = np.zeros((n, max(k, 1)), np.int32)
+    val = np.zeros((n, max(k, 1)), np.float32)
+    lib.ell_fill_f32(n, max(k, 1),
+                     np.ascontiguousarray(a_csr.indptr, np.int64),
+                     np.ascontiguousarray(a_csr.indices, np.int32),
+                     np.ascontiguousarray(a_csr.data, np.float64),
+                     col.reshape(-1), val.reshape(-1))
+    return col, val
 
 
 def bf16_round_pack(x: np.ndarray):
