@@ -183,13 +183,14 @@ def main():
         from omp_amg_tpu.solvers.ir import solve_ir
 
         cfgs = [
-            ("2d5pt_128", lambda: amg.poisson2d_5pt(128), (128, 128),
-             AMGParams()),
-            ("3d7pt_64", lambda: amg.poisson3d_7pt(64), (64,) * 3,
-             AMGParams()),
-            ("aniso9pt_256_eps1e-3", lambda: amg.aniso2d_9pt(256),
+            ("2d5pt_128", lambda **kw: amg.poisson2d_5pt(128, **kw),
+             (128, 128), AMGParams()),
+            ("3d7pt_64", lambda **kw: amg.poisson3d_7pt(64, **kw),
+             (64,) * 3, AMGParams()),
+            ("aniso9pt_256_eps1e-3", lambda **kw: amg.aniso2d_9pt(256, **kw),
              (256, 256), AMGParams()),
-            ("3d27pt_128_cheby", lambda: amg.poisson3d_27pt(128), (128,) * 3,
+            ("3d27pt_128_cheby",
+             lambda **kw: amg.poisson3d_27pt(128, **kw), (128,) * 3,
              AMGParams(smoother="chebyshev")),
         ]
         confs = {}
@@ -236,15 +237,21 @@ def main():
                     # iters at 128²). θ=0.5 is hypre's recommended
                     # strong threshold for 9-pt/27-pt operators.
                     prm_p = _dc.replace(prm_p, theta=0.5)
-                a_c = make()
+                # host-built operator: the setup is host-orchestrated (the
+                # device pull of a jax-built operator cost 8–25 s and the
+                # DIA→ELL fast path wants numpy planes); the solve rides
+                # the hierarchy's own device fine-operator form
+                a_c = make(backend="numpy")
                 b_c = amg.default_rhs(a_c, "random", seed=0)
                 t0 = time.time()
                 h_c = amg_setup(a_c, prm_p)
+                jax.block_until_ready(h_c.levels[0].dinv)
                 setup_c = time.time() - t0
                 a_sp_c = amg.dia_to_scipy(a_c)
                 t0 = time.time()
-                res_c = solve_ir(a_sp_c, np.asarray(b_c, np.float64), a_c,
-                                 h_c, tol=1e-8, maxiter=500)
+                res_c = solve_ir(a_sp_c, np.asarray(b_c, np.float64),
+                                 h_c.levels[0].a, h_c, tol=1e-8,
+                                 maxiter=500)
                 solve_c = time.time() - t0
                 pconfs[name] = {
                     "setup_s": setup_c, "solve_first_s": solve_c,

@@ -454,6 +454,14 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                 r_lvl = rt
             else:
                 _warn_unrouted("R", pt_sp)
+        if isinstance(a_lvl, Dia) and isinstance(a_lvl.data, np.ndarray):
+            # host-built banded operator that stayed plain DIA (2D grids
+            # have no plane-major form): ship it through the one batched
+            # upload — a numpy leaf in the hierarchy would re-transfer on
+            # every jitted solve call
+            a_lvl = Dia(data=batch.add(np.ascontiguousarray(a_lvl.data,
+                                                            np_dt)),
+                        offsets=a_lvl.offsets, dims=a_lvl.dims)
         if a_lvl is None:  # deferred host-flavor ELL upload (no routed)
             a_lvl = Ell(col=batch.add(cur_planes[0]),
                         val=batch.add(cur_planes[1], np_dt), n_cols=n)
