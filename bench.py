@@ -396,6 +396,18 @@ def main():
             from omp_amg_tpu.solvers.cg import amg_pcg as _pcg
             from omp_amg_tpu.solvers.ir import solve_ir as _sir
 
+            # release every earlier block's device buffers: the 256³
+            # hierarchy needs ~13 GB of the 16 GB chip
+            import gc
+
+            hier = res = b2 = a2 = None
+            hier_p = hops_p = cache_p = r_p = b_p = a_p = None
+            h_c = res_c = a_c = b_c = a_sp_c = None
+            h_r = a_r = lv1 = x1 = None
+            probe = y0 = a0 = p0 = pop = None
+            gc.collect()
+            jax.clear_caches()
+
             n6 = int(os.environ.get("BENCH_PMIS256_N", "256"))
             a6 = amg.poisson3d_7pt(n6, backend="numpy")
             b6 = amg.default_rhs(a6, "random", seed=0)
