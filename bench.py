@@ -405,8 +405,19 @@ def main():
             h_c = res_c = a_c = b_c = a_sp_c = None
             h_r = a_r = lv1 = x1 = None
             probe = y0 = a0 = p0 = pop = None
+            # the headline block's operator forms (the bf16 plane form of
+            # the 256³ operator alone is 235 MB) + the device-RAP operands
+            ops = cdia = apm = a = b = y = a_best = f = None
+            a_d = dd = fn2 = None
             gc.collect()
             jax.clear_caches()
+            gc.collect()
+            try:
+                ms = jax.devices()[0].memory_stats() or {}
+                log(f"pmis256 pre-block HBM in use: "
+                    f"{ms.get('bytes_in_use', -1)/1e9:.2f} GB")
+            except Exception:
+                pass
 
             n6 = int(os.environ.get("BENCH_PMIS256_N", "256"))
             a6 = amg.poisson3d_7pt(n6, backend="numpy")

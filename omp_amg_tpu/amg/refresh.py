@@ -60,22 +60,37 @@ class SetupCache:
         self.dtype = dtype
 
 
-@functools.partial(jax.jit, static_argnames=("size", "dt"))
-def _scatter_vals(pos, vals, size, dt):
-    return jnp.zeros((size,), dt).at[pos].set(vals.astype(dt))
+@functools.lru_cache(maxsize=32)
+def _scatter_all_fn(specs):
+    """ONE jitted program scattering every routed operator's value stream
+    into its val4 geometry — a single relay-side compile per hierarchy
+    shape set instead of one per operator (the per-op jits cost ~90 s of
+    cold-refresh relay compiles)."""
+
+    def run(args):
+        out = []
+        for (size, dt), (pos, vals) in zip(specs, args):
+            out.append(jnp.zeros((size,), dt).at[pos].set(vals.astype(dt)))
+        return tuple(out)
+
+    return jax.jit(run)
 
 
-def _refill_routed(old, mp: dict, stream_dev) -> object:
-    """New RoutedEll sharing geometry with ``old``; val4 from the scatter."""
-    shape = mp["val4_shape"]
-    size = int(np.prod(shape))
-    if "pos_dev" not in mp:
-        pos = mp["pos"]
-        assert size < (1 << 31)
-        mp["pos_dev"] = jnp.asarray(pos.astype(np.int32))
-    dt = jnp.dtype(old.val4.dtype).name
-    flat = _scatter_vals(mp["pos_dev"], stream_dev, size, dt)
-    return dataclasses.replace(old, val4=flat.reshape(shape))
+def _refill_routed_all(jobs):
+    """jobs: list of (old_op, mp, stream_dev) → list of refreshed ops."""
+    specs = []
+    args = []
+    for old, mp, stream in jobs:
+        shape = mp["val4_shape"]
+        size = int(np.prod(shape))
+        if "pos_dev" not in mp:
+            assert size < (1 << 31)
+            mp["pos_dev"] = jnp.asarray(mp["pos"].astype(np.int32))
+        specs.append((size, jnp.dtype(old.val4.dtype).name))
+        args.append((mp["pos_dev"], stream))
+    flats = _scatter_all_fn(tuple(specs))(args)
+    return [dataclasses.replace(old, val4=flat.reshape(mp["val4_shape"]))
+            for (old, mp, _), flat in zip(jobs, flats)]
 
 
 def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True):
@@ -243,13 +258,22 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True):
     tree = batch.resolve((new_levels, coarse_chol, coarse_a))
     new_levels, coarse_chol, coarse_a = tree
 
+    # batch every routed scatter into ONE jitted program (one compile)
+    jobs = []
+    for lv in new_levels:
+        for key in ("a", "p", "r"):
+            spec = lv[key]
+            if spec[0] == "routed":
+                _, mp, stream, old_op = spec
+                jobs.append((old_op, mp, stream))
+    refilled = iter(_refill_routed_all(jobs) if jobs else ())
+
     def build(spec):
         kind = spec[0]
         if kind == "done":
             return spec[1]
         if kind == "routed":
-            _, mp, stream, old_op = spec
-            return _refill_routed(old_op, mp, stream)
+            return next(refilled)
         _, valp, old_op = spec
         return dataclasses.replace(old_op, val=valp)
 
