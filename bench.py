@@ -44,6 +44,79 @@ def main():
     n = int(os.environ.get("BENCH_N", "256"))
     details = {"backend": str(dev), "n": n}
 
+    # ---- the 256³ headline size through the CLASSICAL (PMIS) pipeline ----
+    # (VERDICT r3 #2: the reference's pipeline at the reference's headline
+    # problem on one chip). Runs FIRST: its hierarchy needs ~13 of the
+    # 16 GB chip, and running it after the other blocks OOM'd even with
+    # explicit buffer releases (round-4 bench 13:49 — allocator
+    # fragmentation); on a pristine HBM the dedicated record run fits.
+    # ~6–10 min — guarded so a failure cannot cost the rest of the bench.
+    if (os.environ.get("BENCH_PMIS256", "1") == "1"
+            and os.environ.get("BENCH_SKIP_SOLVE") != "1"
+            and dev.platform == "tpu"):
+        try:
+            import gc
+
+            from omp_amg_tpu.amg.hierarchy import amg_setup
+            from omp_amg_tpu.amg.params import AMGParams
+            from omp_amg_tpu.amg.vcycle import vcycle as _vc
+            from omp_amg_tpu.solvers.cg import amg_pcg as _pcg
+            from omp_amg_tpu.solvers.ir import solve_ir as _sir
+
+            # warm the relay with one tiny program so claim variance does
+            # not land inside the setup timing (CLAUDE.md relay rules)
+            float(jax.jit(lambda v: v @ v)(jnp.ones((8,), jnp.float32)))
+
+            n6 = int(os.environ.get("BENCH_PMIS256_N", "256"))
+            a6 = amg.poisson3d_7pt(n6, backend="numpy")
+            b6 = amg.default_rhs(a6, "random", seed=0)
+            t0 = time.time()
+            h6 = amg_setup(a6, AMGParams(coarsening="pmis"))
+            jax.block_until_ready(h6.levels[0].dinv)
+            su6 = time.time() - t0
+            a60 = h6.levels[0].a
+            vs6 = timeit(jax.jit(_vc), h6, b6, warmup=2, iters=5)
+            r6 = _pcg(a60, b6, h6, tol=1e-6, maxiter=100)
+            float(jnp.sum(r6.x[:1]))
+            t0 = time.time()
+            r6 = _pcg(a60, b6, h6, tol=1e-6, maxiter=100)
+            float(jnp.sum(r6.x[:1]))
+            sol6 = time.time() - t0
+            t0 = time.time()
+            res6 = _sir((list(a6.offsets),
+                         np.asarray(a6.data, np.float64)),
+                        np.asarray(b6, np.float64), a60, h6, tol=1e-8,
+                        maxiter=300)
+            details["pmis256"] = {
+                "n": n6, "setup_s": su6, "vcycle_ms": vs6 * 1e3,
+                "warm_solve_s": sol6, "warm_iters": int(r6.iters),
+                "cert_s": time.time() - t0,
+                "cert_iters": int(sum(res6.inner_iters)),
+                "cert_outers": int(res6.outer_iters),
+                "rel_residual_f64": float(res6.rel_residual),
+            }
+            log(f"PMIS 7pt {n6}^3 (classical headline): setup {su6:.0f}s, "
+                f"vcycle {vs6*1e3:.1f} ms, warm solve {sol6:.2f}s "
+                f"({int(r6.iters)} it), certified "
+                f"{details['pmis256']['cert_iters']} it "
+                f"rel {res6.rel_residual:.2e}")
+            assert res6.rel_residual <= 1e-8
+        except Exception as e:  # record, never lose the rest of the bench
+            details["pmis256"] = {"error": repr(e)[:500]}
+            log(f"pmis256 block failed: {e!r}")
+        finally:
+            # hand the rest of the bench a clean chip
+            h6 = a6 = b6 = a60 = r6 = res6 = None
+            gc.collect()
+            jax.clear_caches()
+            gc.collect()
+            try:
+                ms = dev.memory_stats() or {}
+                log(f"post-pmis256 HBM in use: "
+                    f"{ms.get('bytes_in_use', -1)/1e9:.2f} GB")
+            except Exception:
+                pass
+
     # ---- headline: SpMV Gnnz/s on 7pt n^3 ----
     t0 = time.time()
     a = amg.poisson3d_7pt(n, backend="device")  # built on-chip, no transfer
@@ -381,82 +454,6 @@ def main():
                  for k, v in
                  details["scaling"]["pmis"]["predicted"].items()}
         log(f"weak-scaling model pmis (lo/mid/hi): {eff_p}")
-
-    # ---- the 256³ headline size through the CLASSICAL (PMIS) pipeline ----
-    # (VERDICT r3 #2: the reference's pipeline at the reference's headline
-    # problem on one chip). ~6–10 min — guarded so a failure cannot cost
-    # the rest of the bench.
-    if (os.environ.get("BENCH_PMIS256", "1") == "1"
-            and os.environ.get("BENCH_SKIP_SOLVE") != "1"
-            and jax.devices()[0].platform == "tpu"):
-        try:
-            from omp_amg_tpu.amg.hierarchy import amg_setup
-            from omp_amg_tpu.amg.params import AMGParams
-            from omp_amg_tpu.amg.vcycle import vcycle as _vc
-            from omp_amg_tpu.solvers.cg import amg_pcg as _pcg
-            from omp_amg_tpu.solvers.ir import solve_ir as _sir
-
-            # release every earlier block's device buffers: the 256³
-            # hierarchy needs ~13 GB of the 16 GB chip
-            import gc
-
-            hier = res = b2 = a2 = None
-            hier_p = hops_p = cache_p = r_p = b_p = a_p = None
-            h_c = res_c = a_c = b_c = a_sp_c = None
-            h_r = a_r = lv1 = x1 = None
-            probe = y0 = a0 = p0 = pop = None
-            # the headline block's operator forms (the bf16 plane form of
-            # the 256³ operator alone is 235 MB) + the device-RAP operands
-            ops = cdia = apm = a = b = y = a_best = f = None
-            a_d = dd = fn2 = None
-            gc.collect()
-            jax.clear_caches()
-            gc.collect()
-            try:
-                ms = jax.devices()[0].memory_stats() or {}
-                log(f"pmis256 pre-block HBM in use: "
-                    f"{ms.get('bytes_in_use', -1)/1e9:.2f} GB")
-            except Exception:
-                pass
-
-            n6 = int(os.environ.get("BENCH_PMIS256_N", "256"))
-            a6 = amg.poisson3d_7pt(n6, backend="numpy")
-            b6 = amg.default_rhs(a6, "random", seed=0)
-            t0 = time.time()
-            h6 = amg_setup(a6, AMGParams(coarsening="pmis"))
-            jax.block_until_ready(h6.levels[0].dinv)
-            su6 = time.time() - t0
-            a60 = h6.levels[0].a
-            vs6 = timeit(jax.jit(_vc), h6, b6, warmup=2, iters=5)
-            r6 = _pcg(a60, b6, h6, tol=1e-6, maxiter=100)
-            float(jnp.sum(r6.x[:1]))
-            t0 = time.time()
-            r6 = _pcg(a60, b6, h6, tol=1e-6, maxiter=100)
-            float(jnp.sum(r6.x[:1]))
-            sol6 = time.time() - t0
-            t0 = time.time()
-            res6 = _sir((list(a6.offsets),
-                         np.asarray(a6.data, np.float64)),
-                        np.asarray(b6, np.float64), a60, h6, tol=1e-8,
-                        maxiter=300)
-            details["pmis256"] = {
-                "n": n6, "setup_s": su6, "vcycle_ms": vs6 * 1e3,
-                "warm_solve_s": sol6, "warm_iters": int(r6.iters),
-                "cert_s": time.time() - t0,
-                "cert_iters": int(sum(res6.inner_iters)),
-                "cert_outers": int(res6.outer_iters),
-                "rel_residual_f64": float(res6.rel_residual),
-            }
-            log(f"PMIS 7pt {n6}^3 (classical headline): setup {su6:.0f}s, "
-                f"vcycle {vs6*1e3:.1f} ms, warm solve {sol6:.2f}s "
-                f"({int(r6.iters)} it), certified "
-                f"{details['pmis256']['cert_iters']} it "
-                f"rel {res6.rel_residual:.2e}")
-            assert res6.rel_residual <= 1e-8
-            del h6, a6, b6, r6, res6
-        except Exception as e:  # record, never lose the rest of the bench
-            details["pmis256"] = {"error": repr(e)[:500]}
-            log(f"pmis256 block failed: {e!r}")
 
     details["total_s"] = time.time() - t_start
     with open("bench_details.json", "w") as fh:

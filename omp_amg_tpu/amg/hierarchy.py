@@ -140,16 +140,25 @@ def _coarse_factor(dense: np.ndarray, params: AMGParams) -> np.ndarray:
 
 def _estimate_lmax_host(a_sp, dinv: np.ndarray, iters: int = 20) -> float:
     """Power iteration on D⁻¹A with the same deterministic seed as the
-    device version (smoothers.estimate_lmax)."""
+    device version (smoothers.estimate_lmax). The matvec runs the native
+    threaded CSR kernel when available (same per-row accumulation order as
+    scipy's csr_matvec); norms/dots stay in numpy so fresh setup and
+    value-only refresh agree bit-for-bit with each other."""
+    from ..native import CsrMatvec
     from .host_setup import hash01_np
 
-    n = a_sp.shape[0]
+    if isinstance(a_sp, CsrMatvec):
+        apply_a, n = a_sp, a_sp.n
+    else:
+        apply_a = CsrMatvec(a_sp.indptr, a_sp.indices, a_sp.data,
+                            n_cols=a_sp.shape[1])
+        n = a_sp.shape[0]
     v = hash01_np(np.arange(n)).astype(np.float64) - 0.5
     v /= np.linalg.norm(v)
     for _ in range(iters):
-        w = dinv * (a_sp @ v)
+        w = dinv * apply_a(v)
         v = w / np.linalg.norm(w)
-    w = dinv * (a_sp @ v)
+    w = dinv * apply_a(v)
     return float(v @ w / (v @ v))
 
 
@@ -408,6 +417,14 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                     return None
                 return cache.levels[-1].setdefault(key, {})
 
+            def _split_routed(m, dt):
+                # cap-overflow fallback (VERDICT r3 #8): column-split
+                # composition of routed plans — keeps TPU-kernel SpMV for
+                # operators a single plan cannot cover (span/chunk caps)
+                from ..sparse.routed import routed_split_from_scipy
+
+                return routed_split_from_scipy(m, dtype=dt, put=batch.add)
+
             def _warn_unrouted(what, m):
                 # VERDICT r3 #8: the XLA-ELL gather fallback runs at
                 # ~0.1 Gelem/s on this chip — effectively unusable. Never
@@ -420,13 +437,16 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                 warnings.warn(
                     f"L{len(levels)} {what} (n={m.shape[0]}, nnz={m.nnz}) "
                     "exceeds the routed-ELL plan caps (sparse/routed.py "
-                    "NB/S/NC) and falls back to the XLA gather path — "
-                    "~100× slower on TPU. Consider reordering/partitioning "
-                    "the operator or raising the caps.", stacklevel=3)
+                    "NB/S/NC) even after column splitting and falls back "
+                    "to the XLA gather path — ~100× slower on TPU. "
+                    "Consider reordering/partitioning the operator.",
+                    stacklevel=3)
 
             if a_lvl is None or isinstance(a_lvl, Ell):
                 rt = routed_from_scipy(a_sp, dtype=dtype, put=batch.add,
                                        map_out=_mo("a_map"))
+                if rt is None:
+                    rt = _split_routed(a_sp, dtype)
                 if rt is not None:
                     a_lvl = rt
                 else:
@@ -444,12 +464,16 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                 pr_dt = jnp.bfloat16
             rt = routed_from_scipy(p_sp, dtype=pr_dt, put=batch.add,
                                    map_out=_mo("p_map"))
+            if rt is None:
+                rt = _split_routed(p_sp, pr_dt)
             if rt is not None:
                 p_lvl = rt
             else:
                 _warn_unrouted("P", p_sp)
             rt = routed_from_scipy(pt_sp, dtype=pr_dt, put=batch.add,
                                    map_out=_mo("r_map"))
+            if rt is None:
+                rt = _split_routed(pt_sp, pr_dt)
             if rt is not None:
                 r_lvl = rt
             else:

@@ -6,21 +6,36 @@ coefficients re-solve on the SAME sparsity, so the symbolic work —
 strength graph, PMIS C/F split, interpolation pattern, Galerkin pattern,
 routed-ELL plan geometry, device plan uploads — is paid once by
 ``amg_setup(..., cache=SetupCache())`` and every subsequent
-``amg_refresh(a_new, cache)`` recomputes VALUES only:
+``amg_refresh(a_new, cache)`` recomputes VALUES only.
 
-- strength/PMIS rounds: skipped (cached mask/state/cmap);
+The FIRST refresh additionally freezes the numeric dataflow (cold phase):
+per level it records the CSR patterns of A, P, Pᵀ, A·P and Pᵀ·(A·P), the
+value maps between storage forms (DIA→CSR selection, CSR→ELL slot
+positions, P-ELL→CSR positions, diagonal positions), and val4-sorted
+scatter orders for the routed device plans. Warm refreshes then run pure
+numeric kernels:
+
+- strength/PMIS rounds: skipped (cached mask/state/cmap); ``verify_mask``
+  re-checks the strength mask from the new values (native kernel);
 - interpolation: numeric re-run on the cached pattern (native ext+i) with
   a pattern-equality guard — value changes that flip the strength or
   truncation decisions raise :class:`PatternChangedError` (callers fall
   back to a fresh setup);
-- Galerkin products: host numeric with a pattern guard;
+- Galerkin products: numeric-only native SpGEMM into the cached A·P and
+  Pᵀ·(A·P) patterns (csrc ``spgemm_numeric``: one FMA per term, no
+  symbolic pass, no sorts); entries the fresh setup eliminated as exact
+  zeros are guarded — a resurrected entry raises ``PatternChangedError``;
+- λmax: the same power iteration as fresh setup, with the matvec on the
+  native threaded CSR kernel (shared helper — fresh and refreshed
+  hierarchies agree bit-for-bit);
 - routed-ELL device plans: GEOMETRY (lidx/soff/cbase/kch/sbase) is reused
   from the cached hierarchy — only the CSR value streams cross the
   host→device boundary (4 B/nnz instead of the full ~16 B/nnz plan
-  re-upload) and a jitted scatter re-fills each ``val4`` in place via the
-  planner's position map (csrc ``routed_plan_fill_map``);
-- R values are derived from P values through the cached transpose
-  permutation (no per-refresh host transpose).
+  re-upload), pre-sorted host-side into val4 order so the device refill is
+  a sorted unique scatter;
+- R values are never shipped: R = Pᵀ shares P's uploaded stream, and its
+  scatter positions are composed with the cached transpose permutation at
+  cold time.
 
 The refreshed hierarchy matches a fresh setup exactly in structure and to
 f32-roundoff in values (tests pin both).
@@ -65,12 +80,17 @@ def _scatter_all_fn(specs):
     """ONE jitted program scattering every routed operator's value stream
     into its val4 geometry — a single relay-side compile per hierarchy
     shape set instead of one per operator (the per-op jits cost ~90 s of
-    cold-refresh relay compiles)."""
+    cold-refresh relay compiles). ``specs[i] = (size, dtype, sorted)`` —
+    streams are host-sorted into val4 order where possible so the scatter
+    lowers with indices_are_sorted (R reuses P's stream through a composed
+    permutation, so its positions are unique but unsorted)."""
 
     def run(args):
         out = []
-        for (size, dt), (pos, vals) in zip(specs, args):
-            out.append(jnp.zeros((size,), dt).at[pos].set(vals.astype(dt)))
+        for (size, dt, srt), (pos, vals) in zip(specs, args):
+            out.append(jnp.zeros((size,), dt).at[pos].set(
+                vals.astype(dt), indices_are_sorted=srt,
+                unique_indices=True))
         return tuple(out)
 
     return jax.jit(run)
@@ -86,11 +106,141 @@ def _refill_routed_all(jobs):
         if "pos_dev" not in mp:
             assert size < (1 << 31)
             mp["pos_dev"] = jnp.asarray(mp["pos"].astype(np.int32))
-        specs.append((size, jnp.dtype(old.val4.dtype).name))
+        specs.append((size, jnp.dtype(old.val4.dtype).name,
+                      bool(mp.get("sorted", False))))
         args.append((mp["pos_dev"], stream))
     flats = _scatter_all_fn(tuple(specs))(args)
     return [dataclasses.replace(old, val4=flat.reshape(mp["val4_shape"]))
             for (old, mp, _), flat in zip(jobs, flats)]
+
+
+def _pat(indptr, indices, n_cols):
+    """Contiguous (indptr int64, indices int32, n_cols) pattern triple."""
+    return (np.ascontiguousarray(indptr, np.int64),
+            np.ascontiguousarray(indices, np.int32), int(n_cols))
+
+
+def _csr_of(pat, data):
+    import scipy.sparse as sp
+
+    indptr, indices, n_cols = pat
+    m = sp.csr_matrix((data, indices, indptr),
+                      shape=(len(indptr) - 1, n_cols))
+    m.has_sorted_indices = True   # cached patterns are canonical
+    return m
+
+
+def _ell_pos(indptr, k):
+    """Flat (row*k + slot) position of each CSR entry in its ELL plane."""
+    lengths = np.diff(indptr)
+    pos = np.arange(indptr[-1], dtype=np.int64) - np.repeat(
+        np.asarray(indptr[:-1], np.int64), lengths)
+    rows = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
+    return pos + rows * k
+
+
+def _build_level_num(c, a_pat, p_sp, host_dia0):
+    """Freeze the level's numeric dataflow (cold refresh, once)."""
+    import scipy.sparse as sp
+
+    from .. import native
+
+    num: dict = {"a_pat": a_pat}
+    indptr, indices, n_cols = a_pat
+    nnz = int(indptr[-1])
+    n = len(indptr) - 1
+
+    if host_dia0 is not None:
+        # DIA flat → CSR data order selection (scipy's dia→csr drops
+        # exact zeros, so tag the *currently nonzero* entries — the
+        # refresh contract keeps the nonzero set fixed)
+        from ..sparse.formats import dia_to_scipy
+
+        flat = np.asarray(host_dia0.data, np.float64).ravel()
+        base = np.flatnonzero(flat)
+        tags = np.zeros_like(flat)
+        tags[base] = base + 1.0
+        tag_dia = Dia(data=tags.reshape(np.asarray(host_dia0.data).shape),
+                      offsets=host_dia0.offsets, dims=host_dia0.dims)
+        tag_csr = sp.csr_matrix(dia_to_scipy(tag_dia))
+        tag_csr.sort_indices()
+        if tag_csr.nnz != nnz:
+            raise PatternChangedError("L0: DIA nonzero set changed")
+        num["dia_sel"] = tag_csr.data.astype(np.int64) - 1
+        num["dia_size"] = flat.size
+
+    # CSR → ELL value positions + cached col planes (strength/interp run
+    # on ELL planes)
+    k = int(c["mask"].shape[1])
+    num["ell_k"] = k
+    num["ell_pos"] = _ell_pos(indptr, k)
+    col = np.zeros((n, k), np.int32)
+    col.ravel()[num["ell_pos"]] = indices
+    num["col_planes"] = col
+
+    # diagonal positions (dinv)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    dpos = np.flatnonzero(indices.astype(np.int64) == rows)
+    num["diag_pos"] = dpos if len(dpos) == n else None
+
+    # P: ELL → CSR value positions (valid slots reordered to the
+    # canonical row/column-sorted CSR order — ext+i emits sorted rows
+    # already, standard/direct may not), P/Pᵀ patterns
+    p_valid = c["p_valid"]
+    valid_flat = np.flatnonzero(p_valid.ravel())
+    me = p_valid.shape[1]
+    v_rows = valid_flat // me
+    v_cols = c["p_col"].ravel()[valid_flat].astype(np.int64)
+    order = np.argsort(v_rows * int(p_sp.shape[1]) + v_cols, kind="stable")
+    num["p_pos"] = np.ascontiguousarray(valid_flat[order])
+    num["p_pat"] = _pat(p_sp.indptr, p_sp.indices, p_sp.shape[1])
+    pt_sp = p_sp.T.tocsr()
+    pt_sp.sort_indices()
+    num["pt_pat"] = _pat(pt_sp.indptr, pt_sp.indices, pt_sp.shape[1])
+    num["pt_perm"] = np.ascontiguousarray(c["pt_perm"], np.int64)
+
+    # Galerkin patterns: structural A·P and Pᵀ·(A·P) (native two-phase
+    # SpGEMM keeps exact-zero products; the hierarchy's cached ac pattern
+    # eliminated them, so map structural → kept positions)
+    a64 = _csr_of(a_pat, np.ones(nnz))
+    ap = native.spgemm(a64, _csr_of(num["p_pat"], np.ones(p_sp.nnz)))
+    acs = native.spgemm(_csr_of(num["pt_pat"], np.ones(pt_sp.nnz)), ap)
+    num["ap_pat"] = _pat(ap.indptr, ap.indices, ap.shape[1])
+    num["acs_pat"] = _pat(acs.indptr, acs.indices, acs.shape[1])
+    ncc = acs.shape[1]
+    acs_rows = np.repeat(np.arange(acs.shape[0], dtype=np.int64),
+                         np.diff(acs.indptr))
+    acs_keys = acs_rows * ncc + acs.indices.astype(np.int64)
+    ac_rows = np.repeat(np.arange(len(c["ac_indptr"]) - 1, dtype=np.int64),
+                        np.diff(c["ac_indptr"]))
+    ac_keys = ac_rows * ncc + c["ac_indices"].astype(np.int64)
+    keep = np.searchsorted(acs_keys, ac_keys)
+    if (keep >= len(acs_keys)).any() or not np.array_equal(
+            acs_keys[keep], ac_keys):
+        raise PatternChangedError("Galerkin structural pattern mismatch")
+    num["keep"] = np.ascontiguousarray(keep)
+    mask = np.ones(len(acs_keys), bool)
+    mask[keep] = False
+    num["dropped"] = np.flatnonzero(mask)
+    return num
+
+
+def _rap_numeric(num, a_data, p_data):
+    """ac values on the cached pattern: numeric-only Pᵀ·(A·P)."""
+    from .. import native
+
+    ap_val = native.spgemm_numeric(num["a_pat"], a_data, num["p_pat"],
+                                   p_data, num["ap_pat"])
+    pt_val = native.perm_gather(num["pt_perm"], p_data)
+    acs_val = native.spgemm_numeric(num["pt_pat"], pt_val, num["ap_pat"],
+                                    ap_val, num["acs_pat"])
+    dropped = num["dropped"]
+    if len(dropped):
+        scale = np.abs(acs_val).max() if len(acs_val) else 1.0
+        if np.abs(acs_val[dropped]).max() > 1e-12 * max(scale, 1e-300):
+            raise PatternChangedError(
+                "Galerkin entry eliminated at setup became nonzero")
+    return native.perm_gather(num["keep"], acs_val)
 
 
 def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True):
@@ -102,21 +252,22 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True):
 
     ``verify_mask=True`` recomputes the strength mask per level and
     compares with the cache (catches silent strength drift at the cost of
-    the native strength pass, ~1 s @96³); the interpolation-pattern and
+    the native strength pass); the interpolation-pattern and
     Galerkin-pattern guards are always on.
     """
     import scipy.sparse as sp
 
-    from ..ops.rap import galerkin_product
+    from ..native import CsrMatvec
     from ..sparse.formats import (
-        dia_to_scipy, ell_planes_from_scipy, ell_planes_to_scipy,
-        to_const_dia, to_plane_dia,
+        dia_to_scipy, ell_planes_from_scipy, to_const_dia, to_plane_dia,
     )
     from ..utils.pack import DeferredUpload
     from . import host_setup as hs
     from .hierarchy import (
-        Hierarchy, Level, _coarse_factor, _estimate_lmax_host,
+        Hierarchy, Level, _SetupTrace, _coarse_factor, _estimate_lmax_host,
     )
+
+    trace = _SetupTrace()
 
     if cache.hier is None:
         raise ValueError("cache was not finished by amg_setup")
@@ -124,32 +275,70 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True):
     dtype = cache.dtype
     np_dt = np.dtype(jnp.dtype(dtype).name)
 
+    cold = any("num" not in c for c in cache.levels)
+    host_dia0 = None
     if isinstance(a_new, Dia):
-        a_sp = sp.csr_matrix(dia_to_scipy(a_new))
-        # f32 planes, like the structured-path packers expect (the setup's
-        # own operator-form section packs f32/bf16 from the f64 planes)
         host_dia0 = Dia(data=np.ascontiguousarray(a_new.data, np_dt),
                         offsets=tuple(a_new.offsets), dims=a_new.dims)
+        if cold:
+            a_sp = sp.csr_matrix(dia_to_scipy(a_new))
+            a_sp.sort_indices()
     else:
         a_sp = sp.csr_matrix(a_new)
-        host_dia0 = None
+        if not a_sp.has_sorted_indices:
+            a_sp = a_sp.copy()
+            a_sp.sort_indices()
 
     batch = DeferredUpload()
     # (build-op, args...) thunks resolved after the ONE batched upload
     new_levels: List[dict] = []
-    cur_planes = None
+    a_data = None    # current level's CSR values (f64, cached pattern)
     for li, c in enumerate(cache.levels):
         old = cache.hier.levels[li]
-        if cur_planes is None:
-            cur_planes = ell_planes_from_scipy(a_sp, dtype=np.float32)[:2]
-        col, val = cur_planes
-        if col.shape != c["mask"].shape:
-            raise PatternChangedError(f"L{li}: ELL width changed")
         mask, state, cmap, nc = c["mask"], c["state"], c["cmap"], c["nc"]
+        num = c.get("num")
+        if num is None:
+            # ---- cold: symbolic re-derivation + freeze the dataflow ----
+            if li == 0 and host_dia0 is None:
+                pass   # a_sp set above
+            cur = ell_planes_from_scipy(a_sp, dtype=np.float32)
+            col, val = cur[0], cur[1]
+            if col.shape != mask.shape:
+                raise PatternChangedError(f"L{li}: ELL width changed")
+            a_pat = _pat(a_sp.indptr, a_sp.indices, a_sp.shape[1])
+            a_data = np.ascontiguousarray(a_sp.data, np.float64)
+        else:
+            # ---- warm: values only ----
+            if li == 0:
+                if host_dia0 is not None:
+                    flat = np.asarray(host_dia0.data, np.float64).ravel()
+                    if flat.size != num["dia_size"]:
+                        raise PatternChangedError("L0: DIA shape changed")
+                    from .. import native as _nat
+
+                    a_data = _nat.perm_gather(num["dia_sel"], flat)
+                    if len(a_data) and (a_data == 0).any():
+                        raise PatternChangedError(
+                            "L0: a stored DIA entry became exactly zero")
+                    if np.count_nonzero(flat) != len(a_data):
+                        raise PatternChangedError(
+                            "L0: DIA nonzero set changed")
+                else:
+                    ip, ix, _ = num["a_pat"]
+                    if a_sp.nnz != len(ix) or not np.array_equal(
+                            a_sp.indices, ix):
+                        raise PatternChangedError("L0: CSR pattern changed")
+                    a_data = np.ascontiguousarray(a_sp.data, np.float64)
+            a_pat = num["a_pat"]
+            col = num["col_planes"]
+            val = np.zeros(col.shape, np.float32)
+            val.ravel()[num["ell_pos"]] = a_data
+        trace.mark(f"L{li} planes")
         if verify_mask:
             m2 = hs.strength_mask_host(col, val, params.theta)
             if not np.array_equal(m2, mask):
                 raise PatternChangedError(f"L{li}: strength mask changed")
+        trace.mark(f"L{li} strength-verify")
         if params.interp == "standard":
             p_col, p_val = hs.standard_interpolation_np(
                 col, val, mask, state, cmap, nc,
@@ -181,30 +370,67 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True):
             p_val = p_val.copy()
             p_val[bad] = pv_rows
             p_val[~c["p_valid"]] = 0
-        p_sp = ell_planes_to_scipy(p_col, p_val, nc)
-        ac_sp = galerkin_product(a_sp, p_sp)
-        if (len(ac_sp.indices) != len(c["ac_indices"])
-                or not np.array_equal(ac_sp.indices, c["ac_indices"])):
-            raise PatternChangedError(f"L{li}: Galerkin pattern changed")
+        trace.mark(f"L{li} interp")
+        if num is None:
+            from ..sparse.formats import ell_planes_to_scipy
+
+            p_sp = ell_planes_to_scipy(p_col, p_val, nc)
+            num = _build_level_num(c, a_pat, p_sp, host_dia0 if li == 0
+                                   else None)
+            c["num"] = num
+            p_data = np.ascontiguousarray(p_sp.data, np.float64)
+        else:
+            # NOTE: a kept interpolation weight that cancels to exactly
+            # zero stays in P's pattern as an explicit zero (fresh setup
+            # would drop it) — documented refresh contract
+            p_data = np.ascontiguousarray(
+                p_val.ravel()[num["p_pos"]], np.float64)
+        ac_data = _rap_numeric(num, a_data, p_data)
+        if "ac_pat" not in num:
+            num["ac_pat"] = _pat(c["ac_indptr"], c["ac_indices"], nc)
+        ac_pat = num["ac_pat"]
+        trace.mark(f"L{li} RAP")
 
         if params.smoother == "l1jacobi":
-            dinv_np = 1.0 / np.asarray(np.abs(a_sp).sum(axis=1)).ravel()
+            lens = np.diff(num["a_pat"][0])
+            if lens.min(initial=1) > 0:
+                rowsum = np.add.reduceat(np.abs(a_data), num["a_pat"][0][:-1])
+            else:
+                rowsum = np.asarray(
+                    np.abs(_csr_of(num["a_pat"], a_data)).sum(axis=1)).ravel()
+            dinv_np = 1.0 / rowsum
+        elif num["diag_pos"] is not None:
+            dinv_np = 1.0 / a_data[num["diag_pos"]]
         else:
-            dinv_np = 1.0 / a_sp.diagonal()
-        lmax = batch.add(np.asarray(_estimate_lmax_host(a_sp, dinv_np),
-                                    np_dt))
+            dinv_np = 1.0 / _csr_of(num["a_pat"], a_data).diagonal()
+        mv = CsrMatvec(num["a_pat"][0], num["a_pat"][1], a_data,
+                       n_cols=num["a_pat"][2])
+        lmax = batch.add(np.asarray(_estimate_lmax_host(mv, dinv_np), np_dt))
         dinv = batch.add(dinv_np, np_dt)
+        trace.mark(f"L{li} lmax/dinv")
 
         lv: dict = dict(dinv=dinv, lmax=lmax)
 
         def _guard_stream(stream, mp, what):
-            # scatter maps are positional in CSR order: an nnz drift (a
-            # weight rounding to exactly 0, a cancelled product entry)
-            # would silently misalign every later value
+            # scatter maps are positional in CSR order: an nnz drift would
+            # silently misalign every later value
             if len(stream) != len(mp["pos"]):
                 raise PatternChangedError(
                     f"L{li}: {what} nnz changed "
                     f"({len(stream)} vs {len(mp['pos'])})")
+
+        def _sort_map(mp):
+            # one-time: sort scatter positions into val4 order so the
+            # device refill is a sorted unique scatter; the host stream is
+            # permuted to match at add time
+            if "order" not in mp:
+                order = np.argsort(mp["pos"], kind="stable")
+                mp["order"] = order
+                mp["pos"] = np.ascontiguousarray(mp["pos"][order])
+                mp["sorted"] = True
+                mp.pop("pos_dev", None)
+            return mp
+
         # A-operator values
         a_kind = c["a_kind"]
         if a_kind in ("PlaneDia", "ConstDia", "Dia"):
@@ -225,38 +451,91 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True):
                               offsets=hd.offsets, dims=hd.dims)
             lv["a"] = ("done", a_built)
         elif a_kind == "RoutedEll":
-            stream = a_sp.data.astype(np.float32)
-            _guard_stream(stream, c["a_map"], "A")
-            lv["a"] = ("routed", c["a_map"], batch.add(stream), old.a)
-        else:   # Ell
+            mp = _sort_map(c["a_map"])
+            stream = a_data[mp["order"]].astype(np.float32)
+            _guard_stream(stream, mp, "A")
+            lv["a"] = ("routed", mp, batch.add(stream), old.a)
+        elif a_kind == "Ell":
             lv["a"] = ("ell", batch.add(val, np_dt), old.a)
+        else:   # SplitRoutedEll etc.: no refresh map — full setup instead
+            raise PatternChangedError(
+                f"L{li}: value refresh unsupported for {a_kind} operators")
 
-        p_stream = p_sp.data.astype(np.float32)
+        if c["p_kind"] not in ("RoutedEll", "Ell") or \
+                c["r_kind"] not in ("RoutedEll", "Ell"):
+            raise PatternChangedError(
+                f"L{li}: value refresh unsupported for "
+                f"{c['p_kind']}/{c['r_kind']} transfer operators")
         if c["p_kind"] == "RoutedEll":
-            _guard_stream(p_stream, c["p_map"], "P")
-            lv["p"] = ("routed", c["p_map"], batch.add(p_stream), old.p)
+            mp = _sort_map(c["p_map"])
+            p_stream = p_data[mp["order"]].astype(np.float32)
+            _guard_stream(p_stream, mp, "P")
+            p_handle = batch.add(p_stream)
+            lv["p"] = ("routed", mp, p_handle, old.p)
         else:
             lv["p"] = ("ell", batch.add(p_val.astype(np_dt)), old.p)
-        r_stream = p_stream[c["pt_perm"]]
+            p_handle = None
         if c["r_kind"] == "RoutedEll":
-            _guard_stream(r_stream, c["r_map"], "R")
-            lv["r"] = ("routed", c["r_map"], batch.add(r_stream), old.r)
-        else:
-            pt_sp = p_sp.T.tocsr()
-            rc, rv, _ = ell_planes_from_scipy(pt_sp, dtype=np_dt)
-            lv["r"] = ("ell", batch.add(rv), old.r)
-        new_levels.append(lv)
-        a_sp = ac_sp
-        cur_planes = ell_planes_from_scipy(ac_sp, dtype=np.float32)[:2]
+            rmp = c["r_map"]
+            if p_handle is not None:
+                # R = Pᵀ: reuse P's uploaded stream — compose the cached
+                # transpose permutation and P's sort order into R's
+                # scatter positions (cold, once); saves the whole R
+                # stream transfer
+                if "_shared" not in rmp:
+                    inv = np.empty_like(num["pt_perm"])
+                    inv[num["pt_perm"]] = np.arange(len(inv))
+                    q = rmp["pos"][inv]          # p-CSR-order positions
+                    rmp["_shared"] = {
+                        "pos": np.ascontiguousarray(
+                            q[c["p_map"]["order"]]),
+                        "val4_shape": rmp["val4_shape"],
+                        "sorted": False,
+                    }
+                rmp2 = rmp["_shared"]
+                _guard_stream(p_stream, rmp2, "R")
+                lv["r"] = ("routed", rmp2, p_handle, old.r)
+            else:
+                from .. import native as _nat
 
-    dense = np.asarray(a_sp.toarray(), dtype=np.float64)
+                r_stream = _nat.perm_gather(num["pt_perm"],
+                                            p_data).astype(np.float32)
+                _guard_stream(r_stream, rmp, "R")
+                lv["r"] = ("routed", rmp, batch.add(r_stream), old.r)
+        else:
+            pt_val = np.zeros(old.r.val.shape, np_dt)
+            if "r_ell_pos" not in num:
+                num["r_ell_pos"] = _ell_pos(num["pt_pat"][0],
+                                            pt_val.shape[1])
+            from .. import native as _nat
+
+            pt_data = _nat.perm_gather(num["pt_perm"], p_data)
+            pt_val.ravel()[num["r_ell_pos"]] = pt_data
+            lv["r"] = ("ell", batch.add(pt_val), old.r)
+        trace.mark(f"L{li} streams")
+        new_levels.append(lv)
+        a_data = ac_data
+        if num is not None and li + 1 < len(cache.levels) and \
+                "num" not in cache.levels[li + 1]:
+            a_sp = _csr_of(ac_pat, ac_data)
+
+    trace.mark("coarse planes")
+    last_pat = (np.ascontiguousarray(cache.levels[-1]["ac_indptr"], np.int64),
+                np.ascontiguousarray(cache.levels[-1]["ac_indices"],
+                                     np.int32),
+                cache.levels[-1]["nc"])
+    dense = np.asarray(_csr_of(last_pat, a_data).toarray(), dtype=np.float64)
     fac = _coarse_factor(dense, params)
     coarse_chol = batch.add(fac, np_dt)
     coarse_a = batch.add(dense, np_dt)
+    trace.mark("coarse factor")
 
     # resolve the ONE upload, then run the geometry-reusing refills
     tree = batch.resolve((new_levels, coarse_chol, coarse_a))
     new_levels, coarse_chol, coarse_a = tree
+    # sync on a resolved leaf: pack+upload then reads as the TRUE
+    # transfer+unpack completion and scatter/build as pure refill cost
+    trace.mark("pack+upload", sync=coarse_chol)
 
     # batch every routed scatter into ONE jitted program (one compile)
     jobs = []
@@ -281,5 +560,6 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True):
         Level(a=build(lv["a"]), dinv=lv["dinv"], p=build(lv["p"]),
               r=build(lv["r"]), lmax=lv["lmax"])
         for lv in new_levels)
+    trace.mark("scatter/build", sync=levels[0].dinv)
     return Hierarchy(levels=levels, coarse_chol=coarse_chol,
                      coarse_a=coarse_a, params=params)

@@ -59,6 +59,12 @@ def _load():
         lib.spgemm_fill.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
                                     i32p, f64p, i64p, i32p, f64p, i64p, i32p,
                                     f64p]
+        lib.spgemm_numeric.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
+                                       i32p, f64p, i64p, i32p, f64p, i64p,
+                                       i32p, f64p]
+        lib.perm_gather_f64.argtypes = [ctypes.c_int64, i64p, f64p, f64p]
+        lib.csr_matvec_f64.argtypes = [ctypes.c_int64, i64p, i32p, f64p,
+                                       f64p, f64p]
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
         i8p = np.ctypeslib.ndpointer(np.int8, flags="C")
         lib.extpi_interp_f64.argtypes = [
@@ -335,6 +341,99 @@ def spgemm(a, b):
     lib.spgemm_fill(n, m, a_indptr, a_idx, a_val, b_indptr, b_idx, b_val,
                     c_indptr, c_idx, c_val)
     return sp.csr_matrix((c_val, c_idx, c_indptr), shape=(n, m))
+
+
+def spgemm_numeric(a_pat, a_data, b_pat, b_data, c_pat):
+    """Numeric-only C = A @ B into a cached output pattern.
+
+    ``*_pat`` are (indptr int64, indices int32, n_cols) tuples whose
+    sparsity matches the one the pattern was built from; returns C.data
+    (f64). Falls back to a numpy masked Gustavson via scipy when the
+    native library is unavailable.
+    """
+    a_indptr, a_idx, _ = a_pat
+    b_indptr, b_idx, b_ncols = b_pat
+    c_indptr, c_idx, _ = c_pat
+    n = len(a_indptr) - 1
+    a_data = np.ascontiguousarray(a_data, np.float64)
+    b_data = np.ascontiguousarray(b_data, np.float64)
+    lib = _load()
+    c_val = np.empty(len(c_idx), np.float64)
+    if lib is None:
+        import scipy.sparse as sp
+
+        a = sp.csr_matrix((a_data, a_idx, a_indptr),
+                          shape=(n, len(b_indptr) - 1))
+        b = sp.csr_matrix((b_data, b_idx, b_indptr),
+                          shape=(len(b_indptr) - 1, b_ncols))
+        c = (a @ b).tocsr()
+        c.sort_indices()
+        # scatter the structural product into the cached pattern (the
+        # cached pattern is a superset position-for-position only when
+        # patterns match; mirror the native semantics via a dense row)
+        cs = sp.csr_matrix((c.data, c.indices, c.indptr),
+                           shape=(n, b_ncols))
+        out = sp.csr_matrix((np.ones(len(c_idx)), c_idx, c_indptr),
+                            shape=(n, b_ncols))
+        out.data[:] = 0.0
+        # rows are sorted in both; use searchsorted per-row via flat keys
+        keys_c = c.indices.astype(np.int64) + np.repeat(
+            np.arange(n, dtype=np.int64), np.diff(c.indptr)) * b_ncols
+        keys_o = np.asarray(c_idx, np.int64) + np.repeat(
+            np.arange(n, dtype=np.int64), np.diff(c_indptr)) * b_ncols
+        pos = np.searchsorted(keys_o, keys_c)
+        out.data[pos] = c.data
+        return out.data
+    lib.spgemm_numeric(n, b_ncols,
+                       np.ascontiguousarray(a_indptr, np.int64),
+                       np.ascontiguousarray(a_idx, np.int32), a_data,
+                       np.ascontiguousarray(b_indptr, np.int64),
+                       np.ascontiguousarray(b_idx, np.int32), b_data,
+                       np.ascontiguousarray(c_indptr, np.int64),
+                       np.ascontiguousarray(c_idx, np.int32), c_val)
+    return c_val
+
+
+class CsrMatvec:
+    """Reusable threaded f64 CSR matvec (native; scipy fallback).
+
+    Caches the contiguous int64/int32 pattern copies across calls so the
+    λmax power iteration's 20 sweeps pay the ctypes marshalling once.
+    """
+
+    def __init__(self, indptr, indices, data, n_cols=None):
+        self.lib = _load()
+        self.n = len(indptr) - 1
+        self.data = np.ascontiguousarray(data, np.float64)
+        if self.lib is None:
+            import scipy.sparse as sp
+
+            self.sp = sp.csr_matrix(
+                (self.data, indices, indptr),
+                shape=(self.n, n_cols if n_cols is not None else self.n))
+        else:
+            self.indptr = np.ascontiguousarray(indptr, np.int64)
+            self.indices = np.ascontiguousarray(indices, np.int32)
+
+    def __call__(self, x: np.ndarray) -> np.ndarray:
+        if self.lib is None:
+            return self.sp @ x
+        y = np.empty(self.n, np.float64)
+        self.lib.csr_matvec_f64(self.n, self.indptr, self.indices,
+                                self.data, np.ascontiguousarray(x), y)
+        return y
+
+
+def perm_gather(perm: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """out[i] = x[perm[i]] (f64), threaded; numpy fancy-index fallback."""
+    lib = _load()
+    x = np.ascontiguousarray(x, np.float64)
+    if lib is None:
+        return x[perm]
+    out = np.empty(len(perm), np.float64)
+    lib.perm_gather_f64(len(perm), np.ascontiguousarray(perm, np.int64),
+                        x, out)
+    return out
 
 
 def routed_plan(a_csr, s_min: int = 0, s_cap: int = 2048, ws: int = 1):

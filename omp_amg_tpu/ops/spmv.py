@@ -97,6 +97,10 @@ def spmv(a, x: jax.Array) -> jax.Array:
         from .pallas_routed import spmv_routed_xla
 
         return spmv_routed_xla(a, x)
+    from ..sparse.routed import SplitRoutedEll, spmv_split
+
+    if isinstance(a, SplitRoutedEll):
+        return spmv_split(a, x)
     if isinstance(a, PlaneDia):
         if jax.default_backend() == "tpu":
             from .pallas_spmv import spmv_plane_dia
@@ -167,9 +171,9 @@ def nnz_count(a) -> int:
         return int(valid.sum())
     if isinstance(a, Csr):
         return a.nnz
-    from ..sparse.routed import RoutedEll
+    from ..sparse.routed import RoutedEll, SplitRoutedEll
 
-    if isinstance(a, RoutedEll):
+    if isinstance(a, (RoutedEll, SplitRoutedEll)):
         return a.nnz
     from ..sparse.formats import ConstDia
 

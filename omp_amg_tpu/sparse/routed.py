@@ -487,6 +487,79 @@ def routed_from_scipy(m, dtype=jnp.float32, put=None, ws: int | None = None,
     )
 
 
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class SplitRoutedEll:
+    """Column-split composition of routed plans (cap-overflow fallback,
+    VERDICT r3 #8). When a single plan would exceed the span/chunk caps
+    (e.g. one row-block touching columns > S_CAP·128 apart), the operator
+    is split by COLUMN RANGES into parts that each plan cleanly:
+    y = Σ_k A[:, b_k:b_{k+1}] · x[b_k:b_{k+1}]. Every part runs the full
+    Pallas routed kernel, so a cap-exceeding operator keeps TPU-speed SpMV
+    instead of falling to the ~0.1 Gelem/s XLA gather path. The static
+    per-part slice of x and the adds fuse under jit."""
+
+    parts: Tuple[RoutedEll, ...]
+    bounds: Tuple[int, ...] = _static()   # len(parts)+1 column offsets
+    n_rows: int = _static()
+    n_cols: int = _static()
+    nnz: int = _static()
+
+    @property
+    def shape(self) -> Tuple[int, int]:
+        return (self.n_rows, self.n_cols)
+
+    @property
+    def dtype(self):
+        return self.parts[0].dtype
+
+
+def spmv_split(a: SplitRoutedEll, x: jax.Array) -> jax.Array:
+    from ..ops.spmv import spmv
+
+    y = None
+    for part, b0 in zip(a.parts, a.bounds[:-1]):
+        yi = spmv(part, jax.lax.slice(x, (b0,), (b0 + part.n_cols,)))
+        y = yi if y is None else y + yi
+    return y
+
+
+def routed_split_from_scipy(m, dtype=jnp.float32, put=None,
+                            ws: int | None = None, max_parts: int = 16):
+    """Column-split routed plan for a cap-exceeding operator.
+
+    Doubles the part count (column ranges, 128-aligned) until every part
+    plans under the caps; returns ``SplitRoutedEll`` or None when even
+    ``max_parts`` parts cannot plan (caller falls back + warns)."""
+    import scipy.sparse as sp
+
+    m = sp.csr_matrix(m)
+    n_rows, n_cols = m.shape
+    mc = None
+    n_parts = 2
+    while n_parts <= max_parts:
+        k = -(-n_cols // n_parts)
+        k = _pad_to(max(k, LANES), LANES)
+        bounds = tuple(min(i * k, n_cols) for i in range(n_parts + 1))
+        if len(set(bounds)) != n_parts + 1:
+            return None   # more parts than 128-wide column groups
+        if mc is None:
+            mc = m.tocsc()
+        parts = []
+        for b0, b1 in zip(bounds[:-1], bounds[1:]):
+            sub = mc[:, b0:b1].tocsr()
+            rt = routed_from_scipy(sub, dtype=dtype, put=put, ws=ws)
+            if rt is None:
+                parts = None
+                break
+            parts.append(rt)
+        if parts is not None:
+            return SplitRoutedEll(parts=tuple(parts), bounds=bounds,
+                                  n_rows=n_rows, n_cols=n_cols, nnz=m.nnz)
+        n_parts *= 2
+    return None
+
+
 def routed_to_scipy(a: RoutedEll):
     """Exact inverse of the plan (tests / interop)."""
     import scipy.sparse as sp

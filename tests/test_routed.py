@@ -337,38 +337,83 @@ def test_ws_kernel_interpret_matches_scipy(ws, mode, monkeypatch):
         assert np.abs(np.asarray(y2) - ref).max() / scale < 5e-6
 
 
-def test_cap_exceeding_operator_warns_and_solves():
-    """VERDICT r3 #8: an operator beyond the routed plan caps must never
-    fall to the XLA-gather path silently — the setup warns loudly — and
-    the end-to-end solve still works through the fallback."""
-    import warnings
-
-    import omp_amg_tpu as amg
-    from omp_amg_tpu.sparse.formats import dia_to_scipy
-
+def _span_overflow_matrix(n=600_000):
     # a long-range coupling makes one row-block's column span exceed
     # S_CAP (4096 chunks = 524288 columns) -> plan_routed refuses
-    n = 600_000
     d = np.ones(n)
     a_sp = sp.diags([2.0 * d, -0.5 * d[:-1], -0.5 * d[:-1]],
                     [0, 1, -1]).tocsr()
-    # couple row 0 to the far end of the domain (span overflow)
     a_sp = a_sp.tolil()
     a_sp[0, n - 1] = -0.1
     a_sp[n - 1, 0] = -0.1
-    a_sp = a_sp.tocsr()
-    from omp_amg_tpu.sparse.routed import plan_routed
+    return a_sp.tocsr()
 
+
+def test_split_routed_spmv_exact():
+    """Column-split routed plans (cap-overflow fallback, VERDICT r3 #8)
+    reproduce the operator exactly."""
+    from omp_amg_tpu.ops.spmv import spmv
+    from omp_amg_tpu.sparse.routed import (
+        SplitRoutedEll, plan_routed, routed_split_from_scipy,
+    )
+
+    a_sp = _span_overflow_matrix()
     assert plan_routed(a_sp) is None
+    srt = routed_split_from_scipy(a_sp)
+    assert isinstance(srt, SplitRoutedEll)
+    assert len(srt.parts) >= 2 and srt.nnz == a_sp.nnz
+    import jax
+
+    x = np.random.default_rng(7).standard_normal(a_sp.shape[1])
+    y = jax.jit(spmv)(srt, jnp.asarray(x, jnp.float32))
+    ref = a_sp @ x
+    scale = max(1.0, np.abs(ref).max())
+    assert np.abs(np.asarray(y) - ref).max() / scale < 5e-6
+
+
+def test_cap_exceeding_operator_splits_and_solves():
+    """VERDICT r3 #8: an operator beyond a single routed plan's caps now
+    routes through the column-split composition (TPU-kernel SpMV, no
+    warning) and the end-to-end solve works."""
+    import warnings
+
+    from omp_amg_tpu.sparse.routed import SplitRoutedEll
+
+    a_sp = _span_overflow_matrix()
     with warnings.catch_warnings(record=True) as rec:
         warnings.simplefilter("always")
         h = amg_setup(a_sp, AMGParams(coarsening="pmis", routed="force",
                                       max_levels=8, coarse_size=800))
     msgs = [str(w.message) for w in rec]
-    assert any("routed-ELL plan caps" in m for m in msgs), msgs
-    # the hierarchy still solves through the ELL fallback
+    assert not any("plan caps" in m for m in msgs), msgs
+    assert isinstance(h.levels[0].a, SplitRoutedEll)
+    n = a_sp.shape[0]
+    b = np.ones(n, np.float32)
+    res = amg_pcg(h.levels[0].a, jnp.asarray(b), h, tol=1e-6, maxiter=200)
+    rel = np.linalg.norm(b - a_sp @ np.asarray(res.x, np.float64)) \
+        / np.linalg.norm(b)
+    assert rel < 5e-5
+
+
+def test_cap_exceeding_operator_warns_when_split_fails(monkeypatch):
+    """When even the column split cannot plan, the setup must warn loudly
+    before falling to the XLA gather path (never silent)."""
+    import warnings
+
+    from omp_amg_tpu.sparse import routed as routed_mod
+
+    a_sp = _span_overflow_matrix(200_000 * 3)
+    monkeypatch.setattr(routed_mod, "routed_split_from_scipy",
+                        lambda *a, **k: None)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        h = amg_setup(a_sp, AMGParams(coarsening="pmis", routed="force",
+                                      max_levels=8, coarse_size=800))
+    msgs = [str(w.message) for w in rec]
+    assert any("plan caps" in m for m in msgs), msgs
     from omp_amg_tpu.sparse.formats import ell_from_scipy
 
+    n = a_sp.shape[0]
     b = np.ones(n, np.float32)
     res = amg_pcg(ell_from_scipy(a_sp), jnp.asarray(b), h, tol=1e-6,
                   maxiter=200)
