@@ -111,6 +111,16 @@ def main():
             jax.clear_caches()
             gc.collect()
             try:
+                # return the block's ~10 GB of freed host heap to the OS:
+                # aged/fragmented arenas inflated the LATER blocks' host
+                # phases ~40% (27-pt setup 40.9 s standalone vs 58.7 in
+                # the first reordered bench run)
+                import ctypes
+
+                ctypes.CDLL("libc.so.6").malloc_trim(0)
+            except Exception:
+                pass
+            try:
                 ms = dev.memory_stats() or {}
                 log(f"post-pmis256 HBM in use: "
                     f"{ms.get('bytes_in_use', -1)/1e9:.2f} GB")

@@ -65,6 +65,13 @@ def _load():
         lib.perm_gather_f64.argtypes = [ctypes.c_int64, i64p, f64p, f64p]
         lib.csr_matvec_f64.argtypes = [ctypes.c_int64, i64p, i32p, f64p,
                                        f64p, f64p]
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C")
+        u16p_ = np.ctypeslib.ndpointer(np.uint16, flags="C")
+        lib.sparse_encode_w4.argtypes = [u32p, ctypes.c_int64,
+                                         ctypes.c_int, i32p, u32p]
+        lib.sparse_encode_w4.restype = ctypes.c_int64
+        lib.sparse_encode_w2.argtypes = [u16p_, ctypes.c_int64, i32p, u16p_]
+        lib.sparse_encode_w2.restype = ctypes.c_int64
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
         i8p = np.ctypeslib.ndpointer(np.int8, flags="C")
         lib.extpi_interp_f64.argtypes = [
@@ -422,6 +429,35 @@ class CsrMatvec:
         self.lib.csr_matvec_f64(self.n, self.indptr, self.indices,
                                 self.data, np.ascontiguousarray(x), y)
         return y
+
+
+def sparse_encode(flat: np.ndarray):
+    """(idx int32, vals) of the nonzero elements of a 1-D array, or None.
+
+    One threaded pass replacing numpy's flatnonzero + fancy-gather chain
+    in the batched-upload pack (~4 s over the ~620 MB of plan arrays at
+    27-pt 128³). Matches the numpy probes' semantics exactly: f32 compares
+    by VALUE (−0.0 is zero), 4-byte ints and all 2-byte dtypes (bfloat16
+    via its uint16 view) compare by BIT PATTERN."""
+    lib = _load()
+    if lib is None or flat.size >= (1 << 31) or not flat.flags.c_contiguous:
+        return None
+    n = flat.size
+    if flat.dtype.itemsize == 4:
+        as_float = int(flat.dtype == np.float32)
+        idx = np.empty(n, np.int32)
+        val = np.empty(n, np.uint32)
+        cnt = lib.sparse_encode_w4(flat.view(np.uint32), n, as_float, idx,
+                                   val)
+        return idx[:cnt], val[:cnt].view(flat.dtype)
+    if flat.dtype.itemsize == 2 and flat.dtype.num >= 100:
+        # ml_dtypes only (bfloat16): bit-pattern probe, like pack.py's
+        # uint16 view (np.float16 would need a value compare — not used)
+        idx = np.empty(n, np.int32)
+        val = np.empty(n, np.uint16)
+        cnt = lib.sparse_encode_w2(flat.view(np.uint16), n, idx, val)
+        return idx[:cnt], val[:cnt].view(flat.dtype)
+    return None
 
 
 def perm_gather(perm: np.ndarray, x: np.ndarray) -> np.ndarray:
