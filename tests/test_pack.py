@@ -78,3 +78,42 @@ def test_deferred_upload_sparse_scatter():
     out = b.resolve((h, h2))
     np.testing.assert_array_equal(np.asarray(out[0]), dense)
     np.testing.assert_array_equal(np.asarray(out[1]), small)
+
+
+def test_native_sparse_encode_matches_numpy_probes():
+    """csrc sparse_encode_w4/w2 must reproduce pack.py's numpy probe
+    semantics bit-exactly: f32 compares by VALUE (−0.0 is zero), int32 by
+    bit pattern, bfloat16 by its uint16 bit-pattern view (−0.0 counts)."""
+    import ml_dtypes
+    import pytest
+
+    from omp_amg_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(11)
+
+    x32 = np.where(rng.random(100_003) < 0.8, 0,
+                   rng.standard_normal(100_003)).astype(np.float32)
+    x32[7] = -0.0    # value-compare: excluded, like np.flatnonzero
+    enc = native.sparse_encode(x32)
+    ref = np.flatnonzero(x32)
+    np.testing.assert_array_equal(enc[0], ref)
+    np.testing.assert_array_equal(enc[1], x32[ref])
+
+    xi = np.where(rng.random(70_001) < 0.7, 0,
+                  rng.integers(-9, 9, 70_001)).astype(np.int32)
+    xi[3] = np.int32(-2**31)   # bit pattern of f32 −0.0: must be KEPT
+    enc = native.sparse_encode(xi)
+    ref = np.flatnonzero(xi)
+    np.testing.assert_array_equal(enc[0], ref)
+    np.testing.assert_array_equal(enc[1], xi[ref])
+
+    xb = np.where(rng.random(50_001) < 0.75, 0,
+                  rng.standard_normal(50_001)).astype(ml_dtypes.bfloat16)
+    xb[5] = ml_dtypes.bfloat16(-0.0)   # bit-pattern probe: INCLUDED
+    enc = native.sparse_encode(xb)
+    ref = np.flatnonzero(xb.view(np.uint16))
+    np.testing.assert_array_equal(enc[0], ref)
+    np.testing.assert_array_equal(enc[1].view(np.uint16),
+                                  xb[ref].view(np.uint16))
