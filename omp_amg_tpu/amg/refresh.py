@@ -243,7 +243,8 @@ def _rap_numeric(num, a_data, p_data):
     return native.perm_gather(num["keep"], acs_val)
 
 
-def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True):
+def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
+                stream_dtype: str = "f32"):
     """Rebuild the cached hierarchy's VALUES for a same-sparsity operator.
 
     ``a_new``: Dia (same offsets/dims as the cached setup's fine operator)
@@ -254,6 +255,14 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True):
     compares with the cache (catches silent strength drift at the cost of
     the native strength pass); the interpolation-pattern and
     Galerkin-pattern guards are always on.
+
+    ``stream_dtype="bf16"`` ships the routed value streams in bfloat16 —
+    HALF the host→device bytes. The warm refresh is transfer-floor-bound
+    through the axon relay (BASELINE.md: ~26–52 MB/s regardless of
+    batching), so this trades ~3 decimal digits in the PRECONDITIONER's
+    values (the f64 IR outer still certifies the final residual; iteration
+    counts may grow slightly) for roughly halving the refresh wall. The
+    default keeps exact f32 streams (refreshed == fresh to f32 roundoff).
     """
     import scipy.sparse as sp
 
@@ -274,6 +283,16 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True):
     params = cache.params
     dtype = cache.dtype
     np_dt = np.dtype(jnp.dtype(dtype).name)
+
+    if stream_dtype not in ("f32", "bf16"):
+        raise ValueError(f"stream_dtype must be f32 or bf16, got "
+                         f"{stream_dtype!r}")
+    if stream_dtype == "bf16":
+        import ml_dtypes
+
+        st_dt = ml_dtypes.bfloat16
+    else:
+        st_dt = np.float32
 
     cold = any("num" not in c for c in cache.levels)
     host_dia0 = None
@@ -452,7 +471,7 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True):
             lv["a"] = ("done", a_built)
         elif a_kind == "RoutedEll":
             mp = _sort_map(c["a_map"])
-            stream = a_data[mp["order"]].astype(np.float32)
+            stream = a_data[mp["order"]].astype(st_dt)
             _guard_stream(stream, mp, "A")
             lv["a"] = ("routed", mp, batch.add(stream), old.a)
         elif a_kind == "Ell":
@@ -468,7 +487,7 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True):
                 f"{c['p_kind']}/{c['r_kind']} transfer operators")
         if c["p_kind"] == "RoutedEll":
             mp = _sort_map(c["p_map"])
-            p_stream = p_data[mp["order"]].astype(np.float32)
+            p_stream = p_data[mp["order"]].astype(st_dt)
             _guard_stream(p_stream, mp, "P")
             p_handle = batch.add(p_stream)
             lv["p"] = ("routed", mp, p_handle, old.p)
@@ -499,7 +518,7 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True):
                 from .. import native as _nat
 
                 r_stream = _nat.perm_gather(num["pt_perm"],
-                                            p_data).astype(np.float32)
+                                            p_data).astype(st_dt)
                 _guard_stream(r_stream, rmp, "R")
                 lv["r"] = ("routed", rmp, batch.add(r_stream), old.r)
         else:

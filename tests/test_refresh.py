@@ -194,3 +194,33 @@ def test_facade_refresh_falls_back_on_pattern_change():
                          - dia_to_scipy(a_bad) @ np.asarray(x, np.float64)) \
         / np.linalg.norm(np.asarray(b))
     assert rel <= 1e-7
+
+
+def test_refresh_bf16_streams_certify():
+    """stream_dtype="bf16" halves the refresh transfer bytes (the warm
+    refresh is relay-transfer-floor-bound — BASELINE.md); the routed
+    values land bf16-rounded but the f64 IR still certifies 1e-8."""
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.solvers.ir import solve_ir
+    from omp_amg_tpu.sparse.formats import Dia, dia_to_scipy
+    from omp_amg_tpu.sparse.routed import RoutedEll
+
+    a = amg.poisson3d_7pt(48)
+    cache = SetupCache()
+    amg_setup(a, AMGParams(coarsening="pmis", routed="force"), cache=cache)
+    a2 = Dia(data=np.asarray(a.data) * 1.3, offsets=a.offsets, dims=a.dims)
+    h32 = amg_refresh(a2, cache)
+    h16 = amg_refresh(a2, cache, stream_dtype="bf16")
+    diffs = [
+        np.abs(np.asarray(getattr(l1, nm).val4, np.float32)
+               - np.asarray(getattr(l2, nm).val4, np.float32)).max()
+        for l1, l2 in zip(h32.levels, h16.levels)
+        for nm in ("a", "p", "r")
+        if isinstance(getattr(l1, nm), RoutedEll)
+    ]
+    assert diffs and max(diffs) > 0          # rounding genuinely applied
+    assert max(diffs) < 0.1                  # ...and bf16-sized
+    b = amg.default_rhs(a2, "random", seed=0)
+    res = solve_ir(dia_to_scipy(a2), np.asarray(b, np.float64), a2, h16,
+                   tol=1e-8, maxiter=300)
+    assert res.rel_residual <= 1e-8
