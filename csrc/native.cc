@@ -288,17 +288,25 @@ void spgemm_numeric(int64_t n_rows, int64_t n_cols_out,
 // (matches the uint16 view probe used for bfloat16). Returns the count.
 int64_t sparse_encode_w4(const uint32_t* x, int64_t n, int as_float,
                          int32_t* idx, uint32_t* val) {
+  // nt is the ACTUAL team size, read inside the region: if OpenMP grants
+  // fewer threads than omp_get_max_threads() (dynamic teams, thread
+  // limits, nesting), a partition by the requested count would silently
+  // skip the ranges of the threads that never materialized (ADVICE r4)
   int nt = 1;
-#ifdef _OPENMP
-  nt = omp_get_max_threads();
-#endif
-  std::vector<int64_t> counts(nt + 1, 0);
+  std::vector<int64_t> counts;
   const float* xf = reinterpret_cast<const float*>(x);
-#pragma omp parallel num_threads(nt)
+#pragma omp parallel
   {
     int t = 0;
 #ifdef _OPENMP
     t = omp_get_thread_num();
+#pragma omp single
+    {
+      nt = omp_get_num_threads();
+      counts.assign(nt + 1, 0);
+    }
+#else
+    counts.assign(nt + 1, 0);
 #endif
     int64_t lo = n * t / nt, hi = n * (t + 1) / nt, cnt = 0;
     for (int64_t i = lo; i < hi; ++i)
@@ -322,16 +330,20 @@ int64_t sparse_encode_w4(const uint32_t* x, int64_t n, int as_float,
 
 int64_t sparse_encode_w2(const uint16_t* x, int64_t n, int32_t* idx,
                          uint16_t* val) {
-  int nt = 1;
-#ifdef _OPENMP
-  nt = omp_get_max_threads();
-#endif
-  std::vector<int64_t> counts(nt + 1, 0);
-#pragma omp parallel num_threads(nt)
+  int nt = 1;  // actual team size (see sparse_encode_w4)
+  std::vector<int64_t> counts;
+#pragma omp parallel
   {
     int t = 0;
 #ifdef _OPENMP
     t = omp_get_thread_num();
+#pragma omp single
+    {
+      nt = omp_get_num_threads();
+      counts.assign(nt + 1, 0);
+    }
+#else
+    counts.assign(nt + 1, 0);
 #endif
     int64_t lo = n * t / nt, hi = n * (t + 1) / nt, cnt = 0;
     for (int64_t i = lo; i < hi; ++i) cnt += (x[i] != 0);

@@ -343,9 +343,15 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
                         raise PatternChangedError(
                             "L0: DIA nonzero set changed")
                 else:
-                    ip, ix, _ = num["a_pat"]
-                    if a_sp.nnz != len(ix) or not np.array_equal(
-                            a_sp.indices, ix):
+                    ip, ix, ncl = num["a_pat"]
+                    # indptr must match too: identical concatenated column
+                    # indices with different row boundaries (an entry
+                    # moving across a row boundary) would otherwise pass
+                    # and silently mis-apply values (ADVICE r4)
+                    if (a_sp.shape != (len(ip) - 1, ncl)
+                            or a_sp.nnz != len(ix)
+                            or not np.array_equal(a_sp.indices, ix)
+                            or not np.array_equal(a_sp.indptr, ip)):
                         raise PatternChangedError("L0: CSR pattern changed")
                     a_data = np.ascontiguousarray(a_sp.data, np.float64)
             a_pat = num["a_pat"]

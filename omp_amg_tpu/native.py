@@ -350,6 +350,33 @@ def spgemm(a, b):
     return sp.csr_matrix((c_val, c_idx, c_indptr), shape=(n, m))
 
 
+def _check_spgemm_containment(a_pat, b_pat, c_pat):
+    """Debug-mode guard for spgemm_numeric's containment precondition:
+    the structural pattern of A·B must be a subset of c_pat (flat row-major
+    keys; both patterns row/col sorted)."""
+    import scipy.sparse as sp
+
+    a_indptr, a_idx, _ = a_pat
+    b_indptr, b_idx, b_ncols = b_pat
+    c_indptr, c_idx, _ = c_pat
+    n = len(a_indptr) - 1
+    a = sp.csr_matrix((np.ones(len(a_idx)), a_idx, a_indptr),
+                      shape=(n, len(b_indptr) - 1))
+    b = sp.csr_matrix((np.ones(len(b_idx)), b_idx, b_indptr),
+                      shape=(len(b_indptr) - 1, b_ncols))
+    s = (a @ b).tocsr()
+    s.sort_indices()
+    keys_s = s.indices.astype(np.int64) + np.repeat(
+        np.arange(n, dtype=np.int64), np.diff(s.indptr)) * b_ncols
+    keys_c = np.asarray(c_idx, np.int64) + np.repeat(
+        np.arange(n, dtype=np.int64), np.diff(c_indptr)) * b_ncols
+    pos = np.searchsorted(keys_c, keys_s)
+    if (pos >= len(keys_c)).any() or not np.array_equal(keys_c[pos], keys_s):
+        raise ValueError(
+            "spgemm_numeric: structural A@B pattern is not contained in "
+            "the cached output pattern — values would be silently wrong")
+
+
 def spgemm_numeric(a_pat, a_data, b_pat, b_data, c_pat):
     """Numeric-only C = A @ B into a cached output pattern.
 
@@ -357,7 +384,21 @@ def spgemm_numeric(a_pat, a_data, b_pat, b_data, c_pat):
     sparsity matches the one the pattern was built from; returns C.data
     (f64). Falls back to a numpy masked Gustavson via scipy when the
     native library is unavailable.
+
+    PRECONDITION (caller responsibility — NOT checked in the native fast
+    path): every structural product term A[i,k]·B[k,j] must land inside
+    ``c_pat``, i.e. ``c_pat`` contains the full structural pattern of
+    A·B for the given A/B patterns. The native kernel zeroes its dense
+    accumulator only at the cached output positions; an uncovered column
+    would leak its partial sum into every later row handled by that
+    thread — silently wrong values, not an error. Set
+    ``OMP_AMG_DEBUG_SPGEMM=1`` to verify containment per call (one
+    structural two-phase product — slow; for tests/debugging).
     """
+    import os
+
+    if os.environ.get("OMP_AMG_DEBUG_SPGEMM"):
+        _check_spgemm_containment(a_pat, b_pat, c_pat)
     a_indptr, a_idx, _ = a_pat
     b_indptr, b_idx, b_ncols = b_pat
     c_indptr, c_idx, _ = c_pat

@@ -442,14 +442,19 @@ def make_dist_solver(mesh, dh: DistHierarchy, tol: float = 1e-6,
     cv = _check_vma(dh)
     local = (_dist_pcg_pipelined_local if variant == "pipelined"
              else _dist_pcg_local)
+    # small hierarchies can be ENTIRELY replicated (every level below the
+    # agglomeration threshold): b/x then stay full-length on every shard
+    # (the psum'd dots inflate by ndev, which cancels in every ratio the
+    # PCG uses — alpha, beta, tol·bnorm, rel)
+    vspec = P(AXIS) if dh.levels[0].sharded else P()
 
     @jax.jit
     def solve_t(dh, b, tol_s):
         fn = jax.shard_map(
             partial(local, maxiter=maxiter),
             mesh=mesh,
-            in_specs=(specs, P(AXIS), P()),
-            out_specs=(P(AXIS), P(), P()),
+            in_specs=(specs, vspec, P()),
+            out_specs=(vspec, P(), P()),
             check_vma=cv,
         )
         return fn(dh, b, tol_s)
@@ -466,11 +471,12 @@ def make_dist_vcycle(mesh, dh: DistHierarchy):
     """Jitted sharded single V-cycle apply: (dh, b_padded) → z_padded."""
     specs = dist_specs(dh)
     cv = _check_vma(dh)
+    vspec = P(AXIS) if dh.levels[0].sharded else P()
 
     @jax.jit
     def apply(dh, b):
         return jax.shard_map(dist_vcycle, mesh=mesh,
-                             in_specs=(specs, P(AXIS)),
-                             out_specs=P(AXIS), check_vma=cv)(dh, b)
+                             in_specs=(specs, vspec),
+                             out_specs=vspec, check_vma=cv)(dh, b)
 
     return apply

@@ -117,14 +117,25 @@ def dist_df_spmv(op, xh, xl):
             xwh = lax.all_gather(xh, AXIS, tiled=True)[: op.n_in_real]
             xwl = lax.all_gather(xl, AXIS, tiled=True)[: op.n_in_real]
             return _df_ell_rowsum(op.val, op.col, xwh, xwl)
+        if op.mode == "replicated" and op.col.shape[0] == xh.shape[0]:
+            # fully replicated fine level (small hierarchy): x is the full
+            # vector on every shard, columns are global — plain local rowsum
+            return _df_ell_rowsum(op.val, op.col, xh, xl)
     raise TypeError(f"df64 SpMV unsupported for fine operator {type(op)}")
 
 
-def _residual_local(a_op, bh, bl, xh, xl):
-    """One shard-local IR refresh: r = b − A·x (df64), psum norm, unit r."""
+def _residual_local(a_op, bh, bl, xh, xl, replicated=False):
+    """One shard-local IR refresh: r = b − A·x (df64), psum norm, unit r.
+
+    ``replicated=True``: the fine level (hence b/x) is full-length on every
+    shard — the psum'd norm² counts each entry ndev times and must be
+    rescaled (this norm is compared against the HOST bnorm, so the
+    inflation does not cancel the way the inner PCG's ratios do)."""
     ah, al = dist_df_spmv(a_op, xh, xl)
     rh, rl = df_add(bh, bl, -ah, -al)
     rn2 = lax.psum(df_norm2(rh, rl), AXIS)
+    if replicated:
+        rn2 = rn2 / lax.axis_size(AXIS)
     rnorm = jnp.sqrt(jnp.maximum(rn2, 0.0))
     safe = jnp.where(rnorm == 0, 1.0, rnorm)
     return rh / safe, rnorm
@@ -133,8 +144,12 @@ def _residual_local(a_op, bh, bl, xh, xl):
 def supports_df64(dh: DistHierarchy) -> bool:
     """True when the fine operator family has a df64 distributed SpMV."""
     a0 = dh.levels[0].a
-    return isinstance(a0, SlabDia) or (
-        isinstance(a0, DistOp) and a0.mode in ("halo", "gather"))
+    if isinstance(a0, SlabDia):
+        return True
+    if not isinstance(a0, DistOp):
+        return False
+    return a0.mode in ("halo", "gather") or (
+        a0.mode == "replicated" and not dh.levels[0].sharded)
 
 
 def make_dist_ir_solver(mesh, dh: DistHierarchy, tol: float = 1e-8,
@@ -145,16 +160,20 @@ def make_dist_ir_solver(mesh, dh: DistHierarchy, tol: float = 1e-8,
     ``b`` is the padded host f64 right-hand side; it is split exactly into
     (hi, lo) f32 shards. Returns IRResult with x as the padded host f64
     solution (hi + lo pulled once at the end)."""
-    a_spec = _op_spec(dh.levels[0].a, dh.levels[0].sharded)
+    sharded0 = bool(dh.levels[0].sharded)
+    a_spec = _op_spec(dh.levels[0].a, sharded0)
     inner = make_dist_solver(mesh, dh, tol=inner_tol, maxiter=maxiter,
                              variant=variant)
-    vec = NamedSharding(mesh, P(AXIS))
+    vspec = P(AXIS) if sharded0 else P()
+    vec = NamedSharding(mesh, vspec)
 
     @jax.jit
     def residual(dh_in, bh, bl, xh, xl):
-        fn = jax.shard_map(_residual_local, mesh=mesh,
-                           in_specs=(a_spec,) + (P(AXIS),) * 4,
-                           out_specs=(P(AXIS), P()),
+        fn = jax.shard_map(partial(_residual_local,
+                                   replicated=not sharded0),
+                           mesh=mesh,
+                           in_specs=(a_spec,) + (vspec,) * 4,
+                           out_specs=(vspec, P()),
                            check_vma=False)
         return fn(dh_in.levels[0].a, bh, bl, xh, xl)
 

@@ -241,3 +241,30 @@ def test_native_dia_planes_rejects_nonsquare():
     a = sp.csr_matrix(np.array([[1.0, 0, 2.0, 3.0],
                                 [0, 4.0, 0, 5.0]]))
     assert native.dia_planes(a) is None
+
+
+def test_spgemm_numeric_containment_debug_check(monkeypatch):
+    """OMP_AMG_DEBUG_SPGEMM=1 catches a cached output pattern that does not
+    contain the structural A@B product (ADVICE r4: the native kernel would
+    silently leak partial sums across rows otherwise)."""
+    rng = np.random.default_rng(0)
+    a = sp.random(20, 15, density=0.3, random_state=rng, format="csr")
+    b = sp.random(15, 18, density=0.3, random_state=rng, format="csr")
+    a.sort_indices(); b.sort_indices()
+    c = (a @ b).tocsr(); c.sort_indices()
+    pat = lambda m: (m.indptr.astype(np.int64), m.indices.astype(np.int32),
+                     m.shape[1])
+    monkeypatch.setenv("OMP_AMG_DEBUG_SPGEMM", "1")
+    val = native.spgemm_numeric(pat(a), a.data, pat(b), b.data, pat(c))
+    np.testing.assert_allclose(val, c.data, rtol=1e-13)
+    # drop one structural entry from the cached pattern -> must raise
+    bad = c.copy()
+    keep = np.ones(bad.nnz, bool)
+    keep[bad.nnz // 2] = False
+    bad = sp.csr_matrix((bad.data[keep],
+                         bad.indices[keep],
+                         np.searchsorted(np.flatnonzero(
+                             np.repeat(True, bad.nnz))[keep],
+                             bad.indptr, side="left")), shape=bad.shape)
+    with pytest.raises(ValueError, match="not contained"):
+        native.spgemm_numeric(pat(a), a.data, pat(b), b.data, pat(bad))

@@ -72,6 +72,13 @@ def test_refresh_matches_fresh_setup(gen, n, prm):
     h_fresh = amg_setup(a2, prm)
     h_ref = amg_refresh(a2, cache)
     _compare_hier(h_fresh, h_ref)
+    # second refresh takes the WARM pure-numeric path (reconstructed ELL
+    # planes, p_pos ordering, shared R stream, spgemm_numeric) — it too
+    # must match a fresh setup, not just the cold refresh (ADVICE r4)
+    a4 = _scale_dia(a, 4.0)
+    h_fresh4 = amg_setup(a4, prm)
+    h_warm = amg_refresh(a4, cache)
+    _compare_hier(h_fresh4, h_warm)
 
 
 def test_refresh_pinned_pattern_on_tie_flips():
@@ -153,6 +160,29 @@ def test_refresh_detects_pattern_change():
     a_bad = Dia(data=data, offsets=a.offsets, dims=a.dims)
     with pytest.raises(PatternChangedError):
         amg_refresh(a_bad, cache)
+
+
+def test_refresh_warm_csr_guard_checks_indptr():
+    """Two CSR operators with identical concatenated column indices but a
+    shifted row boundary must be DETECTED by the warm L0 guard (it used to
+    compare only nnz + the flat indices array — ADVICE r4 medium)."""
+    a = amg.poisson2d_5pt(24)
+    a0 = dia_to_scipy(a).tocsr()
+    a0.sort_indices()
+    prm = AMGParams(coarsening="pmis", routed="force")
+    cache = SetupCache()
+    amg_setup(a0, prm, cache=cache)      # CSR-input setup: L0 stays ELL
+    a_sp = (a0 * 2.0).tocsr()
+    a_sp.sort_indices()
+    amg_refresh(a_sp, cache)             # cold: freezes the CSR dataflow
+    amg_refresh(a_sp * 1.5, cache)       # warm control: same pattern, ok
+    bad = a_sp.copy()
+    ip = bad.indptr.copy()
+    ip[1] -= 1    # last entry of row 0 becomes the head of row 1
+    bad.indptr = ip
+    bad.has_sorted_indices = True        # bypass the canonicalizing sort
+    with pytest.raises(PatternChangedError, match="CSR pattern changed"):
+        amg_refresh(bad, cache)
 
 
 def test_cache_rejects_structured_and_device_flavors():
