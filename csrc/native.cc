@@ -362,6 +362,54 @@ int64_t sparse_encode_w2(const uint16_t* x, int64_t n, int32_t* idx,
   return counts[nt];
 }
 
+// Delta-encode a sorted unique int32 position stream as u8 gaps with
+// int32 exceptions for gaps >= 255 (utils/pack.py — 1 B/entry through the
+// relay instead of 4). ``prev`` is the previous global position MINUS the
+// part's global offset (so multi-part fused groups encode without ever
+// materializing the offset-shifted index arrays). Returns the exception
+// count, or -1 when exc_cap would overflow (caller retries with a bigger
+// buffer). exc_pos entries are relative to ``pos0`` (the part's start in
+// the fused stream).
+int64_t delta_encode_u8(const int32_t* idx, int64_t n, int64_t prev,
+                        int64_t pos0, uint8_t* du8, int32_t* exc_pos,
+                        int32_t* exc_gap, int64_t exc_cap) {
+  int64_t ne = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t gap = (int64_t)idx[i] - prev;
+    prev = idx[i];
+    if (gap >= 255) {
+      if (ne >= exc_cap) return -1;
+      exc_pos[ne] = (int32_t)(pos0 + i);
+      exc_gap[ne] = (int32_t)gap;
+      du8[i] = 255;
+      ++ne;
+    } else {
+      du8[i] = (uint8_t)gap;
+    }
+  }
+  return ne;
+}
+
+// Lane stream for the device-side lidx derivation (utils/pack.py
+// add_routed): lanes[i] = the 7-bit lane of val4 flat position idx[i],
+// read out of the packed lidx words (sparse/routed.py layout — val4
+// (NC,KC,8,128), lidxp (NC,KC/4,8,128) with 4 slots' lanes per int32).
+// Shipping this 1 B/nnz stream instead of the packed-word scatter removes
+// the whole lidx plan array from the host->device transfer.
+void routed_lanes_at(const uint32_t* lidxp, const int32_t* idx, int64_t n,
+                     int64_t kc, uint8_t* lanes) {
+  int64_t kq = kc / 4;
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t p = idx[i];
+    int64_t lane = p & 127, u = p >> 7;
+    int64_t s = u & 7, q = u >> 3;
+    int64_t ks = q % kc, ci = q / kc;
+    int64_t w = ((ci * kq + (ks >> 2)) * 8 + s) * 128 + lane;
+    lanes[i] = (uint8_t)((lidxp[w] >> (8 * (ks & 3))) & 0x7F);
+  }
+}
+
 // CSR matvec, f64, row-parallel: the λmax power iteration's inner product
 // (20 sweeps over every level dominate the refresh/setup "lmax" phase when
 // run through scipy's single-threaded csr_matvec; same per-row

@@ -138,12 +138,22 @@ def _coarse_factor(dense: np.ndarray, params: AMGParams) -> np.ndarray:
     return chol
 
 
-def _estimate_lmax_host(a_sp, dinv: np.ndarray, iters: int = 20) -> float:
+def _estimate_lmax_host(a_sp, dinv: np.ndarray, iters: int | None = None
+                        ) -> float:
     """Power iteration on D⁻¹A with the same deterministic seed as the
     device version (smoothers.estimate_lmax). The matvec runs the native
     threaded CSR kernel when available (same per-row accumulation order as
     scipy's csr_matvec); norms/dots stay in numpy so fresh setup and
-    value-only refresh agree bit-for-bit with each other."""
+    value-only refresh agree bit-for-bit with each other.
+
+    ``iters=None`` adapts to the level size: 20 power sweeps below 2²²
+    rows (the historical default — small-level behavior and every pinned
+    iteration count unchanged); at or above 2²² rows a 12-step Lanczos on
+    the symmetrized D^{-1/2}·A·D^{-1/2} (same spectrum) replaces it — 12
+    matvecs instead of 21 (the L0/L1 power iterations cost 18 s of the
+    256³ setup wall) with a CLOSER estimate than power-20
+    (tests/test_amg_setup.py pins Lanczos-12 ≥ power-20 on a
+    representative operator; both converge to λmax from below)."""
     from ..native import CsrMatvec
     from .host_setup import hash01_np
 
@@ -153,6 +163,10 @@ def _estimate_lmax_host(a_sp, dinv: np.ndarray, iters: int = 20) -> float:
         apply_a = CsrMatvec(a_sp.indptr, a_sp.indices, a_sp.data,
                             n_cols=a_sp.shape[1])
         n = a_sp.shape[0]
+    if iters is None and n >= (1 << 22):
+        return _lanczos_lmax_host(apply_a, dinv, n)
+    if iters is None:
+        iters = 20
     v = hash01_np(np.arange(n)).astype(np.float64) - 0.5
     v /= np.linalg.norm(v)
     for _ in range(iters):
@@ -160,6 +174,41 @@ def _estimate_lmax_host(a_sp, dinv: np.ndarray, iters: int = 20) -> float:
         v = w / np.linalg.norm(w)
     w = dinv * apply_a(v)
     return float(v @ w / (v @ v))
+
+
+def _lanczos_lmax_host(apply_a, dinv: np.ndarray, n: int, k: int = 12
+                       ) -> float:
+    """Largest Ritz value of D^{-1/2}·A·D^{-1/2} from a plain 3-term
+    Lanczos recurrence (no reorthogonalization — extreme-eigenvalue
+    estimates at k ≤ 12 are unaffected by the gradual orthogonality loss
+    on these smooth SPD spectra). Deterministic start vector shared with
+    the power iteration; used for levels ≥ 2²² rows (see
+    _estimate_lmax_host)."""
+    from .host_setup import hash01_np
+
+    dsq = np.sqrt(dinv)
+    v = hash01_np(np.arange(n)).astype(np.float64) - 0.5
+    v /= np.linalg.norm(v)
+    alphas: list = []
+    betas: list = []
+    v_prev = np.zeros_like(v)
+    beta = 0.0
+    for _ in range(k):
+        w = dsq * apply_a(dsq * v)
+        alpha = float(v @ w)
+        w -= alpha * v + beta * v_prev
+        alphas.append(alpha)
+        beta = float(np.linalg.norm(w))
+        if beta == 0.0:   # exact invariant subspace
+            break
+        betas.append(beta)
+        v_prev, v = v, w / beta
+    m = len(alphas)
+    t = np.diag(alphas)
+    if m > 1:
+        off = np.asarray(betas[:m - 1])
+        t += np.diag(off, 1) + np.diag(off, -1)
+    return float(np.linalg.eigvalsh(t).max())
 
 
 def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
@@ -361,6 +410,7 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                 ac_sp.data = vals[rr, pos].astype(np.float64)
         trace.mark(f"L{len(levels)} RAP")
         pt_sp = p_sp.T.tocsr()
+        trace.mark(f"L{len(levels)} transpose")
         r = ell_from_scipy(pt_sp, dtype=dtype) if flavor == "device" else None
         if params.smoother == "l1jacobi":
             # l1 smoother: D = diag(Σ_j |a_ij|); host row sums (setup is
@@ -405,6 +455,7 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             a_pm = to_plane_dia(a_for_pm, dtype="auto", put=batch.add)
             if a_pm is not None:
                 a_lvl = a_pm
+            trace.mark(f"L{len(levels)} a-planes")
         p_lvl, r_lvl = p, r
         if use_routed:
             # routed-ELL views: the TPU-fast general-sparsity SpMV format
@@ -451,6 +502,7 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                     a_lvl = rt
                 else:
                     _warn_unrouted("A", a_sp)
+                trace.mark(f"L{len(levels)} a-plan")
             # transfer operators at headline scale store bf16 values: P/R
             # weights tolerate half precision (the preconditioner changes
             # by ~1e-3 relative; the f64 IR outer certifies the solution
@@ -470,6 +522,7 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                 p_lvl = rt
             else:
                 _warn_unrouted("P", p_sp)
+            trace.mark(f"L{len(levels)} p-plan")
             rt = routed_from_scipy(pt_sp, dtype=pr_dt, put=batch.add,
                                    map_out=_mo("r_map"))
             if rt is None:
@@ -509,6 +562,7 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             # level build — keep host planes only, upload nothing here
             cur_planes = ell_planes_from_scipy(ac_sp, dtype=np.float32)[:2]
             a_dev = None
+            trace.mark(f"L{len(levels)} next-planes")
         host_ops.append(a_sp)
 
     dense = np.asarray(a_sp.toarray(), dtype=np.float64)

@@ -72,6 +72,16 @@ def _load():
         lib.sparse_encode_w4.restype = ctypes.c_int64
         lib.sparse_encode_w2.argtypes = [u16p_, ctypes.c_int64, i32p, u16p_]
         lib.sparse_encode_w2.restype = ctypes.c_int64
+        lib.routed_lanes_at.argtypes = [u32p, i32p, ctypes.c_int64,
+                                        ctypes.c_int64,
+                                        np.ctypeslib.ndpointer(
+                                            np.uint8, flags="C")]
+        lib.delta_encode_u8.argtypes = [i32p, ctypes.c_int64,
+                                        ctypes.c_int64, ctypes.c_int64,
+                                        np.ctypeslib.ndpointer(
+                                            np.uint8, flags="C"),
+                                        i32p, i32p, ctypes.c_int64]
+        lib.delta_encode_u8.restype = ctypes.c_int64
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
         i8p = np.ctypeslib.ndpointer(np.int8, flags="C")
         lib.extpi_interp_f64.argtypes = [
@@ -499,6 +509,60 @@ def sparse_encode(flat: np.ndarray):
         cnt = lib.sparse_encode_w2(flat.view(np.uint16), n, idx, val)
         return idx[:cnt], val[:cnt].view(flat.dtype)
     return None
+
+
+def delta_encode_parts(parts):
+    """Fused-group delta encoding (utils/pack.py): ``parts`` is a list of
+    (idx int32 sorted-unique, global_offset); returns (du8, exc_pos,
+    exc_gap) for the concatenated offset-shifted stream WITHOUT
+    materializing it (native one-pass per part), or None when the native
+    library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    total = sum(len(idx) for idx, _ in parts)
+    du8 = np.empty(total, np.uint8)
+    exc_chunks = []
+    prev = -1          # global position before the stream (gap = idx0 + 1)
+    pos0 = 0
+    for idx, off in parts:
+        idx = np.ascontiguousarray(idx, np.int32)
+        n = len(idx)
+        cap = n // 32 + 1024
+        while True:
+            exc_pos = np.empty(cap, np.int32)
+            exc_gap = np.empty(cap, np.int32)
+            ne = lib.delta_encode_u8(idx, n, prev - off, pos0,
+                                     du8[pos0:pos0 + n], exc_pos, exc_gap,
+                                     cap)
+            if ne >= 0:
+                break
+            cap = n + 1     # worst case: every gap is an exception
+        if ne:
+            exc_chunks.append((exc_pos[:ne], exc_gap[:ne]))
+        if n:
+            prev = off + int(idx[-1])
+        pos0 += n
+    if exc_chunks:
+        exc_pos = np.concatenate([c[0] for c in exc_chunks])
+        exc_gap = np.concatenate([c[1] for c in exc_chunks])
+    else:
+        exc_pos = np.zeros(0, np.int32)
+        exc_gap = np.zeros(0, np.int32)
+    return du8, exc_pos, exc_gap
+
+
+def routed_lanes_at(lidxp: np.ndarray, idx: np.ndarray, kc: int):
+    """u8 lane stream of val4 flat positions ``idx`` from the packed lidx
+    words (see csrc routed_lanes_at / utils.pack.add_routed), or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(idx, np.int32)
+    lanes = np.empty(len(idx), np.uint8)
+    lib.routed_lanes_at(np.ascontiguousarray(lidxp).view(np.uint32),
+                        idx, len(idx), int(kc), lanes)
+    return lanes
 
 
 def perm_gather(perm: np.ndarray, x: np.ndarray) -> np.ndarray:

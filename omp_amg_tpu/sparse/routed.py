@@ -474,9 +474,18 @@ def routed_from_scipy(m, dtype=jnp.float32, put=None, ws: int | None = None,
             val4_h = packed
         else:
             val4_h = np.asarray(val4_h, jnp.dtype(dtype))
+    # paired val4+lidx upload (utils/pack.add_routed): when val4 ships
+    # sparse, the packed-lidx plan array is derived ON DEVICE from a
+    # 1 B/nnz lane stream riding val4's index stream — the lidx words
+    # never cross the host→device boundary (round-5 transfer cut)
+    add_routed = getattr(getattr(put, "__self__", None), "add_routed", None)
+    if add_routed is not None and sparse_ok:
+        val4_d, lidx4_d = add_routed(val4_h, plan_lidx_packed(plan), KC)
+    else:
+        val4_d, lidx4_d = sput(val4_h), sput(plan_lidx_packed(plan))
     return RoutedEll(
-        val4=sput(val4_h),
-        lidx4=sput(plan_lidx_packed(plan)),
+        val4=val4_d,
+        lidx4=lidx4_d,
         soff=put(np.ascontiguousarray(soff)),
         cbase=put(plan["cbase"]),
         kch=put(plan["kch"]),

@@ -160,3 +160,28 @@ def test_aniso_pmis_theta_semantics():
     mask = hs.strength_mask_host(col, val, 0.5)
     interior = np.flatnonzero(mask.sum(axis=1) > 0)
     assert mask[interior].sum(axis=1).max() == 2
+
+
+def test_lmax_lanczos_beats_power20():
+    """The adaptive lmax path (Lanczos-12 at n >= 2^22, round 5) must be
+    at least as accurate as the power-20 default it replaces: both
+    converge to lambda_max from below, so "closer" = "larger"."""
+    import numpy as np
+
+    from omp_amg_tpu.amg.hierarchy import (
+        _estimate_lmax_host, _lanczos_lmax_host,
+    )
+    from omp_amg_tpu.native import CsrMatvec
+
+    for gen, n in ((amg.poisson3d_7pt, 40), (amg.aniso2d_9pt, 96)):
+        a_sp = amg.dia_to_scipy(gen(n)).tocsr()
+        a_sp.sort_indices()
+        dinv = 1.0 / a_sp.diagonal()
+        mv = CsrMatvec(a_sp.indptr, a_sp.indices, a_sp.data,
+                       n_cols=a_sp.shape[1])
+        l12 = _lanczos_lmax_host(mv, dinv, a_sp.shape[0])
+        p20 = _estimate_lmax_host(a_sp, dinv, iters=20)
+        p60 = _estimate_lmax_host(a_sp, dinv, iters=60)
+        assert l12 >= p20 - 1e-12          # no accuracy regression
+        assert l12 <= p60 * 1.0001         # still a from-below estimate
+        assert abs(l12 - p60) / p60 < 0.02

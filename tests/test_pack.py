@@ -117,3 +117,55 @@ def test_native_sparse_encode_matches_numpy_probes():
     np.testing.assert_array_equal(enc[0], ref)
     np.testing.assert_array_equal(enc[1].view(np.uint16),
                                   xb[ref].view(np.uint16))
+
+
+def test_delta_encode_parts_matches_numpy():
+    """Native per-part delta encoding == the numpy fused-stream encoder,
+    including gap-255 boundary, multi-part offsets and exceptions."""
+    from omp_amg_tpu import native
+    from omp_amg_tpu.utils.pack import _delta_encode
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    # gaps around the escape threshold + some huge ones
+    gaps = rng.choice([1, 2, 253, 254, 255, 256, 100000], size=20000,
+                      p=[.5, .2, .08, .08, .08, .05, .01])
+    idx = np.cumsum(gaps).astype(np.int64) - 1
+    cut = 12000
+    i1 = idx[:cut].astype(np.int32)
+    off2 = int(idx[cut - 1]) + 7
+    i2 = (idx[cut:] - idx[cut]).astype(np.int32)  # re-based second part
+    fused = np.concatenate([i1, i2 + off2])
+    d_ref, p_ref, g_ref = _delta_encode(fused)
+    d, p, g = native.delta_encode_parts([(i1, 0), (i2, off2)])
+    np.testing.assert_array_equal(d, d_ref)
+    np.testing.assert_array_equal(p, p_ref)
+    np.testing.assert_array_equal(g, g_ref)
+    # empty part and empty stream
+    d, p, g = native.delta_encode_parts([(np.zeros(0, np.int32), 0),
+                                         (i1, 0)])
+    np.testing.assert_array_equal(d, d_ref[:cut])
+    assert native.delta_encode_parts([])[0].size == 0
+
+
+def test_add_routed_lanes_roundtrip_with_explicit_zero():
+    """add_routed derives the packed lidx words on device; a slot whose
+    VALUE is zero drops its lane bits (0·finite reads — the routed
+    invariant), everything else is bit-equal to the host packing."""
+    import scipy.sparse as sp
+
+    from omp_amg_tpu.sparse.routed import routed_from_scipy, routed_to_scipy
+
+    rng = np.random.default_rng(9)
+    m = sp.random(4000, 4000, density=0.003, random_state=rng,
+                  format="csr")
+    m.data[:] = rng.standard_normal(m.nnz)
+    m.data[m.nnz // 2] = 0.0          # explicit stored zero
+    m.sort_indices()
+    b = DeferredUpload(eager=False)
+    rt = b.resolve(routed_from_scipy(m, put=b.add))
+    me = m.copy()
+    me.eliminate_zeros()
+    back = routed_to_scipy(rt)
+    assert abs(back - me).max() < 1e-6
