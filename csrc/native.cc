@@ -19,6 +19,190 @@
 #include <omp.h>
 #endif
 
+
+// Implementation (round-5 rewrite): the original kernel re-scanned the
+// full k-wide ELL row of every strong-F neighbor twice per use (a_ki
+// lookup + distribution) — O(k^2) per row, 26 s at the 256^3 L1 level
+// where k ~ 60. This version first COMPACTS the planes into CSR-style
+// adjacency (nonzero slots only, columns ascending within rows — both
+// plane builders guarantee it) plus a strong-C-negative sublist per row,
+// then walks exactly the needed entries and binary-searches a_ki.
+// Accumulation order, truncation tie-breaks and every numeric decision
+// match the original slot-order walk, so the output is BIT-IDENTICAL
+// (pinned against the numpy twin by tests/test_native_setup.py).
+// Templated over the value type: the f32 entry reads the setup's native
+// f32 planes directly (each term converts exactly to double), removing
+// the caller's n*k f64 conversion temp (~1.7 GB at 256^3 L1).
+template <typename T>
+static void extpi_interp_impl(int64_t n, int64_t k, int64_t n_coarse,
+                              const int32_t* col, const T* val,
+                              const uint8_t* mask, const int8_t* state,
+                              const int64_t* cmap, int64_t max_elements,
+                              int32_t* p_col, double* p_val) {
+  const int8_t C = 1, F = 2;
+  // ---- pass A: per-row nonzero + strong-C-neg counts ----
+  std::vector<int64_t> off(n + 1, 0), soff(n + 1, 0);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t* ci = col + i * k;
+    const T* vi = val + i * k;
+    const uint8_t* mi = mask + i * k;
+    int64_t cnt = 0, scnt = 0;
+    for (int64_t s = 0; s < k; ++s) {
+      if (vi[s] == (T)0) continue;
+      ++cnt;
+      int32_t c = ci[s];
+      if (mi[s] && state[c] == C && vi[s] < (T)0 && c != (int32_t)i)
+        ++scnt;
+    }
+    off[i + 1] = cnt;
+    soff[i + 1] = scnt;
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    off[i + 1] += off[i];
+    soff[i + 1] += soff[i];
+  }
+  // ---- pass B: fill compact adjacency + strong-C-neg lists + d_base ----
+  std::vector<int32_t> ccol(off[n]);
+  std::vector<T> cval(off[n]);
+  std::vector<uint8_t> cstr(off[n]);
+  std::vector<int32_t> scn_cmap(soff[n]);
+  std::vector<T> scn_val(soff[n]);
+  std::vector<double> d_base(n);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    const int32_t* ci = col + i * k;
+    const T* vi = val + i * k;
+    const uint8_t* mi = mask + i * k;
+    int64_t w = off[i], sw = soff[i];
+    double acc = 0.0;
+    for (int64_t s = 0; s < k; ++s) {
+      T v = vi[s];
+      if (v == (T)0) continue;
+      int32_t c = ci[s];
+      bool strong = mi[s] != 0;
+      ccol[w] = c;
+      cval[w] = v;
+      cstr[w] = (uint8_t)strong;
+      ++w;
+      if (strong && state[c] == C && v < (T)0 && c != (int32_t)i) {
+        scn_cmap[sw] = (int32_t)cmap[c];
+        scn_val[sw] = v;
+        ++sw;
+        acc += (double)v;   // d_base: same summand set, same slot order
+      }
+    }
+    d_base[i] = acc;
+  }
+
+#pragma omp parallel
+  {
+    std::vector<double> accum(n_coarse, 0.0);
+    std::vector<int64_t> marker(n_coarse, -1);
+    std::vector<int64_t> cols_seen;
+    std::vector<double> asc_part(n_coarse, 0.0);
+    struct Cand { double w; int64_t pos; int64_t cj; };
+    std::vector<Cand> cand;
+
+#pragma omp for schedule(dynamic, 256)
+    for (int64_t i = 0; i < n; ++i) {
+      int32_t* pc = p_col + i * max_elements;
+      double* pv = p_val + i * max_elements;
+      for (int64_t s = 0; s < max_elements; ++s) { pc[s] = 0; pv[s] = 0.0; }
+      if (state[i] == C) {
+        pc[0] = (int32_t)cmap[i];
+        pv[0] = 1.0;
+        continue;
+      }
+      cols_seen.clear();
+      double diag = 0.0, weak_sum = 0.0, bki_sum = 0.0;
+      for (int64_t e = off[i]; e < off[i + 1]; ++e) {
+        int32_t c = ccol[e];
+        double v = (double)cval[e];
+        if (c == (int32_t)i) {
+          diag += v;
+          continue;
+        }
+        bool strong = cstr[e] != 0;
+        if (strong && state[c] == C) {
+          int64_t j = cmap[c];
+          if (marker[j] != i) {
+            marker[j] = i;
+            accum[j] = 0.0;
+            asc_part[j] = 0.0;
+            cols_seen.push_back(j);
+          }
+          asc_part[j] += v;
+          continue;
+        }
+        if (strong && state[c] == F) {
+          // a_ki: negative coupling back from row c to i — binary search
+          // over row c's compacted (ascending) columns
+          double a_ki = 0.0;
+          int64_t lo = off[c], hi = off[c + 1];
+          while (lo < hi) {
+            int64_t mid = (lo + hi) >> 1;
+            if (ccol[mid] < (int32_t)i) lo = mid + 1; else hi = mid;
+          }
+          if (lo < off[c + 1] && ccol[lo] == (int32_t)i
+              && cval[lo] < (T)0)
+            a_ki = (double)cval[lo];
+          double d_ik = d_base[c] + a_ki;
+          if (d_ik == 0.0) { weak_sum += v; continue; }
+          double b = v / d_ik;
+          bki_sum += b * a_ki;
+          for (int64_t e2 = soff[c]; e2 < soff[c + 1]; ++e2) {
+            int64_t j = scn_cmap[e2];
+            if (marker[j] != i) {
+              marker[j] = i;
+              accum[j] = 0.0;
+              asc_part[j] = 0.0;
+              cols_seen.push_back(j);
+            }
+            accum[j] += b * (double)scn_val[e2];
+          }
+          continue;
+        }
+        weak_sum += v;
+      }
+      double dtil = diag + weak_sum + bki_sum;
+      if (dtil == 0.0) dtil = 1.0;
+      cand.clear();
+      for (size_t t = 0; t < cols_seen.size(); ++t) {
+        int64_t j = cols_seen[t];
+        double nv = accum[j] + asc_part[j];
+        if (nv == 0.0) continue;
+        cand.push_back({-nv / dtil, (int64_t)t, j});
+      }
+      int64_t keep = (int64_t)cand.size();
+      if (keep > max_elements) {
+        std::sort(cand.begin(), cand.end(), [](const Cand& a, const Cand& b) {
+          double fa = a.w < 0 ? -a.w : a.w, fb = b.w < 0 ? -b.w : b.w;
+          if (fa != fb) return fa > fb;
+          return a.cj < b.cj;
+        });
+        double full_p = 0.0, full_n = 0.0, kept_p = 0.0, kept_n = 0.0;
+        for (int64_t t = 0; t < (int64_t)cand.size(); ++t) {
+          double w = cand[t].w;
+          if (w > 0) full_p += w; else full_n += w;
+          if (t < max_elements) { if (w > 0) kept_p += w; else kept_n += w; }
+        }
+        double fac_p = kept_p != 0.0 ? full_p / kept_p : 1.0;
+        double fac_n = kept_n != 0.0 ? full_n / kept_n : 1.0;
+        for (int64_t t = 0; t < max_elements; ++t)
+          cand[t].w *= cand[t].w > 0 ? fac_p : fac_n;
+        keep = max_elements;
+      }
+      std::sort(cand.begin(), cand.begin() + keep,
+                [](const Cand& a, const Cand& b) { return a.cj < b.cj; });
+      for (int64_t t = 0; t < keep; ++t) {
+        pc[t] = (int32_t)cand[t].cj;
+        pv[t] = cand[t].w;
+      }
+    }
+  }
+}
+
 extern "C" {
 
 // y = A x for DIA storage: data[k*n + i] multiplies x[i + offsets[k]].
@@ -362,6 +546,100 @@ int64_t sparse_encode_w2(const uint16_t* x, int64_t n, int32_t* idx,
   return counts[nt];
 }
 
+// Fused sparse-encode + lane extraction for routed plans (utils/pack.py
+// add_routed): one pass over the dense val4 emits the nonzero index and
+// value streams AND the u8 lane stream (read from the packed lidx words
+// at emit time) — replacing the separate sparse_encode + routed_lanes_at
+// passes over the multi-GB plan arrays. Same team-size-safe partition and
+// probe semantics as sparse_encode_w4/w2. Returns the count.
+int64_t sparse_encode_routed_w4(const uint32_t* x, int64_t n, int as_float,
+                                const uint32_t* lidxp, int64_t kc,
+                                int32_t* idx, uint32_t* val,
+                                uint8_t* lanes) {
+  int nt = 1;
+  std::vector<int64_t> counts;
+  const float* xf = reinterpret_cast<const float*>(x);
+  int64_t kq = kc / 4;
+#pragma omp parallel
+  {
+    int t = 0;
+#ifdef _OPENMP
+    t = omp_get_thread_num();
+#pragma omp single
+    {
+      nt = omp_get_num_threads();
+      counts.assign(nt + 1, 0);
+    }
+#else
+    counts.assign(nt + 1, 0);
+#endif
+    int64_t lo = n * t / nt, hi = n * (t + 1) / nt, cnt = 0;
+    for (int64_t i = lo; i < hi; ++i)
+      cnt += as_float ? (xf[i] != 0.0f) : (x[i] != 0);
+    counts[t + 1] = cnt;
+#pragma omp barrier
+#pragma omp single
+    for (int i = 0; i < nt; ++i) counts[i + 1] += counts[i];
+    int64_t w = counts[t];
+    for (int64_t i = lo; i < hi; ++i) {
+      bool nz = as_float ? (xf[i] != 0.0f) : (x[i] != 0);
+      if (nz) {
+        idx[w] = (int32_t)i;
+        val[w] = x[i];
+        int64_t lane = i & 127, u = i >> 7;
+        int64_t s = u & 7, q = u >> 3;
+        int64_t ks = q % kc;
+        int64_t wd = (((q / kc) * kq + (ks >> 2)) * 8 + s) * 128 + lane;
+        lanes[w] = (uint8_t)((lidxp[wd] >> (8 * (ks & 3))) & 0x7F);
+        ++w;
+      }
+    }
+  }
+  return counts[nt];
+}
+
+int64_t sparse_encode_routed_w2(const uint16_t* x, int64_t n,
+                                const uint32_t* lidxp, int64_t kc,
+                                int32_t* idx, uint16_t* val,
+                                uint8_t* lanes) {
+  int nt = 1;
+  std::vector<int64_t> counts;
+  int64_t kq = kc / 4;
+#pragma omp parallel
+  {
+    int t = 0;
+#ifdef _OPENMP
+    t = omp_get_thread_num();
+#pragma omp single
+    {
+      nt = omp_get_num_threads();
+      counts.assign(nt + 1, 0);
+    }
+#else
+    counts.assign(nt + 1, 0);
+#endif
+    int64_t lo = n * t / nt, hi = n * (t + 1) / nt, cnt = 0;
+    for (int64_t i = lo; i < hi; ++i) cnt += (x[i] != 0);
+    counts[t + 1] = cnt;
+#pragma omp barrier
+#pragma omp single
+    for (int i = 0; i < nt; ++i) counts[i + 1] += counts[i];
+    int64_t w = counts[t];
+    for (int64_t i = lo; i < hi; ++i)
+      if (x[i] != 0) {
+        idx[w] = (int32_t)i;
+        val[w] = x[i];
+        int64_t lane = i & 127, u = i >> 7;
+        int64_t s = u & 7, q = u >> 3;
+        int64_t ks = q % kc;
+        int64_t wd = (((q / kc) * kq + (ks >> 2)) * 8 + s) * 128 + lane;
+        lanes[w] = (uint8_t)((lidxp[wd] >> (8 * (ks & 3))) & 0x7F);
+        ++w;
+      }
+  }
+  return counts[nt];
+}
+
 // Delta-encode a sorted unique int32 position stream as u8 gaps with
 // int32 exceptions for gaps >= 255 (utils/pack.py — 1 B/entry through the
 // relay instead of 4). ``prev`` is the previous global position MINUS the
@@ -616,139 +894,19 @@ void extpi_interp_f64(int64_t n, int64_t k, int64_t n_coarse,
                       const uint8_t* mask, const int8_t* state,
                       const int64_t* cmap, int64_t max_elements,
                       int32_t* p_col, double* p_val) {
-  const int8_t C = 1, F = 2;
-  // pass 1: d_base[r] = sum of strong-C negative couplings per row
-  std::vector<double> d_base(n);
-#pragma omp parallel for schedule(static)
-  for (int64_t i = 0; i < n; ++i) {
-    double acc = 0.0;
-    const int32_t* ci = col + i * k;
-    const double* vi = val + i * k;
-    const uint8_t* mi = mask + i * k;
-    for (int64_t s = 0; s < k; ++s) {
-      int32_t c = ci[s];
-      double v = vi[s];
-      if (mi[s] && state[c] == C && v < 0.0 && c != (int32_t)i) acc += v;
-    }
-    d_base[i] = acc;
-  }
+  extpi_interp_impl<double>(n, k, n_coarse, col, val, mask, state, cmap,
+                            max_elements, p_col, p_val);
+}
 
-#pragma omp parallel
-  {
-    // per-thread dense accumulator over coarse columns
-    std::vector<double> accum(n_coarse, 0.0);
-    std::vector<int64_t> marker(n_coarse, -1);
-    std::vector<int64_t> cols_seen;
-    std::vector<double> asc_part(n_coarse, 0.0);
-    struct Cand { double w; int64_t pos; int64_t cj; };
-    std::vector<Cand> cand;
-
-#pragma omp for schedule(dynamic, 256)
-    for (int64_t i = 0; i < n; ++i) {
-      int32_t* pc = p_col + i * max_elements;
-      double* pv = p_val + i * max_elements;
-      for (int64_t s = 0; s < max_elements; ++s) { pc[s] = 0; pv[s] = 0.0; }
-      if (state[i] == C) {
-        pc[0] = (int32_t)cmap[i];
-        pv[0] = 1.0;
-        continue;
-      }
-      const int32_t* ci = col + i * k;
-      const double* vi = val + i * k;
-      const uint8_t* mi = mask + i * k;
-      cols_seen.clear();
-      double diag = 0.0, weak_sum = 0.0, bki_sum = 0.0;
-      // products pass: N_prod = sum_k b_ik * Aneg_sC[k,:], asc kept apart
-      for (int64_t s = 0; s < k; ++s) {
-        int32_t c = ci[s];
-        double v = vi[s];
-        if (c == (int32_t)i) {
-          if (v != 0.0) diag += v;  // diag slot (multiple never occur)
-          continue;
-        }
-        if (v == 0.0) continue;  // padding
-        bool strong = mi[s] != 0;
-        if (strong && state[c] == C) {
-          int64_t j = cmap[c];
-          if (marker[j] != i) {
-            marker[j] = i;
-            accum[j] = 0.0;
-            asc_part[j] = 0.0;
-            cols_seen.push_back(j);
-          }
-          asc_part[j] += v;
-          continue;
-        }
-        if (strong && state[c] == F) {
-          // a_ki: negative coupling back from row c to i
-          double a_ki = 0.0;
-          const int32_t* cc = col + (int64_t)c * k;
-          const double* vc = val + (int64_t)c * k;
-          for (int64_t t = 0; t < k; ++t) {
-            if (cc[t] == (int32_t)i && vc[t] < 0.0) { a_ki = vc[t]; break; }
-          }
-          double d_ik = d_base[c] + a_ki;
-          if (d_ik == 0.0) { weak_sum += v; continue; }  // cannot distribute
-          double b = v / d_ik;
-          bki_sum += b * a_ki;
-          const uint8_t* mc = mask + (int64_t)c * k;
-          for (int64_t t = 0; t < k; ++t) {
-            int32_t cl = cc[t];
-            double vl = vc[t];
-            if (!mc[t] || state[cl] != C || vl >= 0.0 || cl == c) continue;
-            int64_t j = cmap[cl];
-            if (marker[j] != i) {
-              marker[j] = i;
-              accum[j] = 0.0;
-              asc_part[j] = 0.0;
-              cols_seen.push_back(j);
-            }
-            accum[j] += b * vl;
-          }
-          continue;
-        }
-        weak_sum += v;  // weak coupling lumped into the diagonal
-      }
-      double dtil = diag + weak_sum + bki_sum;
-      if (dtil == 0.0) dtil = 1.0;  // degenerate row: no interpolation
-      // weights; stable candidate order = first-seen (slot order)
-      cand.clear();
-      for (size_t t = 0; t < cols_seen.size(); ++t) {
-        int64_t j = cols_seen[t];
-        double nv = accum[j] + asc_part[j];
-        if (nv == 0.0) continue;
-        cand.push_back({-nv / dtil, (int64_t)t, j});
-      }
-      int64_t keep = (int64_t)cand.size();
-      if (keep > max_elements) {
-        std::sort(cand.begin(), cand.end(), [](const Cand& a, const Cand& b) {
-          double fa = a.w < 0 ? -a.w : a.w, fb = b.w < 0 ? -b.w : b.w;
-          if (fa != fb) return fa > fb;
-          return a.cj < b.cj;
-        });
-        // sign-class rescale: preserve per-sign row sums over kept entries
-        double full_p = 0.0, full_n = 0.0, kept_p = 0.0, kept_n = 0.0;
-        for (int64_t t = 0; t < (int64_t)cand.size(); ++t) {
-          double w = cand[t].w;
-          if (w > 0) full_p += w; else full_n += w;
-          if (t < max_elements) { if (w > 0) kept_p += w; else kept_n += w; }
-        }
-        double fac_p = kept_p != 0.0 ? full_p / kept_p : 1.0;
-        double fac_n = kept_n != 0.0 ? full_n / kept_n : 1.0;
-        for (int64_t t = 0; t < max_elements; ++t)
-          cand[t].w *= cand[t].w > 0 ? fac_p : fac_n;
-        keep = max_elements;
-      }
-      // deterministic column-sorted output (matches the numpy twin's
-      // CSR-ordered planes)
-      std::sort(cand.begin(), cand.begin() + keep,
-                [](const Cand& a, const Cand& b) { return a.cj < b.cj; });
-      for (int64_t t = 0; t < keep; ++t) {
-        pc[t] = (int32_t)cand[t].cj;
-        pv[t] = cand[t].w;
-      }
-    }
-  }
+// f32-plane entry: the setup's ELL value planes are float32 — reading
+// them directly removes the caller-side (n, k) float64 conversion temp.
+void extpi_interp_f32v(int64_t n, int64_t k, int64_t n_coarse,
+                       const int32_t* col, const float* val,
+                       const uint8_t* mask, const int8_t* state,
+                       const int64_t* cmap, int64_t max_elements,
+                       int32_t* p_col, double* p_val) {
+  extpi_interp_impl<float>(n, k, n_coarse, col, val, mask, state, cmap,
+                           max_elements, p_col, p_val);
 }
 
 // ---------------------------------------------------------------------------

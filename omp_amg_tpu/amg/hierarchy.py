@@ -184,9 +184,23 @@ def _lanczos_lmax_host(apply_a, dinv: np.ndarray, n: int, k: int = 12
     on these smooth SPD spectra). Deterministic start vector shared with
     the power iteration; used for levels ≥ 2²² rows (see
     _estimate_lmax_host)."""
+    from ..native import CsrMatvec
     from .host_setup import hash01_np
 
     dsq = np.sqrt(dinv)
+    if isinstance(apply_a, CsrMatvec) and apply_a.lib is not None:
+        # fold the symmetric D^{-1/2} scaling into the matrix once (one
+        # pass over nnz) instead of two n-length vector passes per sweep
+        rows_dsq = np.repeat(dsq, np.diff(apply_a.indptr))
+        scaled = CsrMatvec(apply_a.indptr, apply_a.indices,
+                           apply_a.data * rows_dsq * dsq[apply_a.indices],
+                           n_cols=n)
+
+        def op(v):
+            return scaled(v)
+    else:
+        def op(v):
+            return dsq * apply_a(dsq * v)
     v = hash01_np(np.arange(n)).astype(np.float64) - 0.5
     v /= np.linalg.norm(v)
     alphas: list = []
@@ -194,7 +208,7 @@ def _lanczos_lmax_host(apply_a, dinv: np.ndarray, n: int, k: int = 12
     v_prev = np.zeros_like(v)
     beta = 0.0
     for _ in range(k):
-        w = dsq * apply_a(dsq * v)
+        w = op(v)
         alpha = float(v @ w)
         w -= alpha * v + beta * v_prev
         alphas.append(alpha)

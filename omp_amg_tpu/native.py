@@ -82,10 +82,21 @@ def _load():
                                             np.uint8, flags="C"),
                                         i32p, i32p, ctypes.c_int64]
         lib.delta_encode_u8.restype = ctypes.c_int64
+        _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
+        lib.sparse_encode_routed_w4.argtypes = [
+            u32p, ctypes.c_int64, ctypes.c_int, u32p, ctypes.c_int64,
+            i32p, u32p, _u8p]
+        lib.sparse_encode_routed_w4.restype = ctypes.c_int64
+        lib.sparse_encode_routed_w2.argtypes = [
+            u16p_, ctypes.c_int64, u32p, ctypes.c_int64, i32p, u16p_, _u8p]
+        lib.sparse_encode_routed_w2.restype = ctypes.c_int64
         u8p = np.ctypeslib.ndpointer(np.uint8, flags="C")
         i8p = np.ctypeslib.ndpointer(np.int8, flags="C")
         lib.extpi_interp_f64.argtypes = [
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, f64p, u8p,
+            i8p, i64p, ctypes.c_int64, i32p, f64p]
+        lib.extpi_interp_f32v.argtypes = [
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, f32p, u8p,
             i8p, i64p, ctypes.c_int64, i32p, f64p]
         lib.d2_color_greedy.argtypes = [ctypes.c_int64, ctypes.c_int64, i64p,
                                         i32p, i64p, i32p, i32p]
@@ -295,14 +306,21 @@ def extpi_interp(col, val, mask, state, cmap, n_coarse,
     n, k = col.shape
     p_col = np.zeros((n, max_elements), np.int32)
     p_val = np.zeros((n, max_elements), np.float64)
-    lib.extpi_interp_f64(
-        n, k, int(n_coarse),
-        np.ascontiguousarray(col, np.int32),
-        np.ascontiguousarray(val, np.float64),
-        np.ascontiguousarray(mask, np.uint8),
-        np.ascontiguousarray(state, np.int8),
-        np.ascontiguousarray(cmap, np.int64),
-        int(max_elements), p_col, p_val)
+    args = (n, k, int(n_coarse),
+            np.ascontiguousarray(col, np.int32))
+    tail = (np.ascontiguousarray(mask, np.uint8),
+            np.ascontiguousarray(state, np.int8),
+            np.ascontiguousarray(cmap, np.int64),
+            int(max_elements), p_col, p_val)
+    if np.asarray(val).dtype == np.float32:
+        # f32-plane entry: no (n, k) float64 conversion temp (~1.7 GB at
+        # 256³ L1); every term converts exactly inside the kernel, so the
+        # result is identical to the f64 path on upcast planes
+        lib.extpi_interp_f32v(*args, np.ascontiguousarray(val, np.float32),
+                              *tail)
+    else:
+        lib.extpi_interp_f64(*args, np.ascontiguousarray(val, np.float64),
+                             *tail)
     return p_col, p_val
 
 
@@ -550,6 +568,34 @@ def delta_encode_parts(parts):
         exc_pos = np.zeros(0, np.int32)
         exc_gap = np.zeros(0, np.int32)
     return du8, exc_pos, exc_gap
+
+
+def sparse_encode_routed(flat: np.ndarray, lidxp: np.ndarray, kc: int):
+    """(idx int32, vals, lanes u8) of a routed plan's nonzero val4 entries
+    in ONE native pass (sparse_encode + routed_lanes_at fused), or None.
+    Probe semantics match sparse_encode (f32 by value, bf16 by bit
+    pattern)."""
+    lib = _load()
+    if lib is None or flat.size >= (1 << 31) or not flat.flags.c_contiguous:
+        return None
+    n = flat.size
+    lw = np.ascontiguousarray(lidxp).view(np.uint32)
+    if flat.dtype.itemsize == 4:
+        as_float = int(flat.dtype == np.float32)
+        idx = np.empty(n, np.int32)
+        val = np.empty(n, np.uint32)
+        lanes = np.empty(n, np.uint8)
+        cnt = lib.sparse_encode_routed_w4(flat.view(np.uint32), n, as_float,
+                                          lw, int(kc), idx, val, lanes)
+        return idx[:cnt], val[:cnt].view(flat.dtype), lanes[:cnt]
+    if flat.dtype.itemsize == 2 and flat.dtype.num >= 100:
+        idx = np.empty(n, np.int32)
+        val = np.empty(n, np.uint16)
+        lanes = np.empty(n, np.uint8)
+        cnt = lib.sparse_encode_routed_w2(flat.view(np.uint16), n, lw,
+                                          int(kc), idx, val, lanes)
+        return idx[:cnt], val[:cnt].view(flat.dtype), lanes[:cnt]
+    return None
 
 
 def routed_lanes_at(lidxp: np.ndarray, idx: np.ndarray, kc: int):

@@ -217,17 +217,23 @@ class DeferredUpload:
         flat = np.ascontiguousarray(val4.ravel())
         from .. import native
 
-        enc = native.sparse_encode(flat)
+        lanes = None
+        enc = native.sparse_encode_routed(flat, lidxp, kc)
         if enc is not None:
-            idx, vals = enc
+            idx, vals, lanes = enc
         else:
-            probe = flat
-            if flat.dtype.itemsize == 2 and flat.dtype.num >= 100:
-                probe = flat.view(np.uint16)
-            idx = np.flatnonzero(probe)
-            vals = flat[idx]
+            enc2 = native.sparse_encode(flat)
+            if enc2 is not None:
+                idx, vals = enc2
+            else:
+                probe = flat
+                if flat.dtype.itemsize == 2 and flat.dtype.num >= 100:
+                    probe = flat.view(np.uint16)
+                idx = np.flatnonzero(probe)
+                vals = flat[idx]
         if idx.size * (2 + val4.itemsize) * 27 < val4.nbytes * 20:
-            lanes = native.routed_lanes_at(lidxp, idx, kc)
+            if lanes is None:
+                lanes = native.routed_lanes_at(lidxp, idx, kc)
             if lanes is None:
                 p = np.asarray(idx, np.int64)
                 lane = p & 127
