@@ -184,23 +184,18 @@ def _lanczos_lmax_host(apply_a, dinv: np.ndarray, n: int, k: int = 12
     on these smooth SPD spectra). Deterministic start vector shared with
     the power iteration; used for levels ≥ 2²² rows (see
     _estimate_lmax_host)."""
-    from ..native import CsrMatvec
     from .host_setup import hash01_np
 
     dsq = np.sqrt(dinv)
-    if isinstance(apply_a, CsrMatvec) and apply_a.lib is not None:
-        # fold the symmetric D^{-1/2} scaling into the matrix once (one
-        # pass over nnz) instead of two n-length vector passes per sweep
-        rows_dsq = np.repeat(dsq, np.diff(apply_a.indptr))
-        scaled = CsrMatvec(apply_a.indptr, apply_a.indices,
-                           apply_a.data * rows_dsq * dsq[apply_a.indices],
-                           n_cols=n)
 
-        def op(v):
-            return scaled(v)
-    else:
-        def op(v):
-            return dsq * apply_a(dsq * v)
+    # NOTE: pre-scaling the matrix by D^{-1/2} (one nnz pass) measured
+    # SLOWER on chip than the two n-length vector multiplies per sweep:
+    # the ~3 GB of fresh scaled-data/temp allocations fault pages at this
+    # host's ~150–200 MB/s cold-touch rate (256³ L0 lmax 11 → 28 s),
+    # while the per-sweep vector temps recycle numpy's free-listed
+    # buffers after the first iteration.
+    def op(v):
+        return dsq * apply_a(dsq * v)
     v = hash01_np(np.arange(n)).astype(np.float64) - 0.5
     v /= np.linalg.norm(v)
     alphas: list = []
@@ -255,7 +250,10 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
     from ..sparse.formats import (
         ell_planes_from_dia, ell_planes_from_scipy, ell_planes_to_scipy,
     )
+    from ..utils.memtune import tune_malloc
     from . import host_setup as hs
+
+    tune_malloc()   # setup temporaries recycle heap pages (see memtune)
 
     if isinstance(a, (Dia, Ell)):
         a_dev: object = a
@@ -372,7 +370,9 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                 cache.levels[-1]["p_col"] = p_col.copy()
                 cache.levels[-1]["p_valid"] = p_val != 0
         trace.mark(f"L{len(levels)} interp")
-        ac_sp = galerkin_product(host_ops[-1], p_sp)
+        pt_sp = p_sp.T.tocsr()
+        trace.mark(f"L{len(levels)} transpose")
+        ac_sp = galerkin_product(host_ops[-1], p_sp, pt_sp=pt_sp)
         if cache is not None:
             import scipy.sparse as _sp
 
@@ -423,8 +423,6 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                 ac_sp = ac_sp.copy()
                 ac_sp.data = vals[rr, pos].astype(np.float64)
         trace.mark(f"L{len(levels)} RAP")
-        pt_sp = p_sp.T.tocsr()
-        trace.mark(f"L{len(levels)} transpose")
         r = ell_from_scipy(pt_sp, dtype=dtype) if flavor == "device" else None
         if params.smoother == "l1jacobi":
             # l1 smoother: D = diag(Σ_j |a_ij|); host row sums (setup is

@@ -270,7 +270,10 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
     from ..sparse.formats import (
         dia_to_scipy, ell_planes_from_scipy, to_const_dia, to_plane_dia,
     )
+    from ..utils.memtune import tune_malloc
     from ..utils.pack import DeferredUpload
+
+    tune_malloc()
     from . import host_setup as hs
     from .hierarchy import (
         Hierarchy, Level, _SetupTrace, _coarse_factor, _estimate_lmax_host,

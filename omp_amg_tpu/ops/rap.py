@@ -23,12 +23,14 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def galerkin_product(a_sp, p_sp):
+def galerkin_product(a_sp, p_sp, pt_sp=None):
     """A_c = Pᵀ A P on host (f64, setup phase).
 
     Uses the native OpenMP Gustavson SpGEMM (csrc/native.cc) when built,
-    scipy's single-threaded product otherwise.
-    """
+    scipy's single-threaded product otherwise. ``pt_sp`` (optional)
+    supplies an already-computed Pᵀ in CSR form so the setup's transpose
+    is not repeated here (the product casts data to f64 regardless, so a
+    f32-valued transpose gives bit-identical results)."""
     import scipy.sparse as sp
 
     from ..native import available, spgemm
@@ -36,7 +38,8 @@ def galerkin_product(a_sp, p_sp):
     a64 = sp.csr_matrix(a_sp, dtype=np.float64)
     p64 = sp.csr_matrix(p_sp, dtype=np.float64)
     if available():
-        ac = spgemm(p64.T.tocsr(), spgemm(a64, p64))
+        pt = pt_sp if pt_sp is not None else p64.T.tocsr()
+        ac = spgemm(pt, spgemm(a64, p64))
     else:
         ac = (p64.T @ a64 @ p64).tocsr()
         ac.sum_duplicates()

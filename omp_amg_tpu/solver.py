@@ -88,12 +88,16 @@ class AMGSolver:
             # strength/PMIS rounds with ghost exchanges, per-shard ext+i,
             # shard-local RAP (parallel/dist_pmis_setup.py). Falls back to
             # central build + partition on cap violations.
-            from .parallel.dist_pmis_setup import dist_pmis_setup
+            from .parallel.dist_pmis_setup import (
+                DistSetupCache, dist_pmis_setup,
+            )
 
+            dcache = DistSetupCache() if refreshable else None
             try:
                 dh = dist_pmis_setup(a, ndev, params, mesh=mesh,
                                      agg_rows_per_dev=agg_rows_per_dev,
-                                     transport=transport)
+                                     transport=transport, cache=dcache)
+                self._cache = dcache
             except ValueError:
                 dh = None
         if dh is None:
@@ -220,24 +224,56 @@ class AMGSolver:
         }
         return res.x
 
-    def refresh(self, a_new):
+    def refresh(self, a_new, *, stream_dtype: str = "f32"):
         """Value-only re-setup: same sparsity, new operator values.
 
         Reuses every symbolic decision and device plan geometry of the
         original setup (requires ``refreshable=True`` at construction);
         falls back to a full fresh setup — with a warning — when the new
         values change a strength/interpolation/Galerkin pattern.
+
+        ``stream_dtype="bf16"`` ships the routed value streams in bfloat16
+        — half the host→device bytes on the transfer-floor-bound relay
+        path (see :func:`omp_amg_tpu.amg.refresh.amg_refresh`); the f64
+        certified solve is unaffected, warm iteration counts may grow
+        slightly. (Single-device path only; the distributed PMIS refresh
+        rebuilds its device partition from refreshed host values.)
         """
-        if self.mesh is not None:
-            raise NotImplementedError("refresh is single-device (rebuild "
-                                      "the solver for distributed setups)")
         if self._cache is None:
             raise ValueError("construct AMGSolver(..., refreshable=True) "
-                             "to enable refresh")
-        from .amg.refresh import PatternChangedError, amg_refresh
+                             "to enable refresh"
+                             + (" (distributed refresh covers the PMIS "
+                                "family)" if self.mesh is not None else ""))
+        from .amg.refresh import PatternChangedError
+
+        if self.mesh is not None:
+            # distributed (per-shard PMIS) value-only refresh
+            from .parallel.dist_pmis_setup import (
+                DistSetupCache, dist_pmis_refresh, dist_pmis_setup,
+            )
+
+            try:
+                self.hierarchy = dist_pmis_refresh(a_new, self._cache)
+            except PatternChangedError as e:
+                import warnings
+
+                warnings.warn(f"refresh pattern guard tripped ({e}); "
+                              "running a full re-setup", stacklevel=2)
+                old_kw = self._cache.part_kw or {}
+                self._cache = DistSetupCache()
+                self.hierarchy = dist_pmis_setup(
+                    a_new, int(self.mesh.devices.size), self.params,
+                    mesh=self.mesh, cache=self._cache, **old_kw)
+            self._dist = None
+            self._dist_vcycle = None
+            self.a = a_new
+            self._a_sp = None
+            return self
+        from .amg.refresh import amg_refresh
 
         try:
-            self.hierarchy = amg_refresh(a_new, self._cache)
+            self.hierarchy = amg_refresh(a_new, self._cache,
+                                         stream_dtype=stream_dtype)
         except PatternChangedError as e:
             import warnings
 

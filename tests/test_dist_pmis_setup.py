@@ -94,3 +94,91 @@ def test_sharded_solve_parity(ndev):
         assert true_rel < 1e-5
         iters_by[nd] = int(iters)
     assert iters_by[1] == iters_by[ndev]
+
+
+def test_dist_refresh_matches_fresh_across_shards():
+    """Value-only distributed refresh (round 5, VERDICT r4 missing #1):
+    for a same-sparsity operator, dist_pmis_refresh must reproduce a
+    FRESH per-shard setup — same structure, values to f32 roundoff — at
+    every shard count, reusing every cached symbolic decision."""
+    import numpy as np
+
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.amg.params import AMGParams
+    from omp_amg_tpu.parallel.dist_pmis_setup import (
+        DistSetupCache, dist_pmis_refresh, dist_pmis_setup,
+    )
+    from omp_amg_tpu.sparse.formats import Dia
+
+    a = amg.poisson3d_7pt(20)
+    a2 = Dia(data=np.asarray(a.data) * 2.0, offsets=a.offsets, dims=a.dims)
+    prm = AMGParams(coarsening="pmis")
+    for ndev in (1, 2, 8):
+        cache = DistSetupCache()
+        dist_pmis_setup(a, ndev, prm, cache=cache)
+        _, h_ref, ops_ref = dist_pmis_refresh(a2, cache, keep_host=True)
+        _, h_fresh, ops_fresh = dist_pmis_setup(a2, ndev, prm,
+                                                keep_host=True)
+        assert len(h_ref.levels) == len(h_fresh.levels)
+        for lr, lf in zip(h_ref.levels, h_fresh.levels):
+            np.testing.assert_array_equal(np.asarray(lr.p.col),
+                                          np.asarray(lf.p.col))
+            np.testing.assert_allclose(np.asarray(lr.p.val),
+                                       np.asarray(lf.p.val), rtol=2e-6,
+                                       atol=1e-7)
+            np.testing.assert_allclose(np.asarray(lr.dinv),
+                                       np.asarray(lf.dinv), rtol=2e-6)
+            np.testing.assert_allclose(float(lr.lmax), float(lf.lmax),
+                                       rtol=1e-4)
+        for mr, mf in zip(ops_ref[1:], ops_fresh[1:]):
+            assert (mr.indptr == mf.indptr).all()
+            assert (mr.indices == mf.indices).all()
+            np.testing.assert_allclose(mr.data, mf.data, rtol=1e-12)
+
+
+def test_dist_refresh_detects_pattern_change():
+    import numpy as np
+
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.amg.params import AMGParams
+    from omp_amg_tpu.amg.refresh import PatternChangedError
+    from omp_amg_tpu.parallel.dist_pmis_setup import (
+        DistSetupCache, dist_pmis_refresh, dist_pmis_setup,
+    )
+    from omp_amg_tpu.sparse.formats import Dia
+
+    a = amg.poisson2d_5pt(24)
+    cache = DistSetupCache()
+    dist_pmis_setup(a, 2, AMGParams(coarsening="pmis"), cache=cache)
+    data = np.asarray(a.data).copy()
+    for i, o in enumerate(a.offsets):
+        if abs(o) == 1:
+            data[i] *= 1e-6
+    with pytest.raises(PatternChangedError):
+        dist_pmis_refresh(Dia(data=data, offsets=a.offsets, dims=a.dims),
+                          cache)
+
+
+def test_facade_dist_refresh_solves():
+    """AMGSolver(mesh=..., refreshable=True).refresh(a_new) — the
+    NotImplementedError for the distributed family is gone (PMIS)."""
+    import numpy as np
+
+    import jax
+
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.amg.params import AMGParams
+    from omp_amg_tpu.sparse.formats import Dia
+
+    mesh = jax.make_mesh((4,), ("rows",))
+    a = amg.poisson3d_7pt(16)
+    s = amg.AMGSolver(a, AMGParams(coarsening="pmis"), mesh=mesh,
+                      agg_rows_per_dev=64, refreshable=True)
+    b = amg.default_rhs(a, "random", seed=0)
+    x1 = s.solve(b, tol=1e-8)
+    a2 = Dia(data=np.asarray(a.data) * 4.0, offsets=a.offsets, dims=a.dims)
+    s.refresh(a2)
+    x2 = s.solve(b, tol=1e-8)
+    np.testing.assert_allclose(np.asarray(x2), np.asarray(x1) / 4.0,
+                               rtol=1e-6, atol=1e-9)
+    assert s.last_info["certified_f64"] and s.last_info["distributed"]
