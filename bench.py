@@ -70,8 +70,15 @@ def main():
             n6 = int(os.environ.get("BENCH_PMIS256_N", "256"))
             a6 = amg.poisson3d_7pt(n6, backend="numpy")
             b6 = amg.default_rhs(a6, "random", seed=0)
+            from omp_amg_tpu.amg.refresh import (
+                SetupCache as _SC, amg_refresh as _aref,
+                cache_nbytes as _cnb,
+            )
+
+            c6 = _SC() if os.environ.get("BENCH_REFRESH256", "1") == "1" \
+                else None
             t0 = time.time()
-            h6 = amg_setup(a6, AMGParams(coarsening="pmis"))
+            h6 = amg_setup(a6, AMGParams(coarsening="pmis"), cache=c6)
             jax.block_until_ready(h6.levels[0].dinv)
             su6 = time.time() - t0
             a60 = h6.levels[0].a
@@ -101,6 +108,34 @@ def main():
                 f"{details['pmis256']['cert_iters']} it "
                 f"rel {res6.rel_residual:.2e}")
             assert res6.rel_residual <= 1e-8
+            if c6 is not None:
+                # refresh256 (VERDICT r4 #2: refresh where it pays — the
+                # headline size whose fresh setup is the pipeline's most
+                # expensive phase): cold freezes the numeric dataflow,
+                # warm is the amortized per-re-setup cost
+                from omp_amg_tpu.sparse.formats import Dia as _D6
+
+                rts6 = []
+                h_r6 = None
+                for s_f in (2.0, 0.5):
+                    a_r6 = _D6(data=np.asarray(a6.data) * s_f,
+                               offsets=a6.offsets, dims=a6.dims)
+                    h_r6 = None   # two refreshed value sets never coexist
+                    t0 = time.time()
+                    h_r6 = _aref(a_r6, c6, release_old_values=True)
+                    jax.block_until_ready(h_r6.levels[0].dinv)
+                    rts6.append(time.time() - t0)
+                details["pmis256"]["refresh_cold_s"] = rts6[0]
+                details["pmis256"]["refresh_warm_s"] = rts6[1]
+                details["pmis256"]["cache_mb"] = _cnb(c6) / 1e6
+                r6b = _pcg(h_r6.levels[0].a, 0.5 * b6, h_r6, tol=1e-6,
+                           maxiter=100)
+                details["pmis256"]["refresh_warm_iters"] = int(r6b.iters)
+                log(f"PMIS refresh {n6}^3: cold {rts6[0]:.1f}s, warm "
+                    f"{rts6[1]:.1f}s ({rts6[1]/su6:.2f}x of fresh; cache "
+                    f"{details['pmis256']['cache_mb']:.0f} MB host), "
+                    f"refreshed-solve iters {int(r6b.iters)}")
+                h_r6 = r6b = a_r6 = c6 = None
         except Exception as e:  # record, never lose the rest of the bench
             details["pmis256"] = {"error": repr(e)[:500]}
             log(f"pmis256 block failed: {e!r}")
@@ -124,6 +159,65 @@ def main():
                 ms = dev.memory_stats() or {}
                 log(f"post-pmis256 HBM in use: "
                     f"{ms.get('bytes_in_use', -1)/1e9:.2f} GB")
+            except Exception:
+                pass
+
+    # ---- refresh128: cache + value-only refresh at 27-pt 128³ (VERDICT
+    # r4 #2 — the second size where the two-phase amortization pays) ----
+    if (os.environ.get("BENCH_REFRESH128", "1") == "1"
+            and os.environ.get("BENCH_SKIP_SOLVE") != "1"
+            and dev.platform == "tpu"):
+        try:
+            import gc
+
+            from omp_amg_tpu.amg.hierarchy import amg_setup
+            from omp_amg_tpu.amg.params import AMGParams
+            from omp_amg_tpu.amg.refresh import (
+                SetupCache, amg_refresh, cache_nbytes,
+            )
+            from omp_amg_tpu.solvers.cg import amg_pcg as _pcg128
+            from omp_amg_tpu.sparse.formats import Dia as _D
+
+            a7 = amg.poisson3d_27pt(128, backend="numpy")
+            c7 = SetupCache()
+            t0 = time.time()
+            h7 = amg_setup(a7, AMGParams(coarsening="pmis",
+                                         smoother="chebyshev"), cache=c7)
+            jax.block_until_ready(h7.levels[0].dinv)
+            su7 = time.time() - t0
+            rts7 = []
+            for s_f in (2.0, 0.5):
+                a_r7 = _D(data=np.asarray(a7.data) * s_f,
+                          offsets=a7.offsets, dims=a7.dims)
+                h7 = None
+                t0 = time.time()
+                h7 = amg_refresh(a_r7, c7, release_old_values=True)
+                jax.block_until_ready(h7.levels[0].dinv)
+                rts7.append(time.time() - t0)
+            b7 = amg.default_rhs(a_r7, "random", seed=0)
+            r7 = _pcg128(a_r7, b7, h7, tol=1e-6, maxiter=100)
+            details["refresh128"] = {
+                "stencil": "3d27pt", "setup_s": su7,
+                "refresh_cold_s": rts7[0], "refresh_warm_s": rts7[1],
+                "cache_mb": cache_nbytes(c7) / 1e6,
+                "refresh_warm_iters": int(r7.iters),
+            }
+            log(f"refresh128 (27-pt): fresh {su7:.1f}s, cold {rts7[0]:.1f}s,"
+                f" warm {rts7[1]:.1f}s ({rts7[1]/su7:.2f}x of fresh; cache "
+                f"{details['refresh128']['cache_mb']:.0f} MB), "
+                f"refreshed-solve iters {int(r7.iters)}")
+        except Exception as e:
+            details["refresh128"] = {"error": repr(e)[:500]}
+            log(f"refresh128 block failed: {e!r}")
+        finally:
+            h7 = a7 = c7 = a_r7 = b7 = r7 = None
+            gc.collect()
+            jax.clear_caches()
+            gc.collect()
+            try:
+                import ctypes
+
+                ctypes.CDLL("libc.so.6").malloc_trim(0)
             except Exception:
                 pass
 
@@ -451,6 +545,19 @@ def main():
             pmis_d["refresh_cold_s"], pmis_d["refresh_warm_s"] = rts
             log(f"PMIS refresh {np_}^3: cold {rts[0]:.1f}s, "
                 f"warm {rts[1]:.1f}s (fresh {pmis_d['setup_s']:.1f}s)")
+            # bf16 value streams (VERDICT r4 #4: the transfer-floor lever
+            # needs its wall AND its iteration-count impact measured)
+            t0 = time.time()
+            h_rb = amg_refresh(a_r, cache_p, stream_dtype="bf16")
+            jax.block_until_ready(h_rb.levels[0].dinv)
+            pmis_d["refresh_warm_bf16_s"] = time.time() - t0
+            r_f32 = amg_pcg(a_r, b_p, h_r, tol=1e-6, maxiter=100)
+            r_bf16 = amg_pcg(a_r, b_p, h_rb, tol=1e-6, maxiter=100)
+            pmis_d["refresh_iters_f32"] = int(r_f32.iters)
+            pmis_d["refresh_iters_bf16"] = int(r_bf16.iters)
+            log(f"PMIS refresh {np_}^3 bf16 streams: warm "
+                f"{pmis_d['refresh_warm_bf16_s']:.1f}s, solve iters "
+                f"f32={int(r_f32.iters)} bf16={int(r_bf16.iters)}")
         details["pmis"] = pmis_d
 
         # weak-scaling model for the PMIS/routed family (VERDICT r2 #6:

@@ -303,6 +303,12 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
             a_sp = ell_planes_to_scipy(c0, v64, a_dev.n_rows)
             cur_planes = (c0, v64.astype(np.float32))
             del v64
+            if cache is not None:
+                # the L0 mask/interp will be computed on DIA-layout planes
+                # (padding interleaved, slot = diagonal index); the refresh
+                # must reconstruct the SAME layout or its strength/pattern
+                # guards compare against mismatched slot positions
+                cache.l0_dia = True
         else:
             a_sp = _to_scipy(a_dev)
 

@@ -60,6 +60,30 @@ class PatternChangedError(RuntimeError):
     truncation, or Galerkin pattern); the cache cannot be applied."""
 
 
+def cache_nbytes(cache) -> int:
+    """Host-memory footprint of a setup cache's numpy state in bytes
+    (per-level patterns, masks, scatter maps — the price of the two-phase
+    amortization; reported by the refresh benches)."""
+    seen: set = set()
+    total = 0
+
+    def walk(o):
+        nonlocal total
+        if isinstance(o, np.ndarray):
+            if id(o) not in seen:
+                seen.add(id(o))
+                total += o.nbytes
+        elif isinstance(o, dict):
+            for v in o.values():
+                walk(v)
+        elif isinstance(o, (list, tuple)):
+            for v in o:
+                walk(v)
+
+    walk(getattr(cache, "levels", []))
+    return total
+
+
 class SetupCache:
     """Symbolic record of a host-flavor PMIS setup (see amg_setup(cache=))."""
 
@@ -243,8 +267,35 @@ def _rap_numeric(num, a_data, p_data):
     return native.perm_gather(num["keep"], acs_val)
 
 
+def _release_value_buffers(hier):
+    """Free the device VALUE buffers of a hierarchy; plan GEOMETRY arrays
+    (lidx/soff/cbase/… and ELL column planes) stay alive — they are all a
+    later refresh needs. At 256³ the hierarchy holds ~13 of the chip's
+    16 GB, roughly half of it values: without this, the refreshed values
+    would have to coexist with the stale ones and the refill OOMs
+    (measured round 5). Idempotent; already-deleted buffers are skipped."""
+    import jax as _jax
+
+    def _del(arr):
+        if isinstance(arr, _jax.Array):
+            try:
+                arr.delete()
+            except Exception:
+                pass
+
+    for lv in hier.levels:
+        for op in (lv.a, lv.p, lv.r):
+            for name in ("val4", "val", "data"):
+                _del(getattr(op, name, None))
+            for part in getattr(op, "parts", ()):   # SplitRoutedEll
+                _del(getattr(part, "val4", None))
+        _del(lv.dinv)
+    _del(hier.coarse_chol)
+    _del(hier.coarse_a)
+
+
 def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
-                stream_dtype: str = "f32"):
+                stream_dtype: str = "f32", release_old_values: bool = False):
     """Rebuild the cached hierarchy's VALUES for a same-sparsity operator.
 
     ``a_new``: Dia (same offsets/dims as the cached setup's fine operator)
@@ -263,6 +314,13 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
     values (the f64 IR outer still certifies the final residual; iteration
     counts may grow slightly) for roughly halving the refresh wall. The
     default keeps exact f32 streams (refreshed == fresh to f32 roundoff).
+
+    ``release_old_values=True`` frees the cached hierarchy's device VALUE
+    buffers once every pattern guard has passed (plan geometry stays — it
+    is shared with the refreshed hierarchy). Required at sizes where
+    hierarchy values are a large fraction of HBM (256³: the refill OOMs
+    without it); it makes the PREVIOUS hierarchy object unusable, so only
+    enable when the caller owns it (the AMGSolver facade does this).
     """
     import scipy.sparse as sp
 
@@ -319,12 +377,23 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
         old = cache.hier.levels[li]
         mask, state, cmap, nc = c["mask"], c["state"], c["cmap"], c["nc"]
         num = c.get("num")
+        l0_dia = (li == 0 and host_dia0 is not None
+                  and getattr(cache, "l0_dia", False))
         if num is None:
             # ---- cold: symbolic re-derivation + freeze the dataflow ----
-            if li == 0 and host_dia0 is None:
-                pass   # a_sp set above
-            cur = ell_planes_from_scipy(a_sp, dtype=np.float32)
-            col, val = cur[0], cur[1]
+            if l0_dia:
+                # the setup's Dia fast path computed the L0 mask/interp on
+                # DIA-LAYOUT planes (slot = diagonal index, padding
+                # interleaved); reconstruct the same layout — CSR-compacted
+                # planes put the same entries at different slots and the
+                # strength/pattern guards would spuriously trip
+                from ..sparse.formats import ell_planes_from_dia
+
+                col, val, _ = ell_planes_from_dia(host_dia0,
+                                                  dtype=np.float32)
+            else:
+                cur = ell_planes_from_scipy(a_sp, dtype=np.float32)
+                col, val = cur[0], cur[1]
             if col.shape != mask.shape:
                 raise PatternChangedError(f"L{li}: ELL width changed")
             a_pat = _pat(a_sp.indptr, a_sp.indices, a_sp.shape[1])
@@ -358,9 +427,15 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
                         raise PatternChangedError("L0: CSR pattern changed")
                     a_data = np.ascontiguousarray(a_sp.data, np.float64)
             a_pat = num["a_pat"]
-            col = num["col_planes"]
-            val = np.zeros(col.shape, np.float32)
-            val.ravel()[num["ell_pos"]] = a_data
+            if l0_dia:
+                from ..sparse.formats import ell_planes_from_dia
+
+                col, val, _ = ell_planes_from_dia(host_dia0,
+                                                  dtype=np.float32)
+            else:
+                col = num["col_planes"]
+                val = np.zeros(col.shape, np.float32)
+                val.ravel()[num["ell_pos"]] = a_data
         trace.mark(f"L{li} planes")
         if verify_mask:
             m2 = hs.strength_mask_host(col, val, params.theta)
@@ -557,6 +632,11 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
     coarse_chol = batch.add(fac, np_dt)
     coarse_a = batch.add(dense, np_dt)
     trace.mark("coarse factor")
+
+    # every pattern guard has passed; the old hierarchy's device VALUES
+    # are no longer needed (jobs only reference geometry + shapes)
+    if release_old_values:
+        _release_value_buffers(cache.hier)
 
     # resolve the ONE upload, then run the geometry-reusing refills
     tree = batch.resolve((new_levels, coarse_chol, coarse_a))

@@ -272,8 +272,13 @@ class AMGSolver:
         from .amg.refresh import amg_refresh
 
         try:
+            # drop our reference first: at headline sizes two value sets
+            # cannot coexist in HBM (amg_refresh also releases the cached
+            # hierarchy's value buffers once the guards pass)
+            self.hierarchy = None
             self.hierarchy = amg_refresh(a_new, self._cache,
-                                         stream_dtype=stream_dtype)
+                                         stream_dtype=stream_dtype,
+                                         release_old_values=True)
         except PatternChangedError as e:
             import warnings
 

@@ -57,15 +57,21 @@ def _compare_hier(h_ref, h_new, rtol=2e-6):
                                atol=1e-8)
 
 
-@pytest.mark.parametrize("gen,n,prm", [
-    (amg.poisson3d_7pt, 20, AMGParams(coarsening="pmis")),
-    (amg.poisson2d_5pt, 48, AMGParams(coarsening="pmis")),
-    (amg.aniso2d_9pt, 48, AMGParams(coarsening="pmis", theta=0.5)),
+@pytest.mark.parametrize("gen,n,prm,backend", [
+    (amg.poisson3d_7pt, 20, AMGParams(coarsening="pmis"), None),
+    (amg.poisson2d_5pt, 48, AMGParams(coarsening="pmis"), None),
+    (amg.aniso2d_9pt, 48, AMGParams(coarsening="pmis", theta=0.5), None),
+    # numpy-backed Dia takes the setup's DIA-plane fast path: the refresh
+    # must reconstruct the SAME plane layout (round-5 fix — the 27-pt
+    # refresh guard used to trip on layout, not on actual drift)
+    (amg.poisson3d_27pt, 12,
+     AMGParams(coarsening="pmis", smoother="chebyshev"), "numpy"),
+    (amg.poisson3d_7pt, 20, AMGParams(coarsening="pmis"), "numpy"),
 ])
-def test_refresh_matches_fresh_setup(gen, n, prm):
+def test_refresh_matches_fresh_setup(gen, n, prm, backend):
     # ×2 is exact in f32: no rounding, hence no truncation-tie flips — the
     # fresh setup and the refresh must agree to f32 roundoff everywhere
-    a = gen(n)
+    a = gen(n, backend=backend) if backend else gen(n)
     cache = SetupCache()
     amg_setup(a, prm, cache=cache)
     a2 = _scale_dia(a, 2.0)
