@@ -512,10 +512,24 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
                     stacklevel=3)
 
             if a_lvl is None or isinstance(a_lvl, Ell):
-                rt = routed_from_scipy(a_sp, dtype=dtype, put=batch.add,
+                # huge coarse A operators store bf16 values like P/R
+                # (OMP_AMG_A_BF16: 1 = always, 0 = never, auto = n ≥ 2²²):
+                # halves the A[1] plan's HBM/upload/SpMV-stream bytes at
+                # 256³ — and is what lets a refreshed value set fit next
+                # to the shared plan geometry in 16 GB. The smoother sees
+                # ~3 fewer decimal digits in A[1]; the f64 IR certifies
+                # the end result regardless (round-5 measurement:
+                # certified iterations unchanged at 256³).
+                import os as _os3
+
+                _a_gate = _os3.environ.get("OMP_AMG_A_BF16", "auto")
+                a_dt = dtype
+                if _a_gate == "1" or (_a_gate == "auto" and n >= (1 << 22)):
+                    a_dt = jnp.bfloat16
+                rt = routed_from_scipy(a_sp, dtype=a_dt, put=batch.add,
                                        map_out=_mo("a_map"))
                 if rt is None:
-                    rt = _split_routed(a_sp, dtype)
+                    rt = _split_routed(a_sp, a_dt)
                 if rt is not None:
                     a_lvl = rt
                 else:

@@ -107,35 +107,54 @@ def _scatter_all_fn(specs):
     cold-refresh relay compiles). ``specs[i] = (size, dtype, sorted)`` —
     streams are host-sorted into val4 order where possible so the scatter
     lowers with indices_are_sorted (R reuses P's stream through a composed
-    permutation, so its positions are unique but unsorted)."""
+    permutation, so its positions are unique but unsorted). The value
+    STREAMS are donated (≈2 GB at 256³ — without this the refill held
+    streams + new val4 simultaneously and OOM'd); the position arrays are
+    cached across refreshes and must NOT be."""
 
-    def run(args):
+    def run(poss, vals_in):
         out = []
-        for (size, dt, srt), (pos, vals) in zip(specs, args):
-            out.append(jnp.zeros((size,), dt).at[pos].set(
-                vals.astype(dt), indices_are_sorted=srt,
-                unique_indices=True))
+        for (shape, dt, srt, vi), pos in zip(specs, poss):
+            size = 1
+            for s in shape:
+                size *= s
+            filled = jnp.zeros((size,), dt).at[pos].set(
+                vals_in[vi].astype(dt), indices_are_sorted=srt,
+                unique_indices=True)
+            # reshape INSIDE the program: as a standalone dispatch it
+            # copies (another val4-sized buffer per op — OOM'd at 256³)
+            out.append(filled.reshape(shape))
         return tuple(out)
 
-    return jax.jit(run)
+    return jax.jit(run, donate_argnums=(1,))
 
 
 def _refill_routed_all(jobs):
-    """jobs: list of (old_op, mp, stream_dev) → list of refreshed ops."""
+    """jobs: list of (old_op, mp, stream_dev) → list of refreshed ops.
+
+    Streams are deduplicated before the jitted scatter (R rides P's
+    uploaded stream — it must appear once in the donated operand list)."""
     specs = []
-    args = []
+    poss = []
+    vals = []
+    vidx: dict = {}
     for old, mp, stream in jobs:
         shape = mp["val4_shape"]
         size = int(np.prod(shape))
         if "pos_dev" not in mp:
             assert size < (1 << 31)
             mp["pos_dev"] = jnp.asarray(mp["pos"].astype(np.int32))
-        specs.append((size, jnp.dtype(old.val4.dtype).name,
-                      bool(mp.get("sorted", False))))
-        args.append((mp["pos_dev"], stream))
-    flats = _scatter_all_fn(tuple(specs))(args)
-    return [dataclasses.replace(old, val4=flat.reshape(mp["val4_shape"]))
-            for (old, mp, _), flat in zip(jobs, flats)]
+        vi = vidx.get(id(stream))
+        if vi is None:
+            vi = vidx[id(stream)] = len(vals)
+            vals.append(stream)
+        specs.append((tuple(int(s) for s in shape),
+                      jnp.dtype(old.val4.dtype).name,
+                      bool(mp.get("sorted", False)), vi))
+        poss.append(mp["pos_dev"])
+    out = _scatter_all_fn(tuple(specs))(poss, vals)
+    return [dataclasses.replace(old, val4=v4)
+            for (old, mp, _), v4 in zip(jobs, out)]
 
 
 def _pat(indptr, indices, n_cols):
@@ -276,10 +295,15 @@ def _release_value_buffers(hier):
     (measured round 5). Idempotent; already-deleted buffers are skipped."""
     import jax as _jax
 
+    released = 0
+
     def _del(arr):
+        nonlocal released
         if isinstance(arr, _jax.Array):
             try:
+                nb = arr.nbytes
                 arr.delete()
+                released += nb
             except Exception:
                 pass
 
@@ -292,6 +316,18 @@ def _release_value_buffers(hier):
         _del(lv.dinv)
     _del(hier.coarse_chol)
     _del(hier.coarse_a)
+    import os as _os
+
+    if _os.environ.get("OMP_AMG_SETUP_TIMERS") == "1":
+        import sys as _sys
+
+        try:
+            ms = _jax.devices()[0].memory_stats() or {}
+            inuse = ms.get("bytes_in_use", -1) / 1e9
+        except Exception:
+            inuse = -1
+        print(f"[refresh] released {released/1e9:.2f} GB of stale values; "
+              f"HBM in use {inuse:.2f} GB", file=_sys.stderr, flush=True)
 
 
 def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
@@ -522,6 +558,16 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
                     f"L{li}: {what} nnz changed "
                     f"({len(stream)} vs {len(mp['pos'])})")
 
+        def _stream_dt(old_op):
+            # a stream feeding a bfloat16 val4 always ships bf16: the
+            # device scatter casts to the val4 dtype anyway, so the wider
+            # stream buys nothing but transfer bytes (~0.5 GB at 256³)
+            if jnp.dtype(old_op.val4.dtype) == jnp.bfloat16:
+                import ml_dtypes
+
+                return ml_dtypes.bfloat16
+            return st_dt
+
         def _sort_map(mp):
             # one-time: sort scatter positions into val4 order so the
             # device refill is a sorted unique scatter; the host stream is
@@ -555,7 +601,7 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
             lv["a"] = ("done", a_built)
         elif a_kind == "RoutedEll":
             mp = _sort_map(c["a_map"])
-            stream = a_data[mp["order"]].astype(st_dt)
+            stream = a_data[mp["order"]].astype(_stream_dt(old.a))
             _guard_stream(stream, mp, "A")
             lv["a"] = ("routed", mp, batch.add(stream), old.a)
         elif a_kind == "Ell":
@@ -571,7 +617,7 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
                 f"{c['p_kind']}/{c['r_kind']} transfer operators")
         if c["p_kind"] == "RoutedEll":
             mp = _sort_map(c["p_map"])
-            p_stream = p_data[mp["order"]].astype(st_dt)
+            p_stream = p_data[mp["order"]].astype(_stream_dt(old.p))
             _guard_stream(p_stream, mp, "P")
             p_handle = batch.add(p_stream)
             lv["p"] = ("routed", mp, p_handle, old.p)
@@ -602,7 +648,8 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
                 from .. import native as _nat
 
                 r_stream = _nat.perm_gather(num["pt_perm"],
-                                            p_data).astype(st_dt)
+                                            p_data).astype(
+                                                _stream_dt(old.r))
                 _guard_stream(r_stream, rmp, "R")
                 lv["r"] = ("routed", rmp, batch.add(r_stream), old.r)
         else:
