@@ -378,13 +378,19 @@ def amg_setup(a, params: AMGParams = AMGParams(), *, keep_host: bool = False,
         trace.mark(f"L{len(levels)} interp")
         pt_sp = p_sp.T.tocsr()
         trace.mark(f"L{len(levels)} transpose")
-        ac_sp = galerkin_product(host_ops[-1], p_sp, pt_sp=pt_sp)
+        pat_out = {} if cache is not None else None
+        ac_sp = galerkin_product(host_ops[-1], p_sp, pt_sp=pt_sp,
+                                 patterns_out=pat_out)
         if cache is not None:
             import scipy.sparse as _sp
 
             lc = cache.levels[-1]
             lc["ac_indptr"] = ac_sp.indptr.copy()
             lc["ac_indices"] = ac_sp.indices.copy()
+            # structural A·P / Pᵀ(AP) patterns: the cold refresh's numeric
+            # dataflow needs exactly these — recording them here saves its
+            # full structural-SpGEMM re-derivation (~150 s at 256³)
+            lc.update({k + "_pat": v for k, v in pat_out.items()})
             # p-CSR → pᵀ-CSR data permutation (refresh derives R values
             # from P values without a per-refresh transpose)
             tag = _sp.csr_matrix(

@@ -244,16 +244,24 @@ def _build_level_num(c, a_pat, p_sp, host_dia0):
 
     # Galerkin patterns: structural A·P and Pᵀ·(A·P) (native two-phase
     # SpGEMM keeps exact-zero products; the hierarchy's cached ac pattern
-    # eliminated them, so map structural → kept positions)
-    a64 = _csr_of(a_pat, np.ones(nnz))
-    ap = native.spgemm(a64, _csr_of(num["p_pat"], np.ones(p_sp.nnz)))
-    acs = native.spgemm(_csr_of(num["pt_pat"], np.ones(pt_sp.nnz)), ap)
-    num["ap_pat"] = _pat(ap.indptr, ap.indices, ap.shape[1])
-    num["acs_pat"] = _pat(acs.indptr, acs.indices, acs.shape[1])
-    ncc = acs.shape[1]
-    acs_rows = np.repeat(np.arange(acs.shape[0], dtype=np.int64),
-                         np.diff(acs.indptr))
-    acs_keys = acs_rows * ncc + acs.indices.astype(np.int64)
+    # eliminated them, so map structural → kept positions). The setup
+    # records both patterns when caching (galerkin_product patterns_out)
+    # — the Gustavson pattern is value-independent, so they equal the
+    # ones-product this block otherwise re-derives (~150 s at 256³).
+    if "ap_pat" in c and "acs_pat" in c:
+        num["ap_pat"] = _pat(*c["ap_pat"])
+        num["acs_pat"] = _pat(*c["acs_pat"])
+    else:
+        a64 = _csr_of(a_pat, np.ones(nnz))
+        ap = native.spgemm(a64, _csr_of(num["p_pat"], np.ones(p_sp.nnz)))
+        acs = native.spgemm(_csr_of(num["pt_pat"], np.ones(pt_sp.nnz)), ap)
+        num["ap_pat"] = _pat(ap.indptr, ap.indices, ap.shape[1])
+        num["acs_pat"] = _pat(acs.indptr, acs.indices, acs.shape[1])
+        del ap, acs
+    acs_indptr, acs_indices, ncc = num["acs_pat"]
+    acs_rows = np.repeat(np.arange(len(acs_indptr) - 1, dtype=np.int64),
+                         np.diff(acs_indptr))
+    acs_keys = acs_rows * ncc + acs_indices.astype(np.int64)
     ac_rows = np.repeat(np.arange(len(c["ac_indptr"]) - 1, dtype=np.int64),
                         np.diff(c["ac_indptr"]))
     ac_keys = ac_rows * ncc + c["ac_indices"].astype(np.int64)

@@ -23,14 +23,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def galerkin_product(a_sp, p_sp, pt_sp=None):
+def galerkin_product(a_sp, p_sp, pt_sp=None, patterns_out: dict = None):
     """A_c = Pᵀ A P on host (f64, setup phase).
 
     Uses the native OpenMP Gustavson SpGEMM (csrc/native.cc) when built,
     scipy's single-threaded product otherwise. ``pt_sp`` (optional)
     supplies an already-computed Pᵀ in CSR form so the setup's transpose
     is not repeated here (the product casts data to f64 regardless, so a
-    f32-valued transpose gives bit-identical results)."""
+    f32-valued transpose gives bit-identical results).
+
+    ``patterns_out`` (a dict, when given) receives the STRUCTURAL
+    intermediate patterns — ``ap`` (A·P) and ``acs`` (Pᵀ·(A·P) before
+    zero elimination) as (indptr, indices, n_cols) triples. The value-only
+    refresh needs exactly these (csrc spgemm keeps structural zeros, so
+    the value-product pattern equals the structural one); recording them
+    at setup time saves the cold refresh's full re-derivation (~150 s of
+    structural SpGEMMs at 256³)."""
     import scipy.sparse as sp
 
     from ..native import available, spgemm
@@ -39,10 +47,20 @@ def galerkin_product(a_sp, p_sp, pt_sp=None):
     p64 = sp.csr_matrix(p_sp, dtype=np.float64)
     if available():
         pt = pt_sp if pt_sp is not None else p64.T.tocsr()
-        ac = spgemm(pt, spgemm(a64, p64))
+        ap = spgemm(a64, p64)
+        ac = spgemm(pt, ap)
+        if patterns_out is not None:
+            patterns_out["ap"] = (ap.indptr, ap.indices, int(ap.shape[1]))
+            patterns_out["acs"] = (ac.indptr.copy(), ac.indices.copy(),
+                                   int(ac.shape[1]))
+        del ap
     else:
         ac = (p64.T @ a64 @ p64).tocsr()
         ac.sum_duplicates()
+        if patterns_out is not None:
+            # scipy's product drops nothing either; acs == pre-elimination
+            patterns_out["acs"] = (ac.indptr.copy(), ac.indices.copy(),
+                                   int(ac.shape[1]))
     ac.eliminate_zeros()
     ac.sort_indices()
     return ac
