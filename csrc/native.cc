@@ -712,6 +712,15 @@ void perm_gather_f64(int64_t n, const int64_t* perm, const double* x,
   for (int64_t i = 0; i < n; ++i) out[i] = x[perm[i]];
 }
 
+// int32-permutation variant: the refresh caches store their scatter maps
+// as int32 (halves the multi-GB host cache at 256³) — gathering through
+// them must not re-widen per call.
+void perm_gather_f64_i32(int64_t n, const int32_t* perm, const double* x,
+                         double* out) {
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) out[i] = x[perm[i]];
+}
+
 // ---------------------------------------------------------------------------
 // Fused structured Galerkin RAP: one pass over the fine DIA operator.
 //

@@ -157,6 +157,16 @@ def _refill_routed_all(jobs):
             for (old, mp, _), v4 in zip(jobs, out)]
 
 
+
+def _i32(a):
+    """Cache maps as int32 when values fit (they index arrays < 2³¹ —
+    asserted); halves the multi-GB host cache at 256³. Falls back to
+    int64 only for the rare oversized map."""
+    a = np.asarray(a)
+    if a.size and int(a.max()) >= (1 << 31):
+        return np.ascontiguousarray(a, np.int64)
+    return np.ascontiguousarray(a, np.int32)
+
 def _pat(indptr, indices, n_cols):
     """Contiguous (indptr int64, indices int32, n_cols) pattern triple."""
     return (np.ascontiguousarray(indptr, np.int64),
@@ -209,14 +219,14 @@ def _build_level_num(c, a_pat, p_sp, host_dia0):
         tag_csr.sort_indices()
         if tag_csr.nnz != nnz:
             raise PatternChangedError("L0: DIA nonzero set changed")
-        num["dia_sel"] = tag_csr.data.astype(np.int64) - 1
+        num["dia_sel"] = _i32(tag_csr.data.astype(np.int64) - 1)
         num["dia_size"] = flat.size
 
     # CSR → ELL value positions + cached col planes (strength/interp run
     # on ELL planes)
     k = int(c["mask"].shape[1])
     num["ell_k"] = k
-    num["ell_pos"] = _ell_pos(indptr, k)
+    num["ell_pos"] = _i32(_ell_pos(indptr, k))
     col = np.zeros((n, k), np.int32)
     col.ravel()[num["ell_pos"]] = indices
     num["col_planes"] = col
@@ -235,12 +245,12 @@ def _build_level_num(c, a_pat, p_sp, host_dia0):
     v_rows = valid_flat // me
     v_cols = c["p_col"].ravel()[valid_flat].astype(np.int64)
     order = np.argsort(v_rows * int(p_sp.shape[1]) + v_cols, kind="stable")
-    num["p_pos"] = np.ascontiguousarray(valid_flat[order])
+    num["p_pos"] = _i32(valid_flat[order])
     num["p_pat"] = _pat(p_sp.indptr, p_sp.indices, p_sp.shape[1])
     pt_sp = p_sp.T.tocsr()
     pt_sp.sort_indices()
     num["pt_pat"] = _pat(pt_sp.indptr, pt_sp.indices, pt_sp.shape[1])
-    num["pt_perm"] = np.ascontiguousarray(c["pt_perm"], np.int64)
+    num["pt_perm"] = _i32(c["pt_perm"])
 
     # Galerkin patterns: structural A·P and Pᵀ·(A·P) (native two-phase
     # SpGEMM keeps exact-zero products; the hierarchy's cached ac pattern
@@ -269,10 +279,10 @@ def _build_level_num(c, a_pat, p_sp, host_dia0):
     if (keep >= len(acs_keys)).any() or not np.array_equal(
             acs_keys[keep], ac_keys):
         raise PatternChangedError("Galerkin structural pattern mismatch")
-    num["keep"] = np.ascontiguousarray(keep)
+    num["keep"] = _i32(keep)
     mask = np.ones(len(acs_keys), bool)
     mask[keep] = False
-    num["dropped"] = np.flatnonzero(mask)
+    num["dropped"] = _i32(np.flatnonzero(mask))
     return num
 
 
@@ -582,8 +592,8 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
             # permuted to match at add time
             if "order" not in mp:
                 order = np.argsort(mp["pos"], kind="stable")
-                mp["order"] = order
-                mp["pos"] = np.ascontiguousarray(mp["pos"][order])
+                mp["order"] = _i32(order)
+                mp["pos"] = _i32(mp["pos"][order])
                 mp["sorted"] = True
                 mp.pop("pos_dev", None)
             return mp
@@ -663,8 +673,8 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
         else:
             pt_val = np.zeros(old.r.val.shape, np_dt)
             if "r_ell_pos" not in num:
-                num["r_ell_pos"] = _ell_pos(num["pt_pat"][0],
-                                            pt_val.shape[1])
+                num["r_ell_pos"] = _i32(_ell_pos(num["pt_pat"][0],
+                                                 pt_val.shape[1]))
             from .. import native as _nat
 
             pt_data = _nat.perm_gather(num["pt_perm"], p_data)

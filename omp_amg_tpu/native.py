@@ -63,6 +63,8 @@ def _load():
                                        i32p, f64p, i64p, i32p, f64p, i64p,
                                        i32p, f64p]
         lib.perm_gather_f64.argtypes = [ctypes.c_int64, i64p, f64p, f64p]
+        lib.perm_gather_f64_i32.argtypes = [ctypes.c_int64, i32p, f64p,
+                                            f64p]
         lib.csr_matvec_f64.argtypes = [ctypes.c_int64, i64p, i32p, f64p,
                                        f64p, f64p]
         u32p = np.ctypeslib.ndpointer(np.uint32, flags="C")
@@ -612,14 +614,22 @@ def routed_lanes_at(lidxp: np.ndarray, idx: np.ndarray, kc: int):
 
 
 def perm_gather(perm: np.ndarray, x: np.ndarray) -> np.ndarray:
-    """out[i] = x[perm[i]] (f64), threaded; numpy fancy-index fallback."""
+    """out[i] = x[perm[i]] (f64), threaded; numpy fancy-index fallback.
+
+    int32 permutations dispatch to the i32 kernel (the refresh caches
+    store their multi-hundred-Melem maps as int32 — widening per call
+    would cost a 2 GB temp per gather at 256³)."""
     lib = _load()
     x = np.ascontiguousarray(x, np.float64)
     if lib is None:
         return x[perm]
     out = np.empty(len(perm), np.float64)
-    lib.perm_gather_f64(len(perm), np.ascontiguousarray(perm, np.int64),
-                        x, out)
+    if perm.dtype == np.int32 and hasattr(lib, "perm_gather_f64_i32"):
+        lib.perm_gather_f64_i32(len(perm),
+                                np.ascontiguousarray(perm, np.int32), x, out)
+    else:
+        lib.perm_gather_f64(len(perm),
+                            np.ascontiguousarray(perm, np.int64), x, out)
     return out
 
 

@@ -325,7 +325,8 @@ def dist_pmis_setup(a, ndev: int, params: AMGParams = AMGParams(),
             tag = sp.csr_matrix(
                 (np.arange(p_sp.nnz, dtype=np.int64), p_sp.indices,
                  p_sp.indptr), shape=p_sp.shape)
-            cache.levels[-1]["pt_perm"] = tag.T.tocsr().data.copy()
+            from ..amg.refresh import _i32 as _p32
+            cache.levels[-1]["pt_perm"] = _p32(tag.T.tocsr().data)
             cache.levels[-1]["pt_indptr"] = pt.indptr.copy()
         ac_rows = []
         for si, (r0, r1) in enumerate(ranges):
@@ -352,9 +353,10 @@ def dist_pmis_setup(a, ndev: int, params: AMGParams = AMGParams(),
                 # slicing concatenates the row segments in ks order)
                 lo = cur.indptr[ks]
                 ln = (cur.indptr[ks + 1] - lo).astype(np.int64)
-                a_sel = (np.arange(int(ln.sum()), dtype=np.int64)
-                         - np.repeat(np.cumsum(ln) - ln, ln)
-                         + np.repeat(lo.astype(np.int64), ln))
+                from ..amg.refresh import _i32
+                a_sel = _i32(np.arange(int(ln.sum()), dtype=np.int64)
+                             - np.repeat(np.cumsum(ln) - ln, ln)
+                             + np.repeat(lo.astype(np.int64), ln))
                 _p = lambda m: (m.indptr.copy(), m.indices.copy(),
                                 int(m.shape[1]))
                 cache.levels[-1]["shards"].append(dict(
@@ -381,8 +383,9 @@ def dist_pmis_setup(a, ndev: int, params: AMGParams = AMGParams(),
                 raise AssertionError("dist cache: ac pattern mismatch")
             drop_mask = np.ones(len(st_keys), bool)
             drop_mask[keep] = False
-            cache.levels[-1]["keep"] = keep
-            cache.levels[-1]["dropped"] = np.flatnonzero(drop_mask)
+            from ..amg.refresh import _i32 as _c32
+            cache.levels[-1]["keep"] = _c32(keep)
+            cache.levels[-1]["dropped"] = _c32(np.flatnonzero(drop_mask))
             cache.levels[-1]["ac_pat"] = (ac_sp.indptr.copy(),
                                           ac_sp.indices.copy(), int(nc))
 
