@@ -282,3 +282,37 @@ def test_facade_refresh_stream_dtype_kwarg():
                          - a_sp @ np.asarray(x2, np.float64)) \
         / np.linalg.norm(np.asarray(b))
     assert rel <= 1e-8
+
+
+def test_setup_recorded_galerkin_patterns_match_derivation():
+    """The setup-recorded structural A*P / Pt(AP) patterns (round 5:
+    galerkin_product patterns_out) must equal the ones-product derivation
+    the cold refresh otherwise runs — the Gustavson pattern is
+    value-independent."""
+    import scipy.sparse as sp
+
+    from omp_amg_tpu import native
+    from omp_amg_tpu.amg.refresh import _csr_of, _pat
+
+    a = amg.poisson3d_7pt(16)
+    prm = AMGParams(coarsening="pmis")
+    cache = SetupCache()
+    amg_setup(a, prm, cache=cache)
+    for li, c in enumerate(cache.levels):
+        assert "ap_pat" in c and "acs_pat" in c
+        # re-derive structurally from the cached A/P patterns
+        amg_refresh(_scale_dia(a, 2.0), cache)  # cold builds num w/ cache
+        num = c["num"]
+        a64 = _csr_of(num["a_pat"], np.ones(len(num["a_pat"][1])))
+        p64 = _csr_of(num["p_pat"], np.ones(len(num["p_pat"][1])))
+        pt64 = _csr_of(num["pt_pat"], np.ones(len(num["pt_pat"][1])))
+        ap = native.spgemm(a64, p64)
+        acs = native.spgemm(pt64, ap)
+        ap_pat = _pat(ap.indptr, ap.indices, ap.shape[1])
+        acs_pat = _pat(acs.indptr, acs.indices, acs.shape[1])
+        for got, want in ((num["ap_pat"], ap_pat),
+                          (num["acs_pat"], acs_pat)):
+            np.testing.assert_array_equal(got[0], want[0])
+            np.testing.assert_array_equal(got[1], want[1])
+            assert got[2] == want[2]
+        break   # L0 suffices (deeper levels exercise the same code)
