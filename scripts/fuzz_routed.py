@@ -62,9 +62,20 @@ def main():
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     rng = np.random.default_rng(seed)
     skipped = 0
+    from omp_amg_tpu.utils.pack import DeferredUpload
+
     for t in range(n_cases):
         m = random_case(rng)
-        rt = routed_from_scipy(m)
+        if t % 3 == 0:
+            # every third case goes through the batched-upload path
+            # (round-5 transfer format: delta-encoded index streams +
+            # device-derived lidx words) instead of the eager puts
+            batch = DeferredUpload(eager=False)
+            rt = routed_from_scipy(m, put=batch.add)
+            if rt is not None:
+                rt = batch.resolve(rt)
+        else:
+            rt = routed_from_scipy(m)
         if rt is None:
             skipped += 1
             continue
