@@ -586,6 +586,23 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
                 return ml_dtypes.bfloat16
             return st_dt
 
+        def _cast_stream(arr_f64, dt):
+            # bf16 goes f64→f32→native round-pack: the two-step rounding
+            # matches the FRESH setup's value path bitwise (the planner
+            # stores f32 values and round-packs to bf16 at put time) — a
+            # direct f64→bf16 cast can differ by one bf16 ulp on
+            # double-rounding edges, breaking refreshed≡fresh equality
+            if np.dtype(dt) == np.float32:
+                return arr_f64.astype(np.float32)
+            if getattr(np.dtype(dt), "num", 0) >= 100:   # ml_dtypes bf16
+                from .. import native as _nat2
+
+                f32 = arr_f64.astype(np.float32)
+                packed = _nat2.bf16_round_pack(f32)
+                if packed is not None:
+                    return packed
+            return arr_f64.astype(dt)
+
         def _sort_map(mp):
             # one-time: sort scatter positions into val4 order so the
             # device refill is a sorted unique scatter; the host stream is
@@ -619,7 +636,7 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
             lv["a"] = ("done", a_built)
         elif a_kind == "RoutedEll":
             mp = _sort_map(c["a_map"])
-            stream = a_data[mp["order"]].astype(_stream_dt(old.a))
+            stream = _cast_stream(a_data[mp["order"]], _stream_dt(old.a))
             _guard_stream(stream, mp, "A")
             lv["a"] = ("routed", mp, batch.add(stream), old.a)
         elif a_kind == "Ell":
@@ -635,7 +652,7 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
                 f"{c['p_kind']}/{c['r_kind']} transfer operators")
         if c["p_kind"] == "RoutedEll":
             mp = _sort_map(c["p_map"])
-            p_stream = p_data[mp["order"]].astype(_stream_dt(old.p))
+            p_stream = _cast_stream(p_data[mp["order"]], _stream_dt(old.p))
             _guard_stream(p_stream, mp, "P")
             p_handle = batch.add(p_stream)
             lv["p"] = ("routed", mp, p_handle, old.p)
@@ -665,9 +682,9 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
             else:
                 from .. import native as _nat
 
-                r_stream = _nat.perm_gather(num["pt_perm"],
-                                            p_data).astype(
-                                                _stream_dt(old.r))
+                r_stream = _cast_stream(
+                    _nat.perm_gather(num["pt_perm"], p_data),
+                    _stream_dt(old.r))
                 _guard_stream(r_stream, rmp, "R")
                 lv["r"] = ("routed", rmp, batch.add(r_stream), old.r)
         else:
