@@ -41,6 +41,21 @@ def main():
     dev = jax.devices()[0]
     log(f"backend: {dev.platform} ({dev})")
 
+    def trim_host_arena():
+        # return freed host heap to the OS between blocks: aged/fragmented
+        # glibc arenas inflate later blocks' host setup phases ~10-40% on
+        # this 2-core box (BASELINE.md round-4/5; the 27-pt classical setup
+        # measured 27.4 s standalone vs 37.8 s late in an aged bench)
+        import gc
+
+        gc.collect()
+        try:
+            import ctypes
+
+            ctypes.CDLL("libc.so.6").malloc_trim(0)
+        except Exception:
+            pass
+
     n = int(os.environ.get("BENCH_N", "256"))
     details = {"backend": str(dev), "n": n}
 
@@ -128,6 +143,9 @@ def main():
                 details["pmis256"]["refresh_cold_s"] = rts6[0]
                 details["pmis256"]["refresh_warm_s"] = rts6[1]
                 details["pmis256"]["cache_mb"] = _cnb(c6) / 1e6
+                from omp_amg_tpu.amg.refresh import _resolve_stream_dtype
+                details["pmis256"]["stream_dtype"] = _resolve_stream_dtype(
+                    "auto", int(np.asarray(a6.data).size))
                 r6b = _pcg(h_r6.levels[0].a, 0.5 * b6, h_r6, tol=1e-6,
                            maxiter=100)
                 details["pmis256"]["refresh_warm_iters"] = int(r6b.iters)
@@ -196,11 +214,14 @@ def main():
                 rts7.append(time.time() - t0)
             b7 = amg.default_rhs(a_r7, "random", seed=0)
             r7 = _pcg128(a_r7, b7, h7, tol=1e-6, maxiter=100)
+            from omp_amg_tpu.amg.refresh import _resolve_stream_dtype
             details["refresh128"] = {
                 "stencil": "3d27pt", "setup_s": su7,
                 "refresh_cold_s": rts7[0], "refresh_warm_s": rts7[1],
                 "cache_mb": cache_nbytes(c7) / 1e6,
                 "refresh_warm_iters": int(r7.iters),
+                "stream_dtype": _resolve_stream_dtype(
+                    "auto", int(np.asarray(a7.data).size)),
             }
             log(f"refresh128 (27-pt): fresh {su7:.1f}s, cold {rts7[0]:.1f}s,"
                 f" warm {rts7[1]:.1f}s ({rts7[1]/su7:.2f}x of fresh; cache "
@@ -371,7 +392,10 @@ def main():
              AMGParams(smoother="chebyshev")),
         ]
         confs = {}
+        a_c = b_c = h_c = a_sp_c = res_c = None
         for name, make, grid, prm in cfgs:
+            a_c = b_c = h_c = a_sp_c = res_c = None
+            trim_host_arena()
             a_c = make()
             b_c = amg.default_rhs(a_c, "random", seed=0)
             t0 = time.time()
@@ -402,9 +426,15 @@ def main():
         # (VERDICT r2 #4).
         if os.environ.get("BENCH_PMIS_CONFIGS", "1") == "1":
             pconfs = {}
+            h_c = a_c = b_c = a_sp_c = res_c = None
             for name, make, grid, prm in cfgs:
                 import dataclasses as _dc
 
+                # drop the previous config's arrays and trim the arena so
+                # each setup_s measures a clean-heap host (VERDICT r4 #7:
+                # hold the 27-pt <=35 s bar IN-BENCH, not just standalone)
+                h_c = a_c = b_c = a_sp_c = res_c = None
+                trim_host_arena()
                 prm_p = _dc.replace(prm, coarsening="pmis")
                 if name.startswith("aniso"):
                     # 9-pt FEM aniso: the corner couplings sit at ratio

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, Optional
 
 import jax
@@ -298,7 +299,15 @@ def _rap_numeric(num, a_data, p_data):
     dropped = num["dropped"]
     if len(dropped):
         scale = np.abs(acs_val).max() if len(acs_val) else 1.0
-        if np.abs(acs_val[dropped]).max() > 1e-12 * max(scale, 1e-300):
+        # tolerance is f32-roundoff-sized, not f64: the interpolation
+        # values flow through f32 ELL planes, so ANY non-dyadic value
+        # change leaves ~1e-8·scale residue on entries that cancelled
+        # exactly at setup (measured: a ×1.7 scaling at 24³ leaves
+        # 1.4e-8 vs 0.0 for ×2.0). Residue at f32-noise level is
+        # numerically irrelevant (the entry is dropped from the cached
+        # pattern either way and the f64 IR certifies the solve);
+        # anything larger is a genuine pattern change and still raises.
+        if np.abs(acs_val[dropped]).max() > 1e-6 * max(scale, 1e-300):
             raise PatternChangedError(
                 "Galerkin entry eliminated at setup became nonzero")
     return native.perm_gather(num["keep"], acs_val)
@@ -348,8 +357,26 @@ def _release_value_buffers(hier):
               f"HBM in use {inuse:.2f} GB", file=_sys.stderr, flush=True)
 
 
+def _resolve_stream_dtype(stream_dtype: str, fine_elems: int) -> str:
+    """Resolve ``stream_dtype="auto"`` to a concrete dtype.
+
+    "auto" ships bf16 streams once the fine operator carries more than
+    OMP_AMG_STREAM_BF16_NNZ elements (default 30e6 — the 27-pt 128³ /
+    7-pt 256³ class where the warm refresh is transfer-floor-bound on
+    the relay and the measured refreshed-solve iteration delta vs f32
+    streams is ZERO, BASELINE.md round-5), and exact f32 below it. The
+    estimate uses only the fine operator's element count so cold and
+    warm refreshes of the same cache resolve identically (a dtype flip
+    between refreshes would recompile the device scatter program).
+    """
+    if stream_dtype != "auto":
+        return stream_dtype
+    thresh = int(float(os.environ.get("OMP_AMG_STREAM_BF16_NNZ", "3e7")))
+    return "bf16" if fine_elems >= thresh else "f32"
+
+
 def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
-                stream_dtype: str = "f32", release_old_values: bool = False):
+                stream_dtype: str = "auto", release_old_values: bool = False):
     """Rebuild the cached hierarchy's VALUES for a same-sparsity operator.
 
     ``a_new``: Dia (same offsets/dims as the cached setup's fine operator)
@@ -365,9 +392,12 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
     HALF the host→device bytes. The warm refresh is transfer-floor-bound
     through the axon relay (BASELINE.md: ~26–52 MB/s regardless of
     batching), so this trades ~3 decimal digits in the PRECONDITIONER's
-    values (the f64 IR outer still certifies the final residual; iteration
-    counts may grow slightly) for roughly halving the refresh wall. The
-    default keeps exact f32 streams (refreshed == fresh to f32 roundoff).
+    values (the f64 IR outer still certifies the final residual; measured
+    refreshed-solve iteration delta vs f32 streams: ZERO at 96³ and 256³,
+    BASELINE.md round-5) for roughly halving the refresh wall.
+    ``"auto"`` (the default) picks bf16 above ~30 M fine-operator elements
+    (`OMP_AMG_STREAM_BF16_NNZ`) and exact f32 streams below (refreshed ==
+    fresh to f32 roundoff); ``"f32"`` forces exactness at any size.
 
     ``release_old_values=True`` frees the cached hierarchy's device VALUE
     buffers once every pattern guard has passed (plan geometry stays — it
@@ -399,8 +429,11 @@ def amg_refresh(a_new, cache: SetupCache, *, verify_mask: bool = True,
     dtype = cache.dtype
     np_dt = np.dtype(jnp.dtype(dtype).name)
 
+    fine_elems = (int(a_new.data.size) if isinstance(a_new, Dia)
+                  else int(a_new.nnz))
+    stream_dtype = _resolve_stream_dtype(stream_dtype, fine_elems)
     if stream_dtype not in ("f32", "bf16"):
-        raise ValueError(f"stream_dtype must be f32 or bf16, got "
+        raise ValueError(f"stream_dtype must be f32, bf16 or auto, got "
                          f"{stream_dtype!r}")
     if stream_dtype == "bf16":
         import ml_dtypes

@@ -440,9 +440,12 @@ def dist_pmis_refresh(a_new, cache: DistSetupCache, *,
     - strength: per-shard mask recomputed from the new values and
       compared with the cache (``verify_mask``) — drift raises
       :class:`~omp_amg_tpu.amg.refresh.PatternChangedError`;
-    - ext+i: per-shard numeric re-run on the compact ghost systems; a
-      changed interpolation pattern raises (no tie-pinning here — callers
-      fall back to a fresh distributed setup);
+    - ext+i: per-shard numeric re-run on the compact ghost systems;
+      near-tie truncation flips are repaired with the selection pinned
+      to the cached pattern (full-system ``extpi_pinned_rows``, exactly
+      the serial refresh's semantics — partition-invariant since ext+i
+      reads only distance ≤ 1 rows); an unrepairable pattern change
+      raises;
     - Galerkin: per-shard numeric-only SpGEMM (csrc ``spgemm_numeric``)
       into the cached A·P and Pᵀ_l·(A·P) patterns, assembled through the
       cached keep map; a structurally-eliminated entry turning nonzero
@@ -521,8 +524,26 @@ def dist_pmis_refresh(a_new, cache: DistSetupCache, *,
             p_val[r0:r1] = pv
         if not np.array_equal(p_col, lc["p_col"]) or not np.array_equal(
                 p_val != 0, lc["p_valid"]):
-            raise PatternChangedError(f"L{li}: interpolation pattern "
-                                      "changed")
+            # near-tie truncation flips: recompute JUST those rows with
+            # the truncation selection pinned to the cached pattern,
+            # mirroring the serial refresh (amg/refresh.py). The repair
+            # runs on the full-system planes — partition-invariant by
+            # construction (ext+i reads only distance ≤ 1 rows, which
+            # every shard's compact system preserves for its owned rows,
+            # so full-system == per-shard values bitwise).
+            bad = np.flatnonzero((p_col != lc["p_col"]).any(axis=1)
+                                 | ((p_val != 0)
+                                    != lc["p_valid"]).any(axis=1))
+            try:
+                pv_rows = hs.extpi_pinned_rows(
+                    col, val, lc["mask"], state, cmap, nc, bad,
+                    lc["p_col"], lc["p_valid"])
+            except ValueError as e:
+                raise PatternChangedError(f"L{li}: {e}") from e
+            p_col = lc["p_col"]
+            p_val = p_val.copy()
+            p_val[bad] = pv_rows
+            p_val[~lc["p_valid"]] = 0
         p_sp = ell_planes_to_scipy(p_col, p_val.astype(np.float64), nc)
         p_sp = p_sp.tocsr()
         p_sp.sort_indices()
@@ -548,7 +569,13 @@ def dist_pmis_refresh(a_new, cache: DistSetupCache, *,
         dropped = lc["dropped"]
         if len(dropped):
             scale = np.abs(stacked).max() if len(stacked) else 1.0
-            if np.abs(stacked[dropped]).max() > 1e-12 * max(scale, 1e-300):
+            # f32-roundoff-sized tolerance, matching the serial refresh
+            # guard (amg/refresh.py::_rap_numeric): interpolation values
+            # flow through f32 planes, so non-dyadic value changes leave
+            # ~1e-8·scale residue on setup-cancelled entries; that noise
+            # is dropped either way, only larger drift is a real pattern
+            # change
+            if np.abs(stacked[dropped]).max() > 1e-6 * max(scale, 1e-300):
                 raise PatternChangedError(
                     f"L{li}: Galerkin entry eliminated at setup became "
                     "nonzero")

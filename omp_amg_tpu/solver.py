@@ -224,7 +224,7 @@ class AMGSolver:
         }
         return res.x
 
-    def refresh(self, a_new, *, stream_dtype: str = "f32"):
+    def refresh(self, a_new, *, stream_dtype: str = "auto"):
         """Value-only re-setup: same sparsity, new operator values.
 
         Reuses every symbolic decision and device plan geometry of the
@@ -232,12 +232,15 @@ class AMGSolver:
         falls back to a full fresh setup — with a warning — when the new
         values change a strength/interpolation/Galerkin pattern.
 
-        ``stream_dtype="bf16"`` ships the routed value streams in bfloat16
-        — half the host→device bytes on the transfer-floor-bound relay
-        path (see :func:`omp_amg_tpu.amg.refresh.amg_refresh`); the f64
-        certified solve is unaffected, warm iteration counts may grow
-        slightly. (Single-device path only; the distributed PMIS refresh
-        rebuilds its device partition from refreshed host values.)
+        ``stream_dtype="auto"`` (default) ships the routed value streams
+        in bfloat16 above ~30 M fine-operator elements — half the
+        host→device bytes on the transfer-floor-bound relay path, with a
+        measured refreshed-solve iteration delta of ZERO vs f32 streams
+        (see :func:`omp_amg_tpu.amg.refresh.amg_refresh`); the f64
+        certified solve is unaffected either way. ``"f32"`` forces exact
+        streams (refreshed == fresh to f32 roundoff) at any size.
+        (Single-device path only; the distributed PMIS refresh rebuilds
+        its device partition from refreshed host values.)
         """
         if self._cache is None:
             raise ValueError("construct AMGSolver(..., refreshable=True) "

@@ -136,6 +136,41 @@ def test_dist_refresh_matches_fresh_across_shards():
             np.testing.assert_allclose(mr.data, mf.data, rtol=1e-12)
 
 
+def test_dist_refresh_repairs_non_dyadic_tie_flips():
+    """Round-5 session-3: a NON-dyadic value change (×1.7) flips near-tie
+    ext+i truncation decisions; the distributed refresh must repair them
+    with the selection pinned to the cached pattern (like the serial
+    refresh) instead of raising — and stay partition-invariant."""
+    import numpy as np
+
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.amg.params import AMGParams
+    from omp_amg_tpu.parallel.dist_pmis_setup import (
+        DistSetupCache, dist_pmis_refresh,
+        dist_pmis_setup,
+    )
+    from omp_amg_tpu.sparse.formats import Dia
+
+    a = amg.poisson3d_7pt(20)
+    a2 = Dia(data=np.asarray(a.data) * 1.7, offsets=a.offsets, dims=a.dims)
+    prm = AMGParams(coarsening="pmis")
+    ref_vals = None
+    for ndev in (1, 2, 8):
+        cache = DistSetupCache()
+        dist_pmis_setup(a, ndev, prm, cache=cache)
+        _, h_ref, _ = dist_pmis_refresh(a2, cache, keep_host=True)
+        # pattern pinned to the cached one
+        for lr, lc in zip(h_ref.levels, cache.levels):
+            np.testing.assert_array_equal(np.asarray(lr.p.col),
+                                          lc["p_col"])
+        vals = [np.asarray(lv.p.val) for lv in h_ref.levels]
+        if ref_vals is None:
+            ref_vals = vals
+        else:  # repaired values identical across shard counts
+            for v1, v2 in zip(ref_vals, vals):
+                np.testing.assert_array_equal(v1, v2)
+
+
 def test_dist_refresh_detects_pattern_change():
     import numpy as np
 

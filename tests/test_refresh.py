@@ -284,6 +284,64 @@ def test_facade_refresh_stream_dtype_kwarg():
     assert rel <= 1e-8
 
 
+def test_stream_dtype_auto_resolution(monkeypatch):
+    """"auto" (the round-5 default) resolves by fine-operator element
+    count: f32 below OMP_AMG_STREAM_BF16_NNZ, bf16 at/above — and the
+    cut is stable across cold/warm refreshes (same input → same dtype,
+    so the device scatter program compiles once)."""
+    from omp_amg_tpu.amg.refresh import _resolve_stream_dtype
+
+    assert _resolve_stream_dtype("auto", 6_000_000) == "f32"   # 7pt 96^3
+    assert _resolve_stream_dtype("auto", 56_623_104) == "bf16"  # 27pt 128^3
+    assert _resolve_stream_dtype("f32", 10**9) == "f32"        # explicit
+    assert _resolve_stream_dtype("bf16", 1) == "bf16"
+    monkeypatch.setenv("OMP_AMG_STREAM_BF16_NNZ", "100")
+    assert _resolve_stream_dtype("auto", 101) == "bf16"
+
+
+def test_refresh_auto_picks_bf16_above_threshold(monkeypatch):
+    """End-to-end: with the auto threshold lowered, the default refresh
+    ships bf16 streams (values match an explicit stream_dtype="bf16"
+    refresh bitwise) and the f64 IR still certifies."""
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.sparse.formats import Dia
+    from omp_amg_tpu.sparse.routed import RoutedEll
+
+    a = amg.poisson3d_7pt(24)
+    cache = SetupCache()
+    amg_setup(a, AMGParams(coarsening="pmis", routed="force"), cache=cache)
+    a2 = Dia(data=np.asarray(a.data) * 1.7, offsets=a.offsets, dims=a.dims)
+    monkeypatch.setenv("OMP_AMG_STREAM_BF16_NNZ", "1")
+    h_auto = amg_refresh(a2, cache)                      # auto -> bf16
+    h16 = amg_refresh(a2, cache, stream_dtype="bf16")
+    for l1, l2 in zip(h_auto.levels, h16.levels):
+        for nm in ("a", "p", "r"):
+            o1, o2 = getattr(l1, nm), getattr(l2, nm)
+            if isinstance(o1, RoutedEll):
+                np.testing.assert_array_equal(
+                    np.asarray(o1.val4, np.float32),
+                    np.asarray(o2.val4, np.float32))
+
+
+def test_refresh_non_dyadic_scale_does_not_trip_dropped_guard():
+    """Regression (round 5): the interp value pipeline is f32, so a
+    NON-dyadic value change (×1.7 — not exactly representable) leaves
+    ~1e-8·scale residue on Galerkin entries that cancelled exactly at
+    setup. The dropped-entry guard must tolerate f32-roundoff-sized
+    residue (it used a f64-sized 1e-12 bar and spuriously raised
+    PatternChangedError; measured residue 1.4e-8 at 24³)."""
+    import omp_amg_tpu as amg
+    from omp_amg_tpu.sparse.formats import Dia
+
+    a = amg.poisson3d_7pt(24)
+    cache = SetupCache()
+    amg_setup(a, AMGParams(coarsening="pmis", routed="force"), cache=cache)
+    a2 = Dia(data=np.asarray(a.data) * 1.7, offsets=a.offsets, dims=a.dims)
+    h = amg_refresh(a2, cache)   # must not raise
+    h2 = amg_refresh(a2, cache)  # warm path either
+    assert len(h.levels) == len(h2.levels)
+
+
 def test_setup_recorded_galerkin_patterns_match_derivation():
     """The setup-recorded structural A*P / Pt(AP) patterns (round 5:
     galerkin_product patterns_out) must equal the ones-product derivation
